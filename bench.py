@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark loop — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.  Each query executes fully via the
+noop sink (no driver-side collect — the 100 TB-honest way to measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family that matters at scale.  Names not
+# (yet) registered are skipped so the bench never breaks mid-build.
+BENCH_QUERIES = [
+    "flagship_revenue_by_nation",
+    "b01_scan_filter_project",
+    "b03_join_inner",
+    "b04_join_broadcast",
+    "b08_join_asof",
+    "b09_agg_q1",
+    "b10_distinct",
+    "b12_window_rank",
+    "b13_window_frames",
+    "b14_topk_per_group",
+    "b21_tumbling_window",
+    "b28_exact_dedup",
+    "b29_minhash_near_dedup",
+    "b30_cosine_topk",
+    "b31_term_freq",
+    "wildweb_pipeline",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from etl_wildweb_spark import registry
+    from etl_wildweb_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("etl-wildweb-spark-bench")
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

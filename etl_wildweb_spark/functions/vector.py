@@ -1,0 +1,35 @@
+"""Vector math over ``array<float>`` embedding columns — JVM-side only.
+
+Dot products / norms use ``zip_with`` + ``aggregate`` higher-order
+functions: they run inside whole-stage codegen, so no Python boundary is
+crossed.  All arithmetic is done in double (cast up from float32) with
+sequential left-to-right accumulation — the same order DuckDB's list
+functions use — keeping results cross-engine deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _d(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    col = _d(a)
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

@@ -1,0 +1,57 @@
+"""Table loaders for the driver-generated testdata corpus.
+
+``spark.read.parquet`` gives Catalyst a relation with full pushdown
+support: filters and column pruning reach the parquet scan (verify with
+``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``).  At
+100 TB these would be partitioned/bucketed external tables; the loader is
+the only place that would change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects outright; read it as raw int64 nanoseconds and
+        # truncate to a µs timestamp — the same ns→µs truncation DuckDB
+        # applies, keeping both engines value-identical (FIXTURES.md note).
+        from pyspark.sql import functions as F  # local: io stays light
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every corpus table and register temp views (for spark.sql)."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

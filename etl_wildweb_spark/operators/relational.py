@@ -1,0 +1,730 @@
+"""Relational operator surface (SURVEY.md §2 Part B rows B1-B20, B25-B27).
+
+Every query here is a declarative DataFrame plan — Catalyst handles
+predicate pushdown, column pruning, join strategy selection and AQE
+runtime re-planning.  Scale notes (100 TB design point) are in each
+docstring where the local plan would differ on a cluster.
+
+Cross-engine determinism rules (SURVEY.md §7.3.1):
+  * money sums go through DECIMAL(18,6)   → functions.exact.dsum
+  * averages: exact sum ÷ count in double → functions.exact.davg
+  * ranking windows always carry a unique tiebreaker column
+  * int-width differences (DuckDB BIGINT vs Spark INT) resolved by
+    explicit casts on both sides
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import davg, dec, dround, dsum, sql_davg, sql_dround, sql_dsum
+from ..io import table
+from ..registry import query
+
+
+# ---------------------------------------------------------------- flagship
+
+FLAGSHIP_ORACLE = f"""
+SELECT n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@query("flagship_revenue_by_nation", oracle=FLAGSHIP_ORACLE)
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation, 1996 (TPC-H Q5 shape) — the engine's flagship.
+
+    Mirrors the reference's filter→transform→aggregate dataflow
+    (/root/reference/task.ts:108-143) over relational data.  Scale: the
+    o_orderdate range predicate is pushed to the parquet scan; nation
+    (25 rows) is broadcast; lineitem⋈orders is a shuffle join on the
+    high-cardinality orderkey (uniform — no skew); AQE coalesces
+    post-shuffle partitions.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ------------------------------------------------------------- B1/B2 scan
+
+@query(
+    "b01_scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+           {revenue} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+    """.format(revenue=sql_dround("l_extendedprice * (1 - l_discount)")),
+)
+def b01_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1/B2: parquet scan with pushed filter + pruned columns + row expr.
+
+    ``explain('formatted')`` must show PushedFilters [l_shipdate >= ...]
+    and a 5-column ReadSchema — verified in tests/test_plans.py.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") >= "2001-01-01").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        dround(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------- B3 joins
+
+@query(
+    "b03_join_inner",
+    oracle=f"""
+    SELECT n_name, count(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_totalprice
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def b03_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: inner equi-joins; planner picks shuffle vs broadcast per side."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        )
+    )
+
+
+@query(
+    "b04_join_broadcast",
+    oracle=f"""
+    SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def b04_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: explicit broadcast of the dimension side — no shuffle of the
+    100×-bigger fact table.  At 100 TB this is THE plan for fact⋈dim as
+    long as dim fits executor memory (else shuffle-hash on the dim key).
+    sum(l_quantity) is integer-valued → exact in double regardless of
+    aggregation order."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "b05_join_left",
+    oracle=f"""
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           COALESCE({sql_dsum('o_totalprice')}, 0.0) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def b05_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: left outer join keeps order-less customers (n_orders = 0)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "b05_join_full_outer",
+    oracle="""
+    WITH om AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                       count(*) AS n_orders
+                FROM orders GROUP BY 1),
+         lm AS (SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+                       count(*) AS n_ship
+                FROM lineitem GROUP BY 1)
+    SELECT COALESCE(om.month, lm.month) AS month,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_ship, 0) AS n_ship
+    FROM om FULL OUTER JOIN lm ON om.month = lm.month
+    """,
+)
+def b05_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: full outer join of two monthly aggregates (months present on
+    only one side survive with a zero count)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    om = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    lm = li.groupBy(F.date_trunc("month", "l_shipdate").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_ship")
+    )
+    return om.join(lm, om.month == lm.month, "full").select(
+        F.coalesce(om.month, lm.month).alias("month"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_ship", F.lit(0)).alias("n_ship"),
+    )
+
+
+@query(
+    "b06_join_semi",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def b06_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: left-semi join — existence probe, never duplicates the left."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "b06_join_anti",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def b06_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: left-anti join — customers with no orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "b07_join_range",
+    oracle="""
+    SELECT s_suppkey, count(*) AS n_richer_customers
+    FROM supplier JOIN customer ON s_acctbal < c_acctbal
+    GROUP BY s_suppkey
+    """,
+)
+def b07_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: pure theta (inequality) join.  Locally a broadcast
+    nested-loop join (supplier is tiny).  At 100 TB an unbounded theta
+    join is a design smell — the scale path is band-partitioning: bucket
+    both sides on range(acctbal), join bucket b with buckets ≥ b, which
+    turns BNLJ into a bounded equi-join fan-out."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    return (
+        F.broadcast(s)
+        .join(c, s.s_acctbal < c.c_acctbal)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_richer_customers"))
+    )
+
+
+@query(
+    "b08_join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, max(o.o_orderdate) AS asof_orderdate
+    FROM events e
+    JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def b08_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: as-of join — for each event, the nearest-earlier order date of
+    the same user (events.user_id ≡ o_custkey in the corpus).
+
+    Expressed as equi-join on the key + range predicate + max() — Catalyst
+    runs the equi part as a real hash/sort-merge join (NOT a BNLJ) and
+    the per-key fan-out is bounded by orders-per-customer.  At 100 TB:
+    range-bucket the time axis so each event only joins the handful of
+    buckets at-or-before it, or sort-merge within key partitions
+    (mapPartitions over co-partitioned sorted runs)."""
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    return (
+        e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts))
+        .groupBy("event_id", "user_id")
+        .agg(F.max("o_orderdate").alias("asof_orderdate"))
+    )
+
+
+# ---------------------------------------------------------- B9-B11 aggs
+
+@query(
+    "b09_agg_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def b09_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: TPC-H Q1 — hash aggregation with partial (map-side) combine,
+    which Spark applies automatically; only 4 groups cross the shuffle."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
+    disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
+    charge = disc_price * (1 + dec("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(charge).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "b10_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_partkey)  AS n_parts,
+           count(DISTINCT l_suppkey)  AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def b10_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: multi-column count-distinct (Spark expands to a partial
+    dedup + final count — two shuffles, both on low-skew keys)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("b10_approx_distinct")  # approximate → rows-only check (SURVEY §2 B10)
+def b10_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: HLL++ approx distinct — the 100 TB path for cardinality
+    (single pass, constant memory, no dedup shuffle).  No exact oracle by
+    construction; tests assert relative error < 5% vs exact."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("n_orders_approx")
+    )
+
+
+@query(
+    "b11_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def b11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: hierarchical rollup (flag, flag+status, grand total)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@query(
+    "b11_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def b11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: full cube — all grouping-set combinations."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+# ------------------------------------------------------- B12-B14 windows
+
+@query(
+    "b12_window_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(row_number() OVER w_tb AS INTEGER) AS rn,
+           CAST(rank()       OVER w   AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w   AS INTEGER) AS drnk,
+           CAST(ntile(4)     OVER w_tb AS INTEGER) AS quartile
+    FROM customer
+    WINDOW w    AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC),
+           w_tb AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def b12_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: ranking windows.  row_number/ntile use a unique tiebreaker
+    (custkey) for determinism; rank/dense_rank are tie-stable by
+    definition.  Scale: single shuffle on c_nationkey; skewed partition
+    keys would need pre-aggregation or two-level ranking."""
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    w_tb = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w_tb).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w_tb).alias("quartile"),
+    )
+
+
+@query(
+    "b13_window_frames",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(lag(o_totalprice)  OVER w, 2) AS DOUBLE) AS prev_price,
+           CAST(round(lead(o_totalprice) OVER w, 2) AS DOUBLE) AS next_price,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+               AS mov_sum_3,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+               AS n_last_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def b13_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13: analytic windows (lag/lead) + ROWS frame moving sum + RANGE
+    frame over epoch seconds (30-day trailing count)."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_rows = w.rowsBetween(-2, 0)
+    w_range = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 2).cast("double").alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).cast("double").alias("next_price"),
+        F.round(F.sum(dec("o_totalprice")).over(w_rows), 2)
+        .cast("double")
+        .alias("mov_sum_3"),
+        F.count(F.lit(1)).over(w_range).alias("n_last_30d"),
+    )
+
+
+@query(
+    "b14_topk_global",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def b14_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: global top-k.  Spark plans TakeOrderedAndProject — per
+    partition top-k then a k-row merge at the driver; no full sort at any
+    scale.  Unique tiebreaker (custkey) makes the k-set deterministic."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.desc("c_acctbal"), "c_custkey")
+        .limit(10)
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@query(
+    "b14_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           o_totalprice, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def b14_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: top-k per group via row_number ≤ k.  Scale: Spark 3.5+
+    inserts a WindowGroupLimit (partial top-k before the shuffle), so the
+    shuffle carries ≤ k rows per group per map task."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ------------------------------------------------------------ B15 set ops
+
+@query(
+    "b15_setops",
+    oracle="""
+    WITH k96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate <  TIMESTAMP '1997-01-01'),
+         k97 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o_orderdate <  TIMESTAMP '1998-01-01')
+    SELECT o_custkey, 'both_years' AS op FROM (SELECT * FROM k96 INTERSECT SELECT * FROM k97)
+    UNION ALL
+    SELECT o_custkey, 'only_1996' AS op FROM (SELECT * FROM k96 EXCEPT SELECT * FROM k97)
+    UNION ALL
+    SELECT o_custkey, 'either' AS op FROM (SELECT * FROM k96 UNION SELECT * FROM k97)
+    """,
+)
+def b15_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15: INTERSECT / EXCEPT / UNION(distinct) branches tagged and
+    union-all'd into one result."""
+    o = table(spark, sf_dir, "orders")
+
+    def keys(y0: str, y1: str) -> DataFrame:
+        return (
+            o.filter((F.col("o_orderdate") >= y0) & (F.col("o_orderdate") < y1))
+            .select("o_custkey")
+            .distinct()
+        )
+
+    k96, k97 = keys("1996-01-01", "1997-01-01"), keys("1997-01-01", "1998-01-01")
+    return (
+        k96.intersect(k97).withColumn("op", F.lit("both_years"))
+        .unionByName(k96.subtract(k97).withColumn("op", F.lit("only_1996")))
+        .unionByName(k96.union(k97).distinct().withColumn("op", F.lit("either")))
+    )
+
+
+# ------------------------------------------- B16-B20 function families
+
+@query(
+    "b16_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 8) AS name_prefix,
+           concat(p_brand, '#', p_type) AS brand_type,
+           string_split(p_type, ' ')[1] AS type_first,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           (p_name LIKE '%a%') AS has_a,
+           trim(lower(p_brand)) AS brand_norm
+    FROM part
+    """,
+)
+def b16_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16: string family — the reference's own concat/split/regex
+    (task.ts:110-118,127) plus case/substr/like/trim."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat("p_brand", F.lit("#"), "p_type").alias("brand_type"),
+        F.split("p_type", " ").getItem(0).alias("type_first"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+        F.length("p_name").alias("name_len"),
+        F.col("p_name").like("%a%").alias("has_a"),
+        F.trim(F.lower("p_brand")).alias("brand_norm"),
+    )
+
+
+@query(
+    "b17_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(extract(year FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(extract(quarter FROM o_orderdate) AS INTEGER) AS order_quarter,
+           strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+           o_orderdate + INTERVAL 30 DAY AS plus_30d,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '2000-01-01') AS INTEGER)
+               AS days_to_2000
+    FROM orders
+    """,
+)
+def b17_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17: date family — trunc/extract/format/interval arithmetic
+    (the reference's A9/A10 date handling, task.ts:109-118).  Session TZ
+    pinned UTC so formatting is stable (SURVEY.md §2.1.3)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus_30d"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .alias("days_to_2000"),
+    )
+
+
+@query(
+    "b18_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(abs(l_extendedprice - 30000.0), 2) AS DOUBLE) AS abs_delta,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice)  AS BIGINT) AS price_ceil,
+           CAST(round(sqrt(l_quantity), 6) AS DOUBLE) AS qty_sqrt,
+           CAST(round(ln(l_extendedprice), 6) AS DOUBLE) AS price_ln,
+           l_orderkey % 7 AS key_mod7,
+           TRY_CAST(l_returnflag AS DOUBLE) AS flag_as_num,
+           TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_roundtrip
+    FROM lineitem
+    """,
+)
+def b18_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18: math family + cast-with-null (try_cast ≡ the reference's
+    Number() null-on-garbage semantics, task.ts:122-123,138)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 30000.0), 2)
+        .cast("double")
+        .alias("abs_delta"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.col("l_returnflag").try_cast("double").alias("flag_as_num"),
+        F.col("l_quantity").cast("string").try_cast("double").alias("qty_roundtrip"),
+    )
+
+
+@query(
+    "b19_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           string_split(text, ' ')[1]  AS first_tok,
+           string_split(text, ' ')[-1] AS last_tok,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           array_to_string(string_split(text, ' ')[1:5], '_') AS first5
+    FROM documents
+    """,
+)
+def b19_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19: array family over tokenized text (split/size/element_at/
+    distinct/contains/slice/join) — all higher-order-function territory,
+    fully JVM-side."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(F.slice(toks, 1, 5), "_").alias("first5"),
+    )
+
+
+@query(
+    "b20_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
+    FROM events
+    """,
+)
+def b20_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20: JSON family — path extraction and schema-full from_json (the
+    reference's typed envelope decode, task.ts:88-91)."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.from_json("props", "k INT").getField("k").alias("k_struct"),
+    )

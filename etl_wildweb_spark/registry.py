@@ -1,0 +1,55 @@
+"""Query + oracle registry backing the driver contract (__spark_entry__.py).
+
+Every operator from SURVEY.md §2 registers here via the @query decorator:
+
+    @query("b09_agg_q1", oracle="SELECT ...")
+    def b09(spark, sf_dir): ...
+
+The builder signature is ``(spark, sf_dir) -> DataFrame``.  ``oracle`` is
+the equivalent DuckDB SQL over the pre-registered views (region nation
+customer supplier part orders lineitem events documents embeddings); omit
+it for non-SQL-expressible ops (the driver then records a rows-only
+check).  Column names must match between the Spark result and the oracle —
+alias everything on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import prepare
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Re-assert runtime confs (UTC etc.) on whatever session the
+            # driver hands us — correctness must not depend on its config.
+            prepare(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from .operators import dedup, multimodal, relational, similarity, text  # noqa: F401
+    from .ingest import wildweb  # noqa: F401
+    from .streaming import windows  # noqa: F401
+    from .sources import http  # noqa: F401

@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); the
+same configs are what we would set cluster-side at 100 TB: AQE on (runtime
+skew-join + partition coalescing), UTC session timezone (the reference's
+Lambda runs UTC — /root/reference/task.ts parses dates in process TZ, see
+SURVEY.md §2.1.3), Arrow for any pandas exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs that query builders re-assert on *any* session
+# (including the driver's): correctness must not depend on who built the
+# session.  Static confs (driver memory, master) only apply to sessions we
+# create ourselves.
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Assert runtime confs on an externally-provided session (driver's)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable on this build — proceed with defaults
+    return spark
+
+
+def get_spark(app_name: str = "etl-wildweb-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # shuffle partitions sized to cores for local mode; on a real
+        # cluster this scales with executor count (or AQE coalesces).
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
