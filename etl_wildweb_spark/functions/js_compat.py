@@ -37,4 +37,4 @@ def truncate_minute(c: Column | str) -> Column:
     UTC string ``yyyy-MM-dd HH:mm`` (behavior verified by execution;
     SURVEY.md §A10). Requires session timezone UTC."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.date_format(F.date_trunc("minute", F.to_timestamp(col)), "yyyy-MM-dd HH:mm")
+    return F.date_format(F.date_trunc("minute", F.try_to_timestamp(col)), "yyyy-MM-dd HH:mm")

@@ -1,1 +1,1 @@
-"""Placeholder — filled in this round."""
+from . import wildweb  # noqa: F401
