@@ -1,1 +1,253 @@
-"""Placeholder — filled in this round."""
+"""Deduplication operators (SURVEY.md §2 B28-B29; BASELINE north star).
+
+Exact dedup is a hash groupBy.  Near-dup is MinHash+LSH banding built
+entirely from DataFrame primitives (shingle → 128 minhashes → 32 band
+keys → bucket self-join → exact-Jaccard verify).  Everything is
+JVM-side (higher-order functions + xxhash64) — no Python in the path.
+
+100 TB design: the banding pipeline's only shuffles are (a) the groupBy
+computing per-doc signatures (map-side combinable: min() per perm) and
+(b) the band-bucket exchange, whose fan-in is bounded because bucket
+sizes are small for well-chosen r (docs only collide when genuinely
+similar).  The exact-verify join touches candidate pairs only — the
+whole point of LSH — so the quadratic brute-force never materializes.
+The verify stage re-joins shingle sets by doc_id (co-partitioned hash
+join on the doc key, broadcast-able if candidates are rare).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import query
+
+# MinHash-LSH parameters: 128 permutations as 32 bands × 4 rows.
+# P(candidate | j) = 1-(1-j^4)^32 → at the 0.8 threshold the miss
+# probability is (1-0.8^4)^32 ≈ 5e-8; at j=0.9 it is ~1e-15.  The
+# exact-Jaccard verify stage then removes false positives, so the
+# pipeline's output equals the brute-force oracle with probability
+# ~1 - 1e-7 per true pair.
+N_PERM = 128
+N_BANDS = 32
+ROWS_PER_BAND = N_PERM // N_BANDS
+JACCARD_THRESHOLD = 0.8
+
+
+@query(
+    "b28_exact_dedup",
+    oracle="""
+    SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies,
+           CAST(min(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY text
+    """,
+)
+def b28_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28: exact dedup — one representative (min doc_id) per distinct
+    text.  Deterministic representative choice (min), unlike
+    dropDuplicates' arbitrary row pick.  Scale: single hash shuffle on
+    text (or on a 128-bit digest of it to shrink shuffle payload)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+@query(
+    "b28_hash_dedup",
+    oracle="""
+    SELECT md5(lower(text)) AS text_hash, min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(lower(text))
+    """,
+)
+def b28_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28 variant: dedup on a normalized digest — the shuffle carries a
+    16-byte key instead of the document body (the 100 TB-friendly form)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.lower("text")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def shingles(text_col) -> F.Column:
+    """Word 3-gram shingle set of a text column (distinct).  Documents
+    shorter than 3 tokens collapse to a single whole-text shingle."""
+    toks = F.split(text_col, " ")
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) < 3, F.array(F.array_join(toks, " "))).otherwise(tri)
+    )
+
+
+#: DuckDB twin of :func:`shingles` — MUST stay semantically identical.
+SQL_SHINGLES = """
+    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3
+        THEN [array_to_string(string_split(text, ' '), ' ')]
+        ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2]) END)
+"""
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle set) → (id, h0..h127) via one map-side-combinable
+    aggregation: min over xxhash64(seed, shingle) per permutation."""
+    sh = docs.select(id_col, F.explode(shingles(F.col("text"))).alias("shingle"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(N_PERM)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signatures and self-join band buckets → candidate pairs
+    (id_a < id_b, distinct)."""
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                ).alias("sig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(band_cols).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame, docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Join candidate pairs back to shingle sets and compute exact
+    Jaccard — removes LSH false positives."""
+    sh = docs.select(F.col(id_col), shingles(F.col("text")).alias("s"))
+    return (
+        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("s", "sa"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("s", "sb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sa", "sb")).cast("double")
+            / F.size(F.array_union("sa", "sb")),
+        )
+        .drop("sa", "sb")
+    )
+
+
+@query(
+    "b29_minhash_near_dedup",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
+    """,
+)
+def b29_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29: MinHash+LSH near-duplicate pairs at Jaccard ≥ 0.8, exact-
+    verified.  The oracle is the O(n²) brute force — the outputs agree
+    because banding recall at the threshold is 1-5e-8 (see N_PERM note).
+    The Spark side never materializes the quadratic pair space."""
+    d = table(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(minhash_signatures(d))
+    return verify_jaccard(cands, d).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+@query("b29_simhash")  # rows-only: bit-level fingerprint, not SQL-expressible
+def b29_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29 variant: 64-bit SimHash per document, built with higher-order
+    functions (token hash → per-bit majority vote), JVM-side end to end.
+    Near-dups have small Hamming distance (tests assert this on the
+    planted pairs); at scale candidates come from grouping on bit-prefix
+    blocks (here: the top-16-bit block id is emitted alongside)."""
+    d = table(spark, sf_dir, "documents")
+    # The Python shiftleft/shiftright wrappers only take literal shift
+    # amounts; the SQL forms accept expressions, so the per-bit majority
+    # vote is expressed via expr().
+    simhash = F.expr(
+        """
+        aggregate(
+          zip_with(
+            transform(sequence(0, 63), i ->
+              CASE WHEN aggregate(transform(split(text, ' '), t -> xxhash64(t)),
+                                  0L, (acc, h) -> acc + (shiftright(h, i) & 1L)) * 2
+                        >= size(split(text, ' '))
+                   THEN 1L ELSE 0L END),
+            sequence(0, 63),
+            (b, i) -> shiftleft(b, i)),
+          0L, (acc, x) -> acc | x)
+        """
+    )
+    return d.select(
+        "doc_id",
+        simhash.alias("simhash"),
+        F.shiftrightunsigned(simhash, 48).alias("block16"),
+    )
+
+
+@query(
+    "b29_embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+    """,
+)
+def b29_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29 variant: embedding-cosine near-dup with label blocking (the
+    blocked join is the scale pattern — candidates only within a block,
+    never the full cross product)."""
+    from ..functions.vector import cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, ["label"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine("ea", "eb"))
+        .filter(F.col("cos_sim") >= 0.95)
+        .select("id_a", "id_b", "cos_sim")
+    )

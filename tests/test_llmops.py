@@ -1,0 +1,199 @@
+"""Planted-ground-truth tests for the LLM-data operators (FIXTURES.md §B4).
+
+The approximate operators (MinHash LSH, SimHash, hyperplane ANN,
+langid) have no SQL oracle, so correctness is asserted on synthetic
+fixtures with known duplicates/neighbors — recall thresholds per
+SURVEY.md §7.3.4.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_wildweb_spark import registry
+from etl_wildweb_spark.operators import dedup
+from etl_wildweb_spark.operators.text import langid_udf
+
+registry.load_all()
+
+# 160-word vocabulary so random documents genuinely differ (the corpus
+# tables use a ~30-word vocab, too small for fingerprint separation).
+VOCAB = [
+    f"{w}{i}"
+    for i in range(10)
+    for w in (
+        "spark", "query", "table", "row", "filter", "join", "window", "hash",
+        "sort", "batch", "stream", "merge", "scan", "agg", "column", "value",
+    )
+]
+
+
+def make_doc(rng: random.Random, n: int = 60) -> str:
+    return " ".join(rng.choice(VOCAB) for _ in range(n))
+
+
+def mutate(rng: random.Random, text: str, n_edits: int = 1) -> str:
+    toks = text.split(" ")
+    for _ in range(n_edits):
+        toks[rng.randrange(len(toks))] = rng.choice(VOCAB)
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    rng = random.Random(42)
+    rows = []
+    for i in range(100):
+        rows.append((i, make_doc(rng)))
+    # plant 10 near-dup pairs: doc 100+i is a light mutation of doc i
+    for i in range(10):
+        rows.append((100 + i, mutate(rng, rows[i][1])))
+    # plant 3 exact dups of doc 20
+    for j, i in enumerate(range(3)):
+        rows.append((200 + j, rows[20][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_pairs(planted_docs):
+    cands = dedup.lsh_candidate_pairs(dedup.minhash_signatures(planted_docs))
+    verified = dedup.verify_jaccard(cands, planted_docs).filter(
+        F.col("jaccard") >= 0.8
+    )
+    pairs = {(r.id_a, r.id_b) for r in verified.collect()}
+    # every planted near-dup pair recovered (shingle jaccard of a 1-edit
+    # mutation of 60 tokens is ≥ ~0.9)
+    for i in range(10):
+        assert (i, 100 + i) in pairs, f"missing planted pair {(i, 100+i)}"
+    # exact dups recovered too
+    assert (20, 200) in pairs and (20, 201) in pairs
+    # no false positives below threshold survive the verify stage
+    for r in verified.collect():
+        assert r.jaccard >= 0.8
+
+
+def test_minhash_no_false_negatives_vs_bruteforce(planted_docs):
+    # LSH candidates ∪ verify == brute force at the threshold
+    sh = planted_docs.select("doc_id", dedup.shingles(F.col("text")).alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("sa", "sb")).cast("double")
+            / F.size(F.array_union("sa", "sb")),
+        )
+        .filter(F.col("j") >= 0.8)
+    )
+    brute_pairs = {(r.id_a, r.id_b) for r in brute.collect()}
+    cands = dedup.lsh_candidate_pairs(dedup.minhash_signatures(planted_docs))
+    lsh_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.verify_jaccard(cands, planted_docs)
+        .filter(F.col("jaccard") >= 0.8)
+        .collect()
+    }
+    assert lsh_pairs == brute_pairs
+
+
+def test_simhash_hamming_small_for_near_dups(spark, planted_docs, sf_dir):
+    planted_docs.createOrReplaceTempView("_simhash_in")
+    sh = spark.sql(
+        """
+        SELECT doc_id,
+        aggregate(
+          zip_with(
+            transform(sequence(0, 63), i ->
+              CASE WHEN aggregate(transform(split(text, ' '), t -> xxhash64(t)),
+                                  0L, (acc, h) -> acc + (shiftright(h, i) & 1L)) * 2
+                        >= size(split(text, ' '))
+                   THEN 1L ELSE 0L END),
+            sequence(0, 63), (b, i) -> shiftleft(b, i)),
+          0L, (acc, x) -> acc | x) AS simhash
+        FROM _simhash_in
+        """
+    )
+    hashes = {r.doc_id: r.simhash for r in sh.collect()}
+
+    def hamming(x: int, y: int) -> int:
+        return bin((x ^ y) & (2**64 - 1)).count("1")
+
+    near = [hamming(hashes[i], hashes[100 + i]) for i in range(10)]
+    rng = random.Random(7)
+    far = [
+        hamming(hashes[a], hashes[b])
+        for a, b in [(rng.randrange(100), rng.randrange(100)) for _ in range(30)]
+        if a != b
+    ]
+    assert max(near) < min(far), (near, far)
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_dir):
+    from etl_wildweb_spark.registry import QUERIES
+
+    exact = QUERIES["b30_cosine_topk"](spark, sf_dir)
+    approx = QUERIES["b30_ann_lsh"](spark, sf_dir)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # random-gaussian embeddings are the LSH worst case (no cluster
+    # structure, top-10 cosines only ~0.3-0.5); 8 tables × 8 bits with
+    # 1-bit multiprobe still must beat random-candidate recall by a wide
+    # margin.  On clustered real-world embeddings recall is far higher.
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_langid_on_multilingual_fixtures(spark):
+    # the corpus 'lang' column is random metadata over identical
+    # English-ish text (verified), so accuracy is asserted on real
+    # multilingual sentences instead
+    rows = [
+        (1, "the quick brown fox is jumping over the lazy dog in the morning", "en"),
+        (2, "los datos que llegan a la tabla son los valores de los clientes", "es"),
+        (3, "les résultats de la requête sont dans les tables de la base", "fr"),
+        (4, "der schnelle braune fuchs springt über einen faulen hund im wald", "de"),
+        (5, "数据表的行和列在查询中被过滤和排序", "zh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r.pred for r in df.select(
+        "doc_id", langid_udf(F.col("text")).alias("pred")).collect()}
+    expected = {r[0]: r[2] for r in rows}
+    acc = sum(out[k] == expected[k] for k in expected) / len(expected)
+    assert acc >= 0.8, (out, expected)
+
+
+def test_fake_decode_deterministic(spark, sf_dir):
+    from etl_wildweb_spark.registry import QUERIES
+
+    out = {r.doc_id: r for r in QUERIES["b32_fake_decode"](spark, sf_dir).collect()}
+    from etl_wildweb_spark.io import table
+
+    docs = {r.doc_id: r.text for r in table(spark, sf_dir, "documents").collect()}
+    for doc_id, text in list(docs.items())[:20]:
+        b = text.encode("utf-8")
+        r = out[doc_id]
+        assert r.width == len(b) % 640
+        assert r.feat[0] == float(len(b))
+        assert r.feat[3] == float(sum(b[:8]))
+
+
+def test_exact_dedup_planted(spark, planted_docs):
+    groups = (
+        planted_docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    assert len(groups) == 1
+    assert groups[0].keep == 20 and groups[0].n == 4
