@@ -1,0 +1,156 @@
+"""User-defined function surface (SURVEY.md §2 B25-B27).
+
+UDFs are the engine's *slow path* by policy: everything expressible
+with built-ins stays JVM-side (see every other operator module).  These
+queries exist to prove the full UDx surface with Arrow-vectorized
+implementations — and their oracle checks double as regression tests
+that the Python results equal the pure-SQL semantics.
+
+100 TB notes: pandas UDFs move Arrow batches across the Python
+boundary — ~10-100× better than row-at-a-time, still strictly worse
+than codegen.  Python UDTFs are per-row generators (the slowest shape
+here); the declared query bounds its input accordingly.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..functions.exact import sql_dround
+from ..io import table
+from ..registry import query
+
+
+_Q6 = Decimal("0.000001")
+_Q2 = Decimal("0.01")
+
+
+@pandas_udf(T.DoubleType())
+def revenue_udf(price: pd.Series, discount: pd.Series) -> pd.Series:
+    # same quantization as functions.exact.dround: the double→DECIMAL(18,6)
+    # cast in both engines goes through the shortest decimal repr of the
+    # binary value (Java BigDecimal.valueOf semantics) — Python's repr()
+    # is that same shortest round-trip string, so Decimal(repr(x)) with
+    # two HALF_UP quantize steps is bit-identical to the SQL twin
+    x = price * (1.0 - discount)
+    return pd.Series(
+        [
+            float(
+                Decimal(repr(v)).quantize(_Q6, ROUND_HALF_UP).quantize(
+                    _Q2, ROUND_HALF_UP
+                )
+            )
+            for v in x
+        ],
+        dtype="float64",
+        index=x.index,
+    )
+
+
+@query(
+    "b25_pandas_udf",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {sql_dround('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+    """,
+)
+def b25_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25: Arrow-vectorized scalar pandas UDF computing the same
+    revenue expression as b01 — the oracle hash proves UDF/SQL parity
+    (SURVEY.md §2 B25: 'asserted equal')."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") >= "2001-01-01").select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue_udf(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"),
+    )
+
+
+@pandas_udf(T.DoubleType())
+def weighted_avg_udf(price: pd.Series, qty: pd.Series) -> float:
+    # grouped-agg pandas UDF.  fsum = exactly-rounded sum, and the
+    # per-product 6-dp half-up quantization mirrors DECIMAL(18,6) in the
+    # oracle, so the result is engine-independent.
+    prod = np.floor(price.to_numpy() * qty.to_numpy() * 1e6 + 0.5) / 1e6
+    q6 = np.floor(qty.to_numpy() * 1e6 + 0.5) / 1e6
+    total_w = math.fsum(q6)
+    if total_w == 0.0:
+        return float("nan")
+    return round(math.fsum(prod) / total_w, 4)
+
+
+@query(
+    "b26_pandas_udaf",
+    oracle="""
+    SELECT p_brand,
+           round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS wavg_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def b26_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26: grouped-aggregate pandas UDF (quantity-weighted mean price
+    per brand), hash-checked against the decimal-exact SQL twin."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            weighted_avg_udf(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+                "wavg_price"
+            )
+        )
+    )
+
+
+@udtf(returnType="pos int, token string")
+class SplitTokens:
+    """B27: Python UDTF — one output row per token with its position."""
+
+    def eval(self, text: str):  # noqa: D102
+        if text is None:
+            return
+        for i, tok in enumerate(text.split(" ")):
+            yield i, tok
+
+
+@query(
+    "b27_udtf",
+    oracle="""
+    SELECT doc_id, CAST(s.pos AS INTEGER) AS pos, s.token
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(string_split(text, ' '),
+                      (x, i) -> struct_pack(pos := i - 1, token := x))) AS s
+        FROM documents WHERE doc_id < 50
+    )
+    """,
+)
+def b27_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27: table-valued function via LATERAL join — tokenization with
+    positions, checked against DuckDB UNNEST WITH ORDINALITY.  Input is
+    bounded (doc_id < 50): per-row Python generators are the slowest
+    UDx shape and exist for API completeness, not the hot path."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    spark.udtf.register("split_tokens", SplitTokens)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM documents_v d, LATERAL split_tokens(d.text) t
+        WHERE d.doc_id < 50
+        """
+    )

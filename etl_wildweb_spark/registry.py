@@ -49,7 +49,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
-    from .operators import dedup, multimodal, relational, similarity, text  # noqa: F401
+    from .operators import dedup, multimodal, relational, similarity, text, udx  # noqa: F401
     from .ingest import wildweb  # noqa: F401
     from .streaming import windows  # noqa: F401
     from .sources import http  # noqa: F401

@@ -1,1 +1,1 @@
-"""Placeholder — filled in this round."""
+from . import windows  # noqa: F401

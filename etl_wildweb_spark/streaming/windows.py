@@ -1,1 +1,177 @@
-"""Placeholder — filled in this round."""
+"""Streaming operators (SURVEY.md §2 B21-B24).
+
+The reference's "stream" is a cron re-poll of a whole feed
+(task.ts:50); the engine generalizes to real Structured Streaming:
+tumbling/sliding/session windows, watermark-based late-data handling,
+stateful dedup.  Batch/stream unification is Spark's core property —
+the same window expressions run in both modes, which is exactly how the
+oracle checks work here: the windowed aggregations are declared as
+batch queries (hash-checked against DuckDB), and the *streaming* runs
+of the same plans (availableNow over the parquet source → memory sink)
+are asserted equal to the batch results in tests/test_streaming.py.
+
+100 TB notes: streaming state (window aggs, dedup keys) lives in the
+state store keyed by group — watermarks bound it; without a watermark
+state grows forever.  ``dropDuplicatesWithinWatermark`` is the
+at-scale dedup (state evicted after the horizon).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import davg, sql_davg
+from ..io import table
+from ..registry import query
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (schema from the batch loader,
+    including the TIMESTAMP(NANOS) → µs conversion)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # file streams need a directory basePath; select the single file via glob
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def run_to_memory(
+    stream_df: DataFrame, mode: str = "append", timeout_sec: int = 120
+) -> DataFrame:
+    """Execute a streaming plan with Trigger.AvailableNow into a memory
+    sink and return the materialized result (bounded test/dev harness;
+    production sinks are kafka/delta/foreachBatch)."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+# ------------------------------------------------- batch-shape windows
+
+@query(
+    "b21_tumbling_window",
+    oracle=f"""
+    SELECT CAST(time_bucket(INTERVAL 10 MINUTE, ts) AS TIMESTAMP) AS window_start,
+           count(*) AS n_events,
+           {sql_davg('value')} AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def b21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21: 10-minute tumbling window aggregation.  Same expression runs
+    under readStream (test_streaming.py asserts equality)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), davg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+@query(
+    "b21_sliding_window",
+    oracle="""
+    SELECT CAST(ws AS TIMESTAMP) AS window_start, count(*) AS n_events
+    FROM (
+        SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                       time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS ws,
+               ts
+        FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def b21_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21: 10-minute window sliding by 5 — every event lands in two
+    windows (the oracle materializes that membership explicitly)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+@query(
+    "b22_session_window",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 5 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def b22_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22: session windows with a 5-minute gap.  Spark's session_window
+    merges events whose gap is < 5 min; the oracle reproduces that with
+    the classic lag/cumulative-flag island construction."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+# ------------------------------------------------- true streaming ops
+
+@query("b23_watermark_tumbling")  # streaming semantics → rows-only
+def b23_watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23: tumbling count under a 1-hour watermark, executed as a real
+    stream (availableNow) in append mode — only windows the final
+    watermark has passed are emitted.  With the whole corpus in one
+    batch the emitted set equals {windows with end ≤ max(ts) - 1h},
+    asserted in test_streaming.py."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        s.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    return run_to_memory(agg, mode="append")
+
+
+@query("b24_stream_dedup")  # arbitrary row pick → keys only, rows-only
+def b24_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24: stateful streaming dedup on (user_id, event_type) via
+    dropDuplicatesWithinWatermark — state is evicted once the watermark
+    passes, so memory is bounded at any scale.  Output = distinct keys
+    (equals batch SELECT DISTINCT; asserted in test_streaming.py)."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    dedup = s.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_memory(dedup, mode="append")

@@ -1,0 +1,83 @@
+"""Streaming semantics tests (SURVEY.md §7.3.5): batch/stream
+equivalence under availableNow, watermark emission, stateful dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_wildweb_spark import registry
+from etl_wildweb_spark.io import table
+from etl_wildweb_spark.streaming import windows as sw
+
+registry.load_all()
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    # the same windowed agg through readStream (availableNow) must equal
+    # the batch result — Spark's unification property, our test handle
+    s = sw.events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    got = {
+        (r.window_start, r.n_events)
+        for r in sw.run_to_memory(agg, mode="complete").collect()
+    }
+    want = {
+        (r.window_start, r.n_events)
+        for r in registry.QUERIES["b21_tumbling_window"](spark, sf_dir)
+        .select("window_start", "n_events")
+        .collect()
+    }
+    assert got == want
+
+
+def test_watermark_append_emits_closed_windows(spark, sf_dir):
+    out = registry.QUERIES["b23_watermark_tumbling"](spark, sf_dir)
+    emitted = {r.window_start for r in out.collect()}
+    e = table(spark, sf_dir, "events")
+    max_ts = e.agg(F.max("ts")).first()[0]
+    batch = registry.QUERIES["b21_tumbling_window"](spark, sf_dir)
+    all_windows = {r.window_start for r in batch.collect()}
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=1)
+    closed = {
+        w for w in all_windows if (w + datetime.timedelta(minutes=10)) <= horizon
+    }
+    assert emitted == closed, (
+        f"emitted {len(emitted)} windows, expected {len(closed)} closed ones"
+    )
+
+
+def test_stream_dedup_equals_distinct(spark, sf_dir):
+    out = registry.QUERIES["b24_stream_dedup"](spark, sf_dir)
+    got = {(r.user_id, r.event_type) for r in out.collect()}
+    want = {
+        (r.user_id, r.event_type)
+        for r in table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+
+
+def test_session_window_stream_equals_batch(spark, sf_dir):
+    s = sw.events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        s.groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in sw.run_to_memory(agg, mode="complete").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in registry.QUERIES["b22_session_window"](spark, sf_dir).collect()
+    }
+    assert got == want
