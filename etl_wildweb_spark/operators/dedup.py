@@ -189,6 +189,101 @@ def b29_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_jaccard(cands, d).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+NGRAM = 5  # character n-gram width for b29_ngram_jaccard
+NGRAM_THRESHOLD = 0.8
+
+
+def char_ngrams(text_col) -> F.Column:
+    """Distinct character 5-grams; texts shorter than 5 chars collapse
+    to one whole-text gram (mirrored exactly in SQL_CHAR_NGRAMS)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(col) - (NGRAM - 1)),
+        lambda i: col.substr(i, F.lit(NGRAM)),
+    )
+    return F.array_distinct(
+        F.when(F.length(col) < NGRAM, F.array(col)).otherwise(grams)
+    )
+
+
+SQL_CHAR_NGRAMS = f"""
+    list_distinct(CASE WHEN length(text) < {NGRAM} THEN [text]
+        ELSE list_transform(range(1, length(text) - {NGRAM - 2}),
+                            i -> substr(text, i, {NGRAM})) END)
+"""
+
+
+@query(
+    "b29_ngram_jaccard",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, {SQL_CHAR_NGRAMS} AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))) >= {NGRAM_THRESHOLD}
+    """,
+)
+def b29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29 variant: EXACT character-5-gram Jaccard join via prefix
+    filtering (AllPairs/PPJoin family) — unlike MinHash this has no
+    false-negative probability, yet still never builds the n² pair
+    space.
+
+    Prefix principle: order every doc's gram set by ascending global
+    document frequency (rarest first); if J(A,B) ≥ t then A and B must
+    share a gram within each other's first ⌊(1-t)·|set|⌋+1 grams, so an
+    inverted index over *prefixes only* generates a candidate superset.
+    The exact-Jaccard verify then equals brute force — hash-checked
+    against the O(n²) DuckDB oracle.
+
+    100 TB: the index shuffle carries ~(1-t) of the gram volume (20%
+    here); candidate fan-out per gram is bounded because prefix grams
+    are by construction the rarest.  Frequency ties broken by gram text
+    so the prefix is deterministic."""
+    d = table(spark, sf_dir, "documents")
+    g = d.select("doc_id", F.explode(char_ngrams("text")).alias("gram"))
+    freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy("df", "gram")
+    )
+    prefix = (
+        g.join(freq, "gram")
+        .join(sizes, "doc_id")
+        .withColumn("rk", rk)
+        .filter(
+            F.col("rk")
+            <= F.floor((1 - NGRAM_THRESHOLD) * F.col("set_size")).cast("int") + 1
+        )
+        .select("doc_id", "gram")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sets = d.select("doc_id", char_ngrams("text").alias("s"))
+    return (
+        cands.join(sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a")
+        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sa", "sb")).cast("double")
+            / F.size(F.array_union("sa", "sb")),
+        )
+        .filter(F.col("jaccard") >= NGRAM_THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 @query("b29_simhash")  # rows-only: bit-level fingerprint, not SQL-expressible
 def b29_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B29 variant: 64-bit SimHash per document, built with higher-order

@@ -106,6 +106,91 @@ def lsh_signatures(
     )
 
 
+N_CELLS = 16  # IVF coarse-quantizer cells
+N_PROBE = 4  # cells scanned per query
+
+
+def _avg_vectors(df: DataFrame, key: str, vec_col: str, dim: int) -> DataFrame:
+    """Component-wise mean of an array<float> column per key, kept
+    declarative: posexplode → per-(key,pos) avg → reassemble ordered."""
+    return (
+        df.select(key, F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy(key, "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy(key)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_centroids(vectors: DataFrame, dim: int) -> DataFrame:
+    """Deterministic coarse quantizer: seed with N_CELLS hash-picked
+    corpus vectors, then one Lloyd refinement step (assign-all +
+    component-wise mean), all in DataFrame ops.  At 100 TB the seeds
+    come from a sample() and the refinement runs on that sample only —
+    the full corpus is touched once, at assignment time."""
+    seeds = (
+        vectors.withColumn("r", F.xxhash64("vec_id"))
+        .orderBy("r")
+        .limit(N_CELLS)
+        .select(
+            F.row_number().over(W.orderBy("r")).alias("cell"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    assigned = assign_cells(vectors, seeds, n_probe=1).select(
+        "cell", "embedding"
+    )
+    return _avg_vectors(assigned, "cell", "embedding", dim)
+
+
+def assign_cells(vectors: DataFrame, centroids: DataFrame, n_probe: int) -> DataFrame:
+    """Attach the ``n_probe`` nearest cells (by cosine) to each vector.
+    Centroid table is tiny → broadcast; ranking via window."""
+    w = W.partitionBy("vec_id").orderBy(F.desc("cell_sim"), "cell")
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .withColumn("cell_sim", cosine("embedding", "centroid"))
+        .withColumn("cell_rnk", F.row_number().over(w))
+        .filter(F.col("cell_rnk") <= n_probe)
+        .drop("centroid", "cell_sim", "cell_rnk")
+    )
+
+
+@query("b30_ann_ivf")  # approximate by construction → rows-only check
+def b30_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30 scale path #2: IVF (inverted-file) top-k — a coarse k-means
+    quantizer partitions the corpus into N_CELLS lists; each query
+    scores only the N_PROBE nearest lists (~25% of this corpus, and a
+    far smaller fraction as N_CELLS grows with corpus size: √n cells ×
+    fixed probes ⇒ O(n/√n) scored per query).  At 100 TB the corpus is
+    written partitioned by cell, so a probe is a partition-pruned scan —
+    no shuffle of the big side, queries broadcast.  Recall vs exact
+    top-10 is asserted in tests/test_llmops.py."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(e, dim=64)
+    corpus = assign_cells(e, cents, n_probe=1).select(
+        "cell", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    queries = (
+        assign_cells(e.filter(F.col("vec_id") < N_QUERIES), cents, n_probe=N_PROBE)
+        .select("cell", F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        corpus.join(F.broadcast(queries), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine("qe", "ce"))
+        .select("query_id", "neighbor_id", "cos_sim")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 @query("b30_ann_lsh")  # approximate by construction → rows-only check
 def b30_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B30 scale path: multi-table hyperplane LSH top-k (8 tables × 8

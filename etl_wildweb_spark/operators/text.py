@@ -196,3 +196,36 @@ def b31_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus lang label on en docs."""
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", langid_udf(F.col("text")).alias("lang_pred"))
+
+
+#: GPT-2-style pre-tokenizer regex, restricted to constructs both Java
+#: regex (Spark) and RE2 (DuckDB) support — i.e. no lookahead; the
+#: trailing-space refinement BPE uses is immaterial for *counting*.
+#: Alternation order matters (leftmost-first in both engines): keep it
+#: identical on both sides.
+BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@query(
+    "b31_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_REGEX.replace("'", "''")}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text,
+                '{BPE_REGEX.replace("'", "''")}'))) AS BIGINT) AS n_unique_tokens
+    FROM documents
+    """,
+)
+def b31_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31: BPE-ish token counting — the LLM-pipeline length signal
+    (whitespace counting undercounts punctuation-heavy text).  One
+    narrow JVM-side regexp_extract_all projection, hash-checked against
+    DuckDB's RE2 on the byte-identical pattern."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(BPE_REGEX), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+    )

@@ -154,6 +154,28 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.4, recalls
 
 
+def test_ann_ivf_recall_vs_exact(spark, sf_dir):
+    from etl_wildweb_spark.registry import QUERIES
+
+    exact = QUERIES["b30_cosine_topk"](spark, sf_dir)
+    approx = QUERIES["b30_ann_ivf"](spark, sf_dir)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # every query must return a full (approximate) top-k
+    assert all(len(s) == 10 for s in approx_sets.values()), approx_sets
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # 4-of-16 probed cells on unclustered gaussian vectors (IVF's worst
+    # case); must clearly beat the 25%-random-scan baseline
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
 def test_langid_on_multilingual_fixtures(spark):
     # the corpus 'lang' column is random metadata over identical
     # English-ish text (verified), so accuracy is asserted on real
