@@ -1,0 +1,91 @@
+"""Physical-plan shape assertions (SURVEY.md M5): the plan itself is
+under test, because mis-planning is invisible at test scale and fatal at
+100 TB.  Static (AQE-off) plans — AQE only improves on these shapes."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_wildweb_spark import registry
+from etl_wildweb_spark.plans import audit
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    cache: dict[str, str] = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            cache[name] = audit.plan_of(registry.QUERIES[name], spark, sf_dir)
+        return cache[name]
+
+    return get
+
+
+def test_b01_filter_pushdown_and_pruning(plans):
+    p = plans("b01_scan_filter_project")
+    pushed = audit.pushed_filters(p)
+    assert any("l_shipdate" in f for f in pushed), pushed
+    # projection reaches the scan: no full-width lineitem read
+    (schema,) = audit.read_schemas(p)
+    assert "l_comment" not in schema and "l_shipmode" not in schema
+    assert audit.codegen_spans(p) >= 1
+
+
+def test_flagship_broadcasts_all_dims(plans):
+    p = plans("flagship_revenue_by_nation")
+    # orders/customer/nation are all under the 64 MB broadcast threshold
+    # at bench scale → zero sort-merge joins, one shuffle (the groupBy)
+    assert audit.node_count(p, "SortMergeJoin") == 0
+    assert audit.exchanges(p) == {"shuffle": 1, "broadcast": 3}, audit.exchanges(p)
+
+
+def test_b04_broadcast_hint_respected(plans):
+    p = plans("b04_join_broadcast")
+    assert audit.node_count(p, "BroadcastHashJoin") > 0
+    assert audit.node_count(p, "SortMergeJoin") == 0
+
+
+def test_b09_single_shuffle_with_partial_agg(plans):
+    p = plans("b09_agg_q1")
+    assert audit.exchanges(p)["shuffle"] == 1
+    # partial (map-side) + final HashAggregate pair around the exchange;
+    # formatted plans list each node twice (tree + details)
+    assert audit.node_count(p, "HashAggregate") >= 4
+    assert audit.codegen_spans(p) >= 1
+
+
+def test_b28_dedup_single_shuffle(plans):
+    p = plans("b28_exact_dedup")
+    assert audit.exchanges(p)["shuffle"] == 1
+
+
+def test_wildweb_pipeline_no_shuffle(plans):
+    """The ingest dataflow is embarrassingly parallel (module docstring
+    claim) — one codegen pass over the scan, zero exchanges."""
+    p = plans("wildweb_pipeline")
+    assert audit.exchanges(p) == {"shuffle": 0, "broadcast": 0}
+    assert audit.codegen_spans(p) >= 1
+
+
+def test_b30_broadcasts_query_side(plans):
+    p = plans("b30_cosine_topk")
+    # corpus never shuffles for the scoring join: queries broadcast
+    assert audit.exchanges(p)["broadcast"] >= 1
+    assert audit.node_count(p, "SortMergeJoin") == 0
+
+
+def test_b03_join_keys_pruned_to_scan(plans):
+    p = plans("b03_join_inner")
+    assert audit.node_count(p, "SortMergeJoin") == 0  # dims broadcast
+    for schema in audit.read_schemas(p):
+        assert "comment" not in schema  # pruning reached every scan
+
+
+def test_b31_term_freq_two_shuffles_max(plans):
+    # explode → groupBy(term) is one shuffle; a second is acceptable for
+    # final ordering/limit, no more
+    p = plans("b31_term_freq")
+    assert audit.exchanges(p)["shuffle"] <= 2
