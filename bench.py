@@ -28,11 +28,21 @@ BENCH_QUERIES = [
     "b12_window_rank",
     "b13_window_frames",
     "b14_topk_per_group",
+    "b15_setops",
     "b21_tumbling_window",
+    "b22_session_window",
+    "b25_pandas_udf",
     "b28_exact_dedup",
     "b29_minhash_near_dedup",
+    "b29_ngram_jaccard",
     "b30_cosine_topk",
+    "b30_ann_lsh",
     "b31_term_freq",
+    "b31_bpe_token_count",
+    "b32_frame_sample",
+    # b33_http_ingest deliberately NOT here: a 12-row connector demo
+    # whose runtime is fixed Python-worker startup, not data-path
+    # throughput (covered by tests/test_sources.py instead)
     "wildweb_pipeline",
 ]
 

@@ -47,6 +47,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def lift_parallelism(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition on ``key`` — but ONLY when scan splits are
+    scarce (a local small-file input), because the partial work of a
+    following map-side-heavy stage would otherwise serialize on one
+    core.  At 100 TB the scan has thousands of splits and this is a
+    no-op; an unconditional repartition would shuffle full rows (for
+    documents: the raw text) — measured and rejected (SCALE.md).
+
+    Hash partitioning, never round-robin: round-robin exchanges are
+    non-deterministic, which disqualifies them from Catalyst's
+    ReusedExchange and forces self-join branches to recompute their
+    whole subplan (measured 5× regression on the MinHash pipeline)."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target, F.col(key))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every corpus table and register temp views (for spark.sql)."""
     out: dict[str, DataFrame] = {}

@@ -220,9 +220,12 @@ def b33_http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     https transport is the same code path behind one option."""
     from ..ingest.wildweb import run_pipeline
 
+    # cache: three consumers (features, errors, the reporting join)
+    # would otherwise EACH re-run the source — i.e. re-fetch every
+    # center over HTTP.  Always materialize a fetch before fan-out.
     raw = read_centers(
         spark, _DEMO_CENTERS, max_concurrency=4, rate_per_sec=200, transport="fake"
-    )
+    ).cache()
     features, errors = run_pipeline(raw, None, F.current_timestamp())
     n_feat = (
         features.groupBy("center")

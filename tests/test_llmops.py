@@ -219,3 +219,22 @@ def test_exact_dedup_planted(spark, planted_docs):
     )
     assert len(groups) == 1
     assert groups[0].keep == 20 and groups[0].n == 4
+
+
+def test_with_shingles_equals_column_form(spark, sf_dir):
+    # the NGram-based fast path must stay semantically identical to the
+    # reference column expression (and thus to SQL_SHINGLES)
+    from etl_wildweb_spark.io import table
+
+    d = table(spark, sf_dir, "documents")
+    a = {
+        (r.doc_id, tuple(sorted(r.s)))
+        for r in dedup.with_shingles(d).select("doc_id", "s").collect()
+    }
+    b = {
+        (r.doc_id, tuple(sorted(r.s)))
+        for r in d.select(
+            "doc_id", dedup.shingles(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert a == b
