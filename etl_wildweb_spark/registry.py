@@ -47,9 +47,45 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def schema_of(spark: SparkSession, sf_dir: str, name: str):
+    """Result schema (StructType) of a registered query — resolved by
+    Catalyst against the given corpus, no execution.  NOTE: the
+    streaming rows-only queries (b23/b24) execute eagerly by design;
+    introspect batch queries freely, streaming ones deliberately."""
+    load_all()
+    return QUERIES[name](spark, sf_dir).schema
+
+
+def capabilities(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict:
+    """Engine analog of the reference's capabilities endpoint
+    (/root/reference/task.ts:52-65: schema(SchemaType.Input|Output) →
+    TypeBox JSON-Schema for config UIs).  Publishes the ingest
+    contract's declared schemas plus, on request, any registered
+    query's resolved output schema — machine-readable, renderable."""
+    from .ingest import wildweb
+
+    return {
+        "input": {
+            "envelope": wildweb.ENVELOPE_SCHEMA.json(),
+            "config": {
+                "IncidentRange": list(wildweb.INCIDENT_RANGES),
+                "DispatchCenters": "array<string>",
+                "DEBUG": "boolean",
+            },
+        },
+        "output": {
+            "incident": wildweb.INCIDENT_SCHEMA.json(),
+            "errors": wildweb.ERROR_SCHEMA.json(),
+        },
+        "queries": {n: schema_of(spark, sf_dir, n).json() for n in names or []},
+    }
+
+
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .operators import dedup, multimodal, relational, similarity, text, udx  # noqa: F401
     from .ingest import wildweb  # noqa: F401
-    from .streaming import windows  # noqa: F401
+    from .streaming import stateful, windows  # noqa: F401
     from .sources import http  # noqa: F401

@@ -1,0 +1,106 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY.md §2 B24 extension; BASELINE north-star streaming surface).
+
+When built-in windows can't express the semantics — cross-batch
+running aggregates, custom eviction, per-key state machines — the
+escape hatch is ``applyInPandasWithState``: per-key Arrow batches plus
+an explicit state handle, exactly-once maintained by the state store.
+
+100 TB notes: state lives in the state store partitioned by group key
+(RocksDB provider in production — heap state OOMs at billions of
+keys).  Input splits into micro-batches; each task sees only its
+key-partition's rows, so state size per executor is bounded by key
+cardinality ÷ shuffle partitions.  Use timeouts (here: none — the
+demo accumulates forever) to evict idle keys in unbounded-key domains.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..io import table
+from ..registry import query
+from .windows import run_to_memory
+
+OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, max_value double"
+STATE_SCHEMA = "cnt bigint, total double, vmax double"
+
+
+def running_user_stats(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user running (count, sum, max) across micro-batches.  Emits
+    the updated running values once per batch the key appears in."""
+    (user_id,) = key
+    if state.exists:
+        cnt, total, vmax = state.get
+    else:
+        cnt, total, vmax = 0, 0.0, float("-inf")
+    for pdf in pdfs:
+        cnt += len(pdf)
+        total += float(pdf["value"].sum())
+        vmax = max(vmax, float(pdf["value"].max()))
+    state.update((cnt, total, vmax))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [cnt],
+            "total_value": [total],
+            "max_value": [vmax],
+        }
+    )
+
+
+def _chunked_events_stream(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> tuple[DataFrame, str]:
+    """Stage the events table as ``n_chunks`` parquet files and read
+    them back one file per micro-batch — forcing true cross-batch state
+    maintenance (a single-batch run would never exercise state.get)."""
+    chunk_dir = tempfile.mkdtemp(prefix="events_chunks_")
+    e = table(spark, sf_dir, "events")
+    e.repartition(n_chunks).write.mode("overwrite").parquet(chunk_dir)
+    schema = spark.read.parquet(chunk_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    return stream, chunk_dir
+
+
+@query("b24_custom_stateful")  # cross-batch state machine → rows-only
+def b24_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user stats maintained across 4 micro-batches with
+    applyInPandasWithState (update mode).  The final emission per user
+    equals the batch groupBy aggregate — asserted in
+    tests/test_streaming.py (cross-batch state correctness)."""
+    stream, chunk_dir = _chunked_events_stream(spark, sf_dir)
+    try:
+        updates = stream.groupBy("user_id").applyInPandasWithState(
+            running_user_stats,
+            OUT_SCHEMA,
+            STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        out = run_to_memory(updates, mode="update")
+        # keep only each user's final (max-count) emission
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+        return (
+            out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)

@@ -81,3 +81,24 @@ def test_session_window_stream_equals_batch(spark, sf_dir):
         for r in registry.QUERIES["b22_session_window"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_custom_stateful_equals_batch_agg(spark, sf_dir):
+    # final cross-batch state per user must equal the batch aggregate
+    out = registry.QUERIES["b24_custom_stateful"](spark, sf_dir)
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6), r.max_value)
+        for r in out.collect()
+    }
+    want = {
+        r.user_id: (r.n_events, round(r.total_value, 6), r.max_value)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -193,3 +193,23 @@ def test_resources_raw_json_fragments(spark):
     got = feats[0].feature.properties.metadata.resources
     assert json.loads(got[0]) == {"res": "E-1"}
     assert len(got) == 3
+
+
+def test_capabilities_publishes_contract_schemas(spark, sf_dir):
+    # A21 (task.ts:52-65): the engine publishes its input/output
+    # schemas machine-readably, incl. per-query resolved schemas
+    import json
+
+    from etl_wildweb_spark import registry
+    from etl_wildweb_spark.ingest.wildweb import INCIDENT_FIELDS
+
+    caps = registry.capabilities(
+        spark, sf_dir, names=["flagship_revenue_by_nation", "wildweb_pipeline"]
+    )
+    incident = json.loads(caps["output"]["incident"])
+    assert [f["name"] for f in incident["fields"]] == INCIDENT_FIELDS
+    assert set(caps["input"]["config"]["IncidentRange"]) == {
+        "24 Hours", "48 Hours", "72 Hours", "1 Week",
+    }
+    flagship = json.loads(caps["queries"]["flagship_revenue_by_nation"])
+    assert {f["name"] for f in flagship["fields"]} >= {"n_name"}
