@@ -728,3 +728,86 @@ def b20_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("int").alias("k"),
         F.from_json("props", "k INT").getField("k").alias("k_struct"),
     )
+
+
+@query(
+    "b11_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+               AS gid,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def b11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: explicit GROUPING SETS (not just rollup/cube) with the
+    grouping-id disambiguator — one pass, Spark expands the sets into a
+    single aggregate (the 100 TB alternative to N separate groupBys)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+                   AS gid,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "b11_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'O') AS status_o,
+           count(*) FILTER (o_orderstatus = 'F') AS status_f,
+           count(*) FILTER (o_orderstatus = 'P') AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def b11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: pivot — groupBy().pivot(col, values).  Passing the value
+    list explicitly matters at scale: without it Spark first runs a
+    distinct-collect job over the pivot column."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+@query(
+    "b06_scalar_subquery",
+    oracle="""
+    SELECT p_partkey, p_name,
+           (SELECT count(*) FROM lineitem WHERE l_partkey = p_partkey) AS n_lineitems
+    FROM part
+    WHERE p_partkey <= 500
+    """,
+)
+def b06_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 companion: correlated scalar subquery — Catalyst decorrelates
+    it into an aggregate + left outer join (visible in the plan; no
+    per-row re-execution, which is what makes it viable at scale)."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name,
+               (SELECT count(*) FROM lineitem_sq_v WHERE l_partkey = p_partkey)
+                   AS n_lineitems
+        FROM part_v
+        WHERE p_partkey <= 500
+        """
+    )

@@ -88,4 +88,5 @@ def load_all() -> None:
     from .operators import dedup, multimodal, relational, similarity, text, udx  # noqa: F401
     from .ingest import wildweb  # noqa: F401
     from .streaming import stateful, windows  # noqa: F401
+    from . import sinks  # noqa: F401
     from .sources import http  # noqa: F401

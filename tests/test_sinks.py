@@ -1,0 +1,66 @@
+"""A18 submit-sink tests: chunked delivery, partial-failure semantics,
+streaming foreachBatch path."""
+
+from __future__ import annotations
+
+from etl_wildweb_spark import registry, sinks
+from pyspark.sql import functions as F
+
+registry.load_all()
+
+
+def _features(spark, n=1000, poison_ids=()):
+    rows = [(i, "POISON" if i in poison_ids else "ok") for i in range(n)]
+    df = spark.createDataFrame(rows, "fid long, marker string")
+    return df.select(
+        F.struct(
+            F.concat(F.lit("wildweb-"), F.col("fid")).alias("id"),
+            F.col("marker").alias("marker"),
+        ).alias("feature")
+    )
+
+
+def test_all_features_delivered_once(spark):
+    feats = _features(spark, n=1000).repartition(7)
+    st = sinks.submit_features(feats, sinks.fake_post, chunk_size=100)
+    rows = st.collect()
+    assert all(r.ok for r in rows)
+    assert sum(r.n_features for r in rows) == 1000
+    # chunk size respected
+    assert all(r.n_features <= 100 for r in rows)
+
+
+def test_partial_failure_ships_rest(spark):
+    # one poisoned feature fails its chunk; every other chunk delivers
+    feats = _features(spark, n=500, poison_ids=(123,)).repartition(5)
+    st = sinks.submit_features(feats, sinks.fake_post, chunk_size=50).collect()
+    failed = [r for r in st if not r.ok]
+    assert len(failed) == 1 and failed[0].status == 500
+    delivered = sum(r.n_features for r in st if r.ok)
+    assert delivered == 500 - failed[0].n_features
+
+
+def test_a18_registered_query(spark, sf_dir):
+    out = {r.ok: r for r in registry.QUERIES["a18_submit_sink"](spark, sf_dir).collect()}
+    assert True in out and False not in out
+    # delivered total == pipeline output cardinality
+    want = registry.QUERIES["wildweb_pipeline"](spark, sf_dir).count()
+    assert out[True].n_features == want
+
+
+def test_stream_submit_foreachbatch(spark, sf_dir):
+    import tempfile
+
+    from etl_wildweb_spark.streaming.windows import events_stream
+
+    s = events_stream(spark, sf_dir).select(
+        F.struct(F.col("event_id").alias("id")).alias("feature")
+    )
+    q = (
+        sinks.stream_submit(s, sinks.fake_post, chunk_size=1000)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is not None
