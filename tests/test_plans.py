@@ -89,3 +89,44 @@ def test_b31_term_freq_two_shuffles_max(plans):
     # final ordering/limit, no more
     p = plans("b31_term_freq")
     assert audit.exchanges(p)["shuffle"] <= 2
+
+
+# ------------------------------------------------------- TPC-H shapes
+
+
+def test_tpch_q6_scan_only_no_join_shuffle(plans):
+    """Q6 is the pushdown showcase: all three predicates at the scan,
+    partial agg → one final exchange, no joins anywhere."""
+    p = plans("tpch_q6")
+    pushed = " ".join(audit.pushed_filters(p))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    assert audit.exchanges(p) == {"shuffle": 1, "broadcast": 0}
+
+
+def test_tpch_q5_snowflake_all_broadcast(plans):
+    """The 6-table snowflake at bench scale: every dim broadcasts, the
+    one shuffle is the groupBy — the 100 TB plan differs only in
+    lineitem⋈orders going sort-merge."""
+    p = plans("tpch_q5")
+    assert audit.node_count(p, "SortMergeJoin") == 0
+    assert audit.exchanges(p)["shuffle"] == 1
+
+
+def test_tpch_q17_decorrelated_not_per_row(plans):
+    """The correlated avg subquery must become a per-part aggregate
+    joined back (2 shuffles total), never a nested-loop re-execution."""
+    p = plans("tpch_q17")
+    assert audit.node_count(p, "NestedLoop") == 0
+    assert audit.exchanges(p)["shuffle"] <= 2
+
+
+def test_tpch_q21_exists_as_joins(plans):
+    """EXISTS / NOT EXISTS double correlation plans as semi + anti
+    hash joins, not nested loops."""
+    p = plans("tpch_q21")
+    assert audit.node_count(p, "NestedLoop") == 0
+    assert (
+        audit.node_count(p, "LeftSemi") + audit.node_count(p, "ExistenceJoin") > 0
+        or audit.node_count(p, "BroadcastHashJoin") > 0
+    )
