@@ -20,6 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "flagship_revenue_by_nation",
     "b01_scan_filter_project",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q18",
+    "tpch_q21",
     "b03_join_inner",
     "b04_join_broadcast",
     "b08_join_asof",

@@ -68,6 +68,35 @@ def lift_parallelism(df: DataFrame, key: str) -> DataFrame:
     return df
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Persist ``df`` as a hash-bucketed (and per-bucket sorted) managed
+    table and return the bucketed relation.
+
+    Bucketing is THE shuffle-eliminator for repeated big-big joins at
+    100 TB: two tables bucketed by the same key into the same bucket
+    count join with ZERO exchange on either side — the hash partitioning
+    is baked in at write time and amortized over every subsequent join
+    and aggregation on that key (asserted in tests/test_bucketing.py:
+    the same join carries two shuffles un-bucketed and none bucketed).
+    The reference has no storage layer at all (its state lives in the
+    downstream TAK server — SURVEY.md §1.1), so this is pure north-star
+    surface."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+    )
+    writer.saveAsTable(table_name)
+    return df.sparkSession.table(table_name)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every corpus table and register temp views (for spark.sql)."""
     out: dict[str, DataFrame] = {}
