@@ -811,3 +811,91 @@ def b06_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p_partkey <= 500
         """
     )
+
+
+@query(
+    "b07_join_range_banded",
+    oracle="""
+    SELECT s_suppkey, count(*) AS n_richer_customers
+    FROM supplier JOIN customer ON s_acctbal < c_acctbal
+    GROUP BY s_suppkey
+    """,
+)
+def b07_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 scale path: the banded range join b07_join_range's docstring
+    promises — hash-checked identical to the naive theta join's oracle,
+    with NO nested-loop and NO pair-space materialization anywhere.
+
+    Band on integer cents (acctbal is exact 2-decimal money, so
+    ``round(x*100)`` is a lossless total-order embedding; integer floor
+    division makes band boundaries exact — no float-edge misclassifies).
+    Then split the predicate by band distance:
+
+      * band(c) > band(s) ⟹ c > s unconditionally — those customers are
+        counted from a ≤66-row per-band suffix-sum table (broadcast
+        equi-join; the aggregate is pushed THROUGH the join, so the
+        cross-band pair space is never built);
+      * band(c) = band(s) — the only exact-predicate work left, an
+        equi-join on band whose pair space is 1/n_bands of the naive
+        join's.
+
+    At 100 TB: the fact sides shuffle once each on band; the band
+    dimension is O(n_bands) rows regardless of data volume.  The two
+    driver-visible scalars (domain min/max) are metadata aggregates —
+    the same class of statistic AQE already collects."""
+    nb = 64
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.round(F.col("s_acctbal") * 100).cast("bigint").alias("s_cents")
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("c_cents")
+    )
+    lo, hi = c.agg(F.min("c_cents"), F.max("c_cents")).first()
+    width = max(1, (hi - lo) // nb + 1)
+    max_band = (hi - lo) // width
+
+    def band_of(col: F.Column) -> F.Column:
+        return F.floor((col - F.lit(lo)) / F.lit(width))
+
+    c_b = c.withColumn("band", band_of(F.col("c_cents")))
+    counts = c_b.groupBy("band").agg(F.count(F.lit(1)).alias("cnt"))
+    # dense band dimension incl. a -1 floor bucket for suppliers poorer
+    # than every customer band; suffix[b] = customers in bands > b
+    bands = spark.range(-1, max_band + 1).select(F.col("id").alias("band"))
+    suffix = (
+        bands.join(counts, "band", "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        .withColumn(
+            "richer_above",
+            F.coalesce(
+                F.sum("cnt").over(
+                    W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("band", "richer_above")
+    )
+    s_b = s.withColumn(
+        "band", F.greatest(band_of(F.col("s_cents")), F.lit(-1))
+    )
+    cross = s_b.join(F.broadcast(suffix), "band", "left")
+    diag = (
+        s_b.join(
+            c_b,
+            (s_b.band == c_b.band) & (s_b.s_cents < c_b.c_cents),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("diag_cnt"))
+    )
+    return (
+        cross.join(diag, "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            (
+                F.coalesce("richer_above", F.lit(0))
+                + F.coalesce("diag_cnt", F.lit(0))
+            ).cast("bigint").alias("n_richer_customers"),
+        )
+        .filter(F.col("n_richer_customers") > 0)
+    )

@@ -130,3 +130,14 @@ def test_tpch_q21_exists_as_joins(plans):
         audit.node_count(p, "LeftSemi") + audit.node_count(p, "ExistenceJoin") > 0
         or audit.node_count(p, "BroadcastHashJoin") > 0
     )
+
+
+def test_b07_banded_range_join_no_nested_loop(plans):
+    """The naive theta join is BNLJ; the banded variant must plan with
+    hash joins only (the whole point of the banding rewrite).  The
+    single-partition window inside it runs over the ≤66-row band
+    dimension — size-bounded by construction, not by data volume."""
+    assert audit.node_count(plans("b07_join_range"), "BroadcastNestedLoopJoin") > 0
+    banded = plans("b07_join_range_banded")
+    assert audit.node_count(banded, "BroadcastNestedLoopJoin") == 0
+    assert audit.node_count(banded, "CartesianProduct") == 0
