@@ -97,6 +97,25 @@ def write_bucketed(
     return df.sparkSession.table(table_name)
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> DataFrame:
+    """Write a directory-partitioned parquet layout and return the
+    re-read relation.
+
+    Partition columns become directory levels, so a filter on them
+    prunes whole directories at *planning* time (``PartitionFilters`` in
+    the scan — asserted in tests/test_bucketing.py) and never touches
+    excluded files.  This is the 100 TB layout for the time-windowed
+    scans the reference's IncidentRange performs (task.ts:109-116): a
+    date-partitioned landing zone turns the window filter into partition
+    pruning.  Pick partition columns with bounded cardinality (date,
+    region) — high-cardinality partitioning degenerates into the
+    small-files problem."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every corpus table and register temp views (for spark.sql)."""
     out: dict[str, DataFrame] = {}

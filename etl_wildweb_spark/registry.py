@@ -87,6 +87,6 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .operators import dedup, multimodal, relational, similarity, text, tpch, udx  # noqa: F401
     from .ingest import wildweb  # noqa: F401
-    from .streaming import stateful, windows  # noqa: F401
+    from .streaming import joins, stateful, windows  # noqa: F401
     from . import sinks  # noqa: F401
     from .sources import http  # noqa: F401

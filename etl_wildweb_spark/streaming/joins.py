@@ -1,0 +1,97 @@
+"""Streaming joins — stream-static enrichment and stream-stream
+interval correlation (Structured Streaming's two join modes).
+
+The reference enriches nothing (its single feed goes straight to the
+sink — /root/reference/task.ts:126-149); these close the remaining
+streaming-surface gap next to windows.py.  Batch/stream unification is
+again the oracle strategy: with Trigger.AvailableNow over a static
+source, a stream-static inner join and a watermarked stream-stream
+inner join each emit exactly the batch join's rows, so both queries are
+full hash-checked SQL oracles, not rows-only.
+
+100 TB notes: the static side of a stream-static join is re-planned
+per micro-batch (picks up dim updates) and broadcasts when small —
+state-free.  Stream-stream state is bounded jointly by the watermark
+and the time-interval predicate: each side buffers only rows inside
+[watermark, now]; without the interval bound the buffers never evict —
+the interval condition isn't an optimization, it's the liveness
+contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import query
+from .windows import events_stream, run_to_memory
+
+
+@query(
+    "b23_stream_static_join",
+    oracle="""
+    SELECT event_id, user_id, c_mktsegment, value
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def b23_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joined to the
+    customer dimension (no watermark needed — the static side is
+    state-free, re-read per micro-batch).  Executed as a real
+    availableNow stream into a memory sink; equals the batch join."""
+    s = events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    joined = s.join(dim, s.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "c_mktsegment", "value"
+    )
+    return run_to_memory(joined, mode="append")
+
+
+@query(
+    "b23_stream_stream_join",
+    oracle="""
+    SELECT v.user_id AS user_id, v.event_id AS view_id,
+           p.event_id AS purchase_id
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts BETWEEN v.ts AND v.ts + INTERVAL 6 HOUR
+    """,
+)
+def b23_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: views correlated to purchases by the
+    same user within 6 hours, both sides watermarked 1 hour.  The
+    watermark + interval predicate jointly bound the join state (each
+    side evicts rows older than watermark − interval); with the whole
+    corpus in one availableNow batch the inner join emits exactly the
+    batch interval join's pairs — hash-checked."""
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS")),
+    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
+    return run_to_memory(joined, mode="append")

@@ -87,3 +87,18 @@ def test_bucketed_join_matches_plain(spark, sf_dir, bucketed):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, bucketed_res.collect())
     )
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    from etl_wildweb_spark.io import write_partitioned
+
+    o = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    back = write_partitioned(o, str(tmp_path / "orders_part"), ["o_year"])
+    filtered = back.filter(F.col("o_year") == 1996)
+    plan = audit.formatted_plan(filtered)
+    assert "PartitionFilters" in plan and "o_year" in plan
+    # pruning is semantic too: only 1996 rows come back
+    expected = o.filter(F.year("o_orderdate") == 1996).count()
+    assert filtered.count() == expected > 0
