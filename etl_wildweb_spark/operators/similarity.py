@@ -210,29 +210,32 @@ def b30_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket"),
         *[F.expr(f"cast(bucket ^ {1 << p} as long)") for p in range(N_BITS)],
     )
-    q = (
-        sigs.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "table_id",
-            F.explode(probes).alias("bucket"),
-        )
-        .join(
-            e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),
-            "query_id",
-        )
-    )
-    c = sigs.join(e, "vec_id").select(
-        F.col("vec_id").alias("neighbor_id"),
+    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
         "table_id",
-        "bucket",
-        F.col("embedding").alias("ce"),
+        F.explode(probes).alias("bucket"),
     )
-    cand = (
+    c = sigs.select(
+        F.col("vec_id").alias("neighbor_id"), "table_id", "bucket"
+    )
+    # dedup on BARE ID PAIRS before fetching any embedding: a pair found
+    # in k tables/probes would otherwise drag 2×64 floats through the
+    # distinct's shuffle and be scored k times (measured 2× slower and
+    # spill-prone at sf0.1)
+    pairs = (
         q.join(c, ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "qe", "ce")
+        .select("query_id", "neighbor_id")
         .distinct()
+    )
+    cand = pairs.join(
+        e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),
+        "query_id",
+    ).join(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+        ),
+        "neighbor_id",
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
