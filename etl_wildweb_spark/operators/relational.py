@@ -899,3 +899,35 @@ def b07_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_richer_customers") > 0)
     )
+
+
+@query(
+    "b10_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           round(median(l_extendedprice), 2) AS med_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def b10_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 companion: exact per-group percentiles (linear
+    interpolation — Spark `percentile` ≡ DuckDB `quantile_cont`).
+    Exact percentile sorts within each group; at 100 TB the scale path
+    is `approx_percentile` (t-digest-style sketch, mergeable map-side,
+    bounded memory) — kept exact here because the oracle can hash-check
+    exactness; the approx twin gets a rows-only check like
+    b10_approx_distinct.  Interpolated values on integer-valued
+    l_quantity are exact halves → bit-identical cross-engine; the price
+    median is rounded on both sides (interpolation of arbitrary
+    doubles is engine-order sensitive at the last ulp)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("q50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+        F.round(F.median("l_extendedprice"), 2).alias("med_price"),
+    )

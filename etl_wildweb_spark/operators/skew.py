@@ -1,0 +1,44 @@
+"""Manual skew mitigation: salted joins.
+
+AQE's runtime skew-join split (on in session defaults) is the first
+line of defense; salting is the explicit fallback for the cases AQE
+can't fix — a skewed SHUFFLE KEY feeding a non-join operator chain, an
+engine without AQE, or a join where one key holds so much of the data
+that even split partitions overwhelm a task.  The technique: scatter
+the hot key across ``n_salts`` sub-keys on the big side, replicate the
+small side once per salt, join on (key, salt).  Shuffle partitions for
+a hot key shrink by ~n_salts at the cost of replicating the small side
+n_salts× — the classic replicated-join tradeoff.
+
+The salt must be deterministic (SCALE.md: nondeterministic exchanges
+disqualify ReusedExchange and break retry idempotency), so it is a hash
+of the whole row, never ``rand()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on ``on`` with the big side's hot keys
+    scattered across ``n_salts`` salts and the small side replicated per
+    salt.  Result is row-identical to ``big.join(small, on, how)``
+    (asserted in tests/test_skew.py); only the shuffle layout differs."""
+    salt = F.pmod(
+        F.xxhash64(F.struct(*[F.col(c) for c in big.columns])), F.lit(n_salts)
+    ).cast("int")
+    b = big.withColumn(SALT, salt)
+    s = small.withColumn(
+        SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, [*on, SALT], how).drop(SALT)
