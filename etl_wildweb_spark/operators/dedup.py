@@ -284,39 +284,53 @@ def b29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: the index shuffle carries ~(1-t) of the gram volume (20%
     here); candidate fan-out per gram is bounded because prefix grams
-    are by construction the rarest.  Frequency ties broken by gram text
-    so the prefix is deterministic."""
+    are by construction the rarest.  Frequency ties broken by gram hash
+    so the prefix is deterministic.
+
+    All INDEX stages (df counts, prefix rank, candidate self-join) run
+    on xxhash64(gram) longs, never gram strings -- fixed-width shuffle
+    keys and cheap equality.  A 64-bit collision can only ADD a
+    candidate pair, and the exact string-set verify filters it, so the
+    hash never threatens exactness (the same superset-then-verify
+    argument as the prefix filter itself)."""
     d = lift_parallelism(table(spark, sf_dir, "documents"), "doc_id")
     # the posting list feeds three consumers (df counts, set sizes, the
     # prefix index) — materialize it once, like the MinHash signatures
-    g = with_shingles(d).select("doc_id", F.explode("s").alias("gram")).cache()
-    freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    g = (
+        with_shingles(d)
+        .select("doc_id", F.explode("s").alias("gram"))
+        .select("doc_id", F.xxhash64("gram").alias("gh"))
+        .cache()
+    )
+    freq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     from pyspark.sql import Window as W
 
     rk = F.row_number().over(
-        W.partitionBy("doc_id").orderBy("df", "gram")
+        W.partitionBy("doc_id").orderBy("df", "gh")
     )
     prefix = (
-        g.join(freq, "gram")
+        g.join(freq, "gh")
         .join(sizes, "doc_id")
         .withColumn("rk", rk)
         .filter(
             F.col("rk")
             <= F.floor((1 - NGRAM_THRESHOLD) * F.col("set_size")).cast("int") + 1
         )
-        .select("doc_id", "gram")
+        .select("doc_id", "gh")
     )
     cands = (
         prefix.alias("a")
-        .join(prefix.alias("b"), "gram")
+        .join(prefix.alias("b"), "gh")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
         .distinct()
     )
-    sets = with_shingles(d).select("doc_id", "s")
+    # the exact verify joins the string shingle sets twice (a/b side) --
+    # materialize once instead of recomputing the shingle pipeline per side
+    sets = with_shingles(d).select("doc_id", "s").cache()
     return (
         cands.join(sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a")
         .join(sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")), "id_b")
