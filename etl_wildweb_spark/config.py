@@ -18,7 +18,7 @@ record keeps ``None`` rather than injecting a default range.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # task.ts:27-35 — the four legal range strings (order preserved)
 INCIDENT_RANGE_ENUM = ("24 Hours", "48 Hours", "72 Hours", "1 Week")

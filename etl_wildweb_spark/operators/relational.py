@@ -931,3 +931,41 @@ def b10_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
         F.round(F.median("l_extendedprice"), 2).alias("med_price"),
     )
+
+
+@query(
+    "b19_map_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           MAP(['status','priority'],[o_orderstatus,o_orderpriority])['status'][1]
+               AS status_v,
+           CAST(cardinality(MAP(['status','priority'],
+                                [o_orderstatus,o_orderpriority])) AS INT) AS n_keys,
+           array_to_string(map_keys(MAP(['status','priority'],
+                                        [o_orderstatus,o_orderpriority])), ',')
+               AS keys_csv,
+           list_contains(map_keys(MAP(['status','priority'],
+                                      [o_orderstatus,o_orderpriority])), 'status')
+               AS has_status
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+)
+def b19_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 companion: MAP-typed column surface — construction
+    (create_map), lookup (element_at), cardinality (size), key listing
+    (map_keys), membership (array_contains over keys).  Outputs are
+    scalars so the cross-engine hash never depends on map rendering;
+    maps stay JVM-side in whole-stage codegen like arrays."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_v"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.array_contains(F.map_keys(m), "status").alias("has_status"),
+    )
