@@ -843,13 +843,22 @@ def b07_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension is O(n_bands) rows regardless of data volume.  The two
     driver-visible scalars (domain min/max) are metadata aggregates —
     the same class of statistic AQE already collects."""
-    nb = 64
     s = table(spark, sf_dir, "supplier").select(
         "s_suppkey", F.round(F.col("s_acctbal") * 100).cast("bigint").alias("s_cents")
     )
     c = table(spark, sf_dir, "customer").select(
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("c_cents")
     )
+    return banded_richer_counts(spark, s, c)
+
+
+def banded_richer_counts(spark, s: DataFrame, c: DataFrame, nb: int = 64) -> DataFrame:
+    """Core of the banded range join over exact integer keys: for every
+    (s_suppkey, s_cents) count c_cents rows strictly greater, via
+    cross-band suffix counts + a same-band exact equi-join.  Boundary
+    exactness is property-tested in tests/test_banded_join.py against
+    brute force on adversarial datasets (band-edge values, negatives,
+    ties, out-of-domain suppliers, single-value domains)."""
     lo, hi = c.agg(F.min("c_cents"), F.max("c_cents")).first()
     width = max(1, (hi - lo) // nb + 1)
     max_band = (hi - lo) // width
