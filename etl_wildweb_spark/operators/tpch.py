@@ -528,3 +528,62 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer").createOrReplaceTempView("tpch22_customer")
     table(spark, sf_dir, "orders").createOrReplaceTempView("tpch22_orders")
     return spark.sql(_Q22_BODY.format(c="tpch22_customer", o="tpch22_orders"))
+
+
+_Q4_BODY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM {o}
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM {li}
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@query("tpch_q4", oracle=_Q4_BODY.format(o="orders", li="lineitem"))
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority checking (l_shipdate > o_orderdate + 60 days
+    stands in for the absent l_commitdate < l_receiptdate): correlated
+    EXISTS whose predicate references BOTH sides (outer o_orderdate and
+    inner l_shipdate) — plans as a left-semi join on orderkey with the
+    date comparison as join condition, never a per-order probe."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("tpch4_orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("tpch4_lineitem")
+    return spark.sql(_Q4_BODY.format(o="tpch4_orders", li="tpch4_lineitem"))
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-mode priority classification (l_returnflag stands in
+    for the absent l_shipmode): conditional counts split one pass over
+    the join by a priority-class predicate — the canonical
+    sum(CASE WHEN ...) pivot-free classification."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
