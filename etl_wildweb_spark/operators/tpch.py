@@ -9,18 +9,29 @@ o_shippriority, c_phone, p_container ...), so each query keeps the
 canonical *plan shape* — the thing that matters for engine coverage —
 with predicates adapted to the available schema:
 
+  q2   correlated scalar-min over derived catalog (min-cost supplier)
   q3   multi-join + group + top-k             (shipping priority)
+  q4   correlated EXISTS semi join            (order priority check)
   q5   6-table snowflake join, 2-key supplier (local supplier volume)
   q6   scan-heavy single-table aggregate      (forecast revenue)
   q7   self-joined dimension (nation x2), year split (volume shipping)
   q8   conditional-sum market share ratio     (national market share)
+  q9   5-table join, computed profit by year  (product-type profit)
   q10  returned-item revenue, top 20          (returned items)
+  q11  agg + HAVING vs uncorrelated scalar    (important stock)
+  q12  conditional-count classification       (shipping modes)
+  q13  outer join w/ join-cond filter, 2-level agg (customer distribution)
   q14  CASE ratio over join                   (promo revenue)
   q15  agg view + max-of-agg scalar subquery  (top supplier)
+  q16  anti join + count-distinct per class   (supplier diversity)
   q17  correlated avg subquery per part       (small-quantity revenue)
   q18  HAVING-filtered IN-subquery            (large-volume customer)
+  q19  disjunctive mixed-side predicates      (discounted revenue)
+  q20  nested IN + correlated aggregate       (part promotion)
   q21  EXISTS + NOT EXISTS double correlation (laggard supplier)
   q22  scalar-avg threshold + NOT EXISTS      (dormant high balance)
+
+(Q1 is registered as ``b09_agg_q1`` — the canonical pricing summary.)
 
 Scale notes (100 TB): every shape here is shuffle-partitioned on its
 join/group keys; nation/region/supplier/part dims broadcast (see the
@@ -585,5 +596,316 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q2_BODY = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supplycost
+  FROM {li} GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM {p}, ps, {s}, {n}, {r}
+WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+  AND p_size = 15 AND p_type = 'LARGE'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND supplycost = (
+    SELECT min(ps2.supplycost)
+    FROM ps ps2, {s} s2, {n} n2, {r} r2
+    WHERE ps2.l_partkey = p_partkey AND s2.s_suppkey = ps2.l_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@query(
+    "tpch_q2",
+    oracle=_Q2_BODY.format(
+        li="lineitem", p="part", s="supplier", n="nation", r="region"
+    ),
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier.  The testdata has no partsupp, so the
+    part-supplier catalog is derived: min(l_extendedprice) per
+    (partkey, suppkey) stands in for ps_supplycost (min over doubles is
+    order-independent, so it is hash-stable cross-engine).  The shape is
+    canonical: region-filtered 5-way join + correlated scalar-min
+    subquery, which Catalyst decorrelates into a re-aggregation joined
+    on partkey — one extra shuffle, never a per-part probe.  The CTE is
+    referenced twice; at 100 TB you'd materialize it once (it is tiny:
+    |part|×|suppliers-per-part|) or let AQE reuse the exchange."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("tpch2_lineitem")
+    table(spark, sf_dir, "part").createOrReplaceTempView("tpch2_part")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("tpch2_supplier")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("tpch2_nation")
+    table(spark, sf_dir, "region").createOrReplaceTempView("tpch2_region")
+    return spark.sql(
+        _Q2_BODY.format(
+            li="tpch2_lineitem",
+            p="tpch2_part",
+            s="tpch2_supplier",
+            n="tpch2_nation",
+            r="tpch2_region",
+        )
+    )
+
+
+@query(
+    "tpch_q9",
+    oracle=f"""
+    SELECT nation, o_year,
+           {sql_dsum("amount")} AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%') profit
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit (0.6 * p_retailprice stands in for the
+    absent ps_supplycost).  Five-table join where part (name-filtered),
+    supplier, and nation broadcast; lineitem⋈orders is the only big
+    shuffle.  The profit expression folds into the scan projection, so
+    the aggregate sees one column."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    amount = _rev(li) - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum("amount").alias("sum_profit"))
+    )
+
+
+_Q11_BODY = f"""
+SELECT l_partkey,
+       {sql_dsum("l_extendedprice * l_quantity")} AS value
+FROM {{li}}, {{s}}, {{n}}
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_7'
+GROUP BY l_partkey
+HAVING CAST(sum(CAST(l_extendedprice * l_quantity AS {DEC})) AS DOUBLE) > (
+  SELECT CAST(sum(CAST(l_extendedprice * l_quantity AS {DEC})) AS DOUBLE) * 0.001
+  FROM {{li}}, {{s}}, {{n}}
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_7')
+ORDER BY value DESC
+"""
+
+
+@query(
+    "tpch_q11",
+    oracle=_Q11_BODY.format(li="lineitem", s="supplier", n="nation"),
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important-stock identification (lineitem value per part for
+    one nation's suppliers stands in for partsupp stock value).  Group
+    aggregate + HAVING against an uncorrelated scalar subquery over the
+    same join: the scalar evaluates once and broadcasts into the filter.
+    Both sides of the comparison go through exact DECIMAL(18,6) sums
+    cast to double, so the threshold cut is bit-identical cross-engine
+    (a raw double sum could land a group on either side of it)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("tpch11_lineitem")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("tpch11_supplier")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("tpch11_nation")
+    return spark.sql(
+        _Q11_BODY.format(
+            li="tpch11_lineitem", s="tpch11_supplier", n="tpch11_nation"
+        )
+    )
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution (the priority exclusion
+    stands in for the absent o_comment NOT LIKE filter).  Left outer
+    join with the exclusion folded into the join condition — NOT a
+    post-filter, which would turn customers whose orders are all urgent
+    into dropped rows instead of c_count=0 — then a two-level aggregate.
+    count(o_orderkey) counts only matched rows, exactly the canonical
+    NULL-skipping semantics."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 supplier diversity per part class (s_acctbal < 0 stands in
+    for the 'complaints' comment filter).  The NOT IN is expressed as a
+    broadcast anti join against the (tiny) bad-supplier set — s_suppkey
+    is non-nullable here so anti-join and NOT IN agree; count(DISTINCT)
+    shuffles on the group keys with partial dedup map-side."""
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    li = table(spark, sf_dir, "lineitem")
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q19",
+    oracle=f"""
+    SELECT {sql_dsum(REV)} AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND (
+         (p_brand = 'Brand#4'  AND p_type IN ('SMALL', 'MEDIUM')
+          AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+      OR (p_brand = 'Brand#19' AND p_type IN ('STANDARD', 'LARGE')
+          AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+      OR (p_brand = 'Brand#2'  AND p_type IN ('ECONOMY', 'PROMO')
+          AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15))
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue (p_type stands in for the absent
+    p_container).  Disjunction of three conjunctive branches across the
+    join: Catalyst extracts the common p_partkey = l_partkey equi-key so
+    this stays a hash join (part side broadcasts), with the OR evaluated
+    as a post-join filter plus derived per-side implied filters — the
+    classic test that an engine doesn't fall back to nested-loop on
+    mixed-side predicates."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    branch = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_type").isin("SMALL", "MEDIUM")
+        & F.col("l_quantity").between(1, 11)
+        & F.col("p_size").between(1, 5)
+    ) | (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_type").isin("STANDARD", "LARGE")
+        & F.col("l_quantity").between(10, 20)
+        & F.col("p_size").between(1, 10)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_type").isin("ECONOMY", "PROMO")
+        & F.col("l_quantity").between(20, 30)
+        & F.col("p_size").between(1, 15)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(dsum(_rev(li)).alias("revenue"))
+    )
+
+
+_Q20_BODY = """
+SELECT s_name, s_acctbal
+FROM {s}, {n}
+WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT t.l_suppkey
+    FROM (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty96
+      FROM {li}
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey) t
+    WHERE t.l_partkey IN (
+        SELECT p_partkey FROM {p} WHERE p_name LIKE 'red%')
+      AND t.qty96 > 0.5 * (
+        SELECT sum(l2.l_quantity) FROM {li} l2
+        WHERE l2.l_partkey = t.l_partkey
+          AND l2.l_suppkey = t.l_suppkey))
+ORDER BY s_name
+"""
+
+
+@query(
+    "tpch_q20",
+    oracle=_Q20_BODY.format(s="supplier", n="nation", li="lineitem", p="part"),
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 potential part promotion, adapted: suppliers in one nation
+    who shipped more than half of their all-time volume of some red part
+    during 1996 ('recent concentration' stands in for the partsupp
+    availqty > 0.5 * yearly-demand test).  Preserves the canonical
+    nesting: IN-subquery containing another IN plus a correlated
+    aggregate — Catalyst decorrelates the inner sum into a
+    re-aggregation joined on (partkey, suppkey) and plans both INs as
+    semi joins.  l_quantity is whole-valued, so its double sums are
+    FP-exact and the 0.5× threshold is deterministic cross-engine."""
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("tpch20_supplier")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("tpch20_nation")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("tpch20_lineitem")
+    table(spark, sf_dir, "part").createOrReplaceTempView("tpch20_part")
+    return spark.sql(
+        _Q20_BODY.format(
+            s="tpch20_supplier",
+            n="tpch20_nation",
+            li="tpch20_lineitem",
+            p="tpch20_part",
         )
     )

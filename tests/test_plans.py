@@ -141,3 +141,41 @@ def test_b07_banded_range_join_no_nested_loop(plans):
     banded = plans("b07_join_range_banded")
     assert audit.node_count(banded, "BroadcastNestedLoopJoin") == 0
     assert audit.node_count(banded, "CartesianProduct") == 0
+
+
+def test_tpch_q19_disjunction_stays_hash_join(plans):
+    """OR of three mixed-side conjunctions: the common equi-key must be
+    extracted so the join stays hash-based — the canonical check that
+    disjunctive predicates don't force a nested-loop plan."""
+    p = plans("tpch_q19")
+    assert audit.node_count(p, "NestedLoop") == 0
+    assert audit.node_count(p, "CartesianProduct") == 0
+    assert audit.node_count(p, "BroadcastHashJoin") > 0
+
+
+def test_tpch_q2_correlated_min_decorrelated(plans):
+    """The correlated scalar-min over the derived part-supplier catalog
+    becomes a re-aggregation joined on partkey, never a per-part
+    probe."""
+    p = plans("tpch_q2")
+    assert audit.node_count(p, "NestedLoop") == 0
+    assert audit.node_count(p, "CartesianProduct") == 0
+
+
+def test_tpch_q20_nested_in_as_semi_joins(plans):
+    """Nested IN + correlated aggregate: both INs plan as (semi/
+    existence) hash joins and the inner sum decorrelates."""
+    p = plans("tpch_q20")
+    assert audit.node_count(p, "NestedLoop") == 0
+    assert (
+        audit.node_count(p, "LeftSemi") + audit.node_count(p, "ExistenceJoin") > 0
+    )
+
+
+def test_tpch_q13_outer_join_preserves_unmatched(plans):
+    """Left outer with the exclusion folded into the join condition:
+    one shuffle pair for the join/agg chain, no inner-join demotion
+    (unmatched customers must survive as c_count=0)."""
+    p = plans("tpch_q13")
+    assert "LeftOuter" in p or "BroadcastHashJoin" in p
+    assert audit.node_count(p, "NestedLoop") == 0
