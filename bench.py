@@ -44,6 +44,12 @@ BENCH_QUERIES = [
     "b31_term_freq",
     "b31_bpe_token_count",
     "b32_frame_sample",
+    "b29_dup_clusters",
+    "b34_hash_sample",
+    "b35_sequence_pack",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q19",
     # b33_http_ingest deliberately NOT here: a 12-row connector demo
     # whose runtime is fixed Python-worker startup, not data-path
     # throughput (covered by tests/test_sources.py instead)

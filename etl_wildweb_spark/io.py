@@ -62,7 +62,15 @@ def lift_parallelism(df: DataFrame, key: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
-    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Target CORE parallelism, not the session's shuffle width: the goal
+    # is to feed every core during the map-heavy next stage.  Reading
+    # spark.sql.shuffle.partitions here was measured 10× slower under a
+    # default-configured (200-partition) session on local[4] — 200 tiny
+    # scheduled tasks per downstream stage, pure overhead.  Cap at the
+    # shuffle width so a deliberately narrow session stays narrow.
+    cores = spark.sparkContext.defaultParallelism
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    target = min(width, max(2, 2 * cores))
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target, F.col(key))
     return df

@@ -1,0 +1,128 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random sampling (``df.sample``) is seed- and partitioning-dependent —
+re-running on a repartitioned corpus yields a different sample, which
+poisons experiment reproducibility and makes incremental reprocessing
+impossible.  Pipelines at scale instead sample by CONTENT HASH: a doc is
+in the sample iff a hash of its stable key lands under the rate.  That
+makes the sample (a) reproducible across runs/engines/partitionings,
+(b) consistent under corpus growth (old docs never flip in/out), and
+(c) oracle-checkable — md5 agrees everywhere, so these are exact
+hash-checked queries, not rows-only approximations.
+
+The reference (task.ts) has no sampling; this is north-star scope
+(BASELINE.md "training-data pipeline ops").
+
+100 TB: all three are single-pass map-side predicates or one window
+shuffle; the hash is computed on an 8-byte key cast to string, never on
+the document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from ..registry import query
+
+
+def hash_bucket(key: F.Column, buckets: int = 16) -> F.Column:
+    """Deterministic bucket in [0, buckets) from the md5 of a key.
+
+    First 8 hex chars → 32-bit int → modulo.  md5 is bit-identical in
+    every engine (unlike xxhash64 seeds or murmur variants), so a
+    bucket predicate is portable SQL: the cross-engine determinism is
+    the point, not the hash quality — md5's avalanche is ample for
+    rate-sampling."""
+    return F.conv(F.substring(F.md5(key.cast("string").cast("binary")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % buckets
+
+
+SQL_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % {n}"
+)
+
+
+@query(
+    "b34_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {SQL_BUCKET.format(key="doc_id", n=16)} < 2
+    """,
+)
+def b34_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34: deterministic 2/16 Bernoulli sample of the corpus by
+    doc_id content hash.  Pure map-side predicate — no shuffle, no
+    state, no seed; the same docs are selected on any engine, any
+    partitioning, any day."""
+    d = table(spark, sf_dir, "documents")
+    return d.filter(hash_bucket(F.col("doc_id"), 16) < 2).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "b34_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents) t
+    WHERE rk <= 50
+    """,
+)
+def b34_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34: stratified fixed-quota sample — exactly min(50, |stratum|)
+    docs per language, chosen by md5 order so the quota set is
+    deterministic and stable under corpus growth *appending* docs (a
+    new doc displaces at most one sampled doc, never reshuffles the
+    stratum).  One window shuffle on the stratum key; at 100 TB with a
+    skewed stratum this is the rank-based top-k pattern, which
+    map-side-prunes to quota+ε per partition before the exchange."""
+    d = table(spark, sf_dir, "documents")
+    w = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+        )
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .withColumn("rk", w)
+        .filter(F.col("rk") <= 50)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
+    "b34_weighted_mix",
+    oracle=f"""
+    WITH rated AS (
+      SELECT source, CASE source
+               WHEN 'web' THEN 8 WHEN 'wiki' THEN 16 ELSE 4 END AS rate
+      FROM (SELECT DISTINCT source FROM documents))
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN rated r ON d.source = r.source
+    WHERE {SQL_BUCKET.format(key="d.doc_id", n=16)} < r.rate
+    """,
+)
+def b34_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34: domain-weighted mixture — each source is down/up-weighted
+    by its own deterministic sampling rate (wiki kept at 16/16, web at
+    8/16, everything else 4/16), the standard recipe for rebalancing a
+    crawl-dominated corpus before training.  The rate table broadcasts;
+    the whole mix is still one map-side pass."""
+    d = table(spark, sf_dir, "documents")
+    rate = F.when(F.col("source") == "web", 8).when(
+        F.col("source") == "wiki", 16
+    ).otherwise(4)
+    return (
+        d.withColumn("rate", rate)
+        .filter(hash_bucket(F.col("doc_id"), 16) < F.col("rate"))
+        .select("doc_id", "source", "n_chars")
+    )

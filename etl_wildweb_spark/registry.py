@@ -85,7 +85,17 @@ def capabilities(
 
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
-    from .operators import dedup, multimodal, relational, similarity, text, tpch, udx  # noqa: F401
+    from .operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        packing,
+        relational,
+        sampling,
+        similarity,
+        text,
+        tpch,
+        udx,
+    )
     from .ingest import wildweb  # noqa: F401
     from .streaming import joins, stateful, windows  # noqa: F401
     from . import sinks  # noqa: F401

@@ -23,6 +23,12 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Let AQE re-coalesce the output partitioning of cached plans: the
+    # near-dup pipelines cache signatures/posting lists mid-plan, and
+    # without this the cached subtree pins the session's static shuffle
+    # width (200 tiny tasks per stage under a default session).  We
+    # never rely on a cached plan's physical partitioning.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 
