@@ -229,3 +229,66 @@ def b31_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("bigint").alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
     )
+
+
+@query(
+    "b31_gopher_filters",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_words,
+             length(replace(text, ' ', '')) AS n_nonspace
+      FROM documents)
+    SELECT doc_id, lang, n_words,
+           (n_words BETWEEN 5 AND 10000)                          AS ok_len,
+           (n_nonspace::DOUBLE / n_words BETWEEN 2 AND 12)        AS ok_word_len,
+           (len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+              / n_words >= 0.8)                                   AS ok_alpha,
+           (len(list_filter(toks, x -> x IN {_SQL_STOP}))::DOUBLE
+              / n_words >= 0.01)                                  AS ok_stop,
+           ((n_words BETWEEN 5 AND 10000)
+            AND (n_nonspace::DOUBLE / n_words BETWEEN 2 AND 12)
+            AND (len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                   / n_words >= 0.8)
+            AND (len(list_filter(toks, x -> x IN {_SQL_STOP}))::DOUBLE
+                   / n_words >= 0.01))                            AS keep
+    FROM t
+    """,
+)
+def b31_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31: Gopher/C4-style rule-based quality gate (Rae et al. 2021
+    §A1-style heuristics, thresholds adapted to the synthetic corpus):
+    word-count bounds, mean-word-length bounds, alphabetic-word
+    fraction, stopword-presence floor, and the conjunctive keep bit.
+    Emitting per-rule booleans (not just the verdict) is deliberate —
+    at corpus scale you audit WHICH rule kills documents before you
+    trust the gate.  All ratios are integer-count divisions, so the
+    threshold comparisons are bit-deterministic cross-engine.  One
+    map-side pass, no shuffle, no UDF."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    mean_wl = (
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words
+    )
+    alpha = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n_words
+    )
+    stop = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_words
+    )
+    ok_len = n_words.between(5, 10000)
+    ok_word_len = mean_wl.between(2, 12)
+    ok_alpha = alpha >= 0.8
+    ok_stop = stop >= 0.01
+    return d.select(
+        "doc_id",
+        "lang",
+        n_words.cast("long").alias("n_words"),
+        ok_len.alias("ok_len"),
+        ok_word_len.alias("ok_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        (ok_len & ok_word_len & ok_alpha & ok_stop).alias("keep"),
+    )

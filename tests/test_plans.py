@@ -179,3 +179,46 @@ def test_tpch_q13_outer_join_preserves_unmatched(plans):
     p = plans("tpch_q13")
     assert "LeftOuter" in p or "BroadcastHashJoin" in p
     assert audit.node_count(p, "NestedLoop") == 0
+
+
+# ------------------------------------------- engine-wide plan sweep
+
+# Queries allowed to plan a nested-loop/cartesian join:
+# - b07_join_range: the NAIVE range join, kept as the didactic contrast
+#   to its banded scale path.
+# - b30_*: exhaustive scoring against a CONSTANT-SIZE broadcast side
+#   (query set / centroid table / hyperplane set) — the cross product is
+#   the operator's definition and its fan-out is bounded by that small
+#   constant, not by data volume; the data-sized sides never pair up.
+_NESTED_LOOP_OK = {
+    "b07_join_range",
+    "b30_cosine_topk",
+    "b30_ann_ivf",
+    "b30_ann_lsh",
+}
+
+# Streaming / connector / side-effecting queries execute eagerly or
+# need a streaming planner — excluded from the static batch-plan sweep.
+_PLAN_SWEEP_SKIP_PREFIXES = ("b21_", "b22_", "b23_", "b24_", "b33_", "a18_")
+
+
+def _sweepable() -> list[str]:
+    return sorted(
+        n
+        for n in registry.QUERIES
+        if not n.startswith(_PLAN_SWEEP_SKIP_PREFIXES)
+    )
+
+
+@pytest.mark.parametrize("name", _sweepable())
+def test_no_nested_loop_anywhere(plans, name):
+    """Engine-wide invariant: no registered batch query may fall back to
+    BroadcastNestedLoopJoin or CartesianProduct — at 100 TB either one
+    is a query that never finishes.  Any future operator that trips
+    this either gets a hash-join-able rewrite or an explicit entry in
+    _NESTED_LOOP_OK with a docstring justifying the bound."""
+    if name in _NESTED_LOOP_OK:
+        pytest.skip("documented bounded nested-loop (see _NESTED_LOOP_OK)")
+    p = plans(name)
+    assert audit.node_count(p, "BroadcastNestedLoopJoin") == 0, name
+    assert audit.node_count(p, "CartesianProduct") == 0, name
