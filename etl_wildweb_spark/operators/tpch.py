@@ -909,3 +909,15 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             p="tpch20_part",
         )
     )
+
+
+from .relational import b09_agg_q1 as _q1_impl
+from ..registry import ORACLES as _ORACLES
+
+
+@query("tpch_q1", oracle=_ORACLES["b09_agg_q1"])
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing summary — canonical registration of the same plan as
+    ``b09_agg_q1`` (operators/relational.py), so the TPC-H suite is
+    addressable as tpch_q1..q22 without hunting the B-series name."""
+    return _q1_impl(spark, sf_dir)
