@@ -132,3 +132,33 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def read_evolving(
+    spark: SparkSession,
+    path: str,
+    defaults: dict[str, object] | None = None,
+) -> DataFrame:
+    """Read a parquet directory whose files were written under EVOLVING
+    schemas — the normal state of a long-lived 100 TB corpus (columns
+    get added over months of ingest; old files are never rewritten).
+
+    ``mergeSchema`` makes Spark union the footers instead of trusting
+    the first file sampled, so late-added columns exist on every row
+    (null where a file predates them).  ``defaults`` then backfills
+    those nulls with typed constants — the read-side equivalent of a
+    column DEFAULT, without rewriting a single old file.
+
+    Column pruning and filter pushdown still reach each file's scan;
+    files lacking a filtered column contribute rows via the null/default
+    path rather than erroring — asserted in tests/test_io_evolution.py.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for col, val in (defaults or {}).items():
+        if col in df.columns:
+            df = df.withColumn(col, F.coalesce(F.col(col), F.lit(val)))
+        else:
+            df = df.withColumn(col, F.lit(val))
+    return df
