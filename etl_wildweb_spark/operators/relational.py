@@ -299,6 +299,120 @@ def b08_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b08_asof_forward",
+    oracle="""
+    SELECT event_id, user_id, next_ts FROM (
+      SELECT event_id, user_id,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts
+      FROM events) t
+    WHERE next_ts IS NOT NULL
+    """,
+)
+def b08_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 variant: FORWARD as-of — each event paired with the same
+    user's next event.  Implemented as window lead(), NOT a self-join:
+    one shuffle on the partition key and zero pair expansion, which IS
+    the 100 TB as-of plan when both sides are the same stream (the
+    self-join formulation pays per-user quadratic fan-out for nothing).
+    (ts, event_id) ordering makes the successor deterministic under
+    timestamp ties in both engines."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_id", "user_id", F.lead("ts").over(w).alias("next_ts")
+        )
+        .filter(F.col("next_ts").isNotNull())
+    )
+
+
+@query(
+    "b08_asof_tolerance",
+    oracle="""
+    SELECT event_id, user_id, prev_ts,
+           epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+    FROM (
+      SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events) t
+    WHERE prev_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(prev_ts) <= CAST(3600 AS BIGINT) * 1000000
+    """,
+)
+def b08_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 variant: backward as-of with a TOLERANCE — the previous
+    same-user event, kept only when it landed within the last hour
+    (stale matches drop instead of reaching arbitrarily far back; the
+    session-gap primitive).  Window lag() + gap filter: same
+    single-shuffle scale shape as the forward variant; the gap is exact
+    integer microseconds, so the threshold cut is deterministic
+    cross-engine."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.col("prev_ts"))
+    return (
+        e.select(
+            "event_id", "user_id", "ts",
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .filter(F.col("prev_ts").isNotNull())
+        .withColumn("gap_us", gap)
+        .filter(F.col("gap_us") <= 3600 * 1_000_000)
+        .drop("ts")
+    )
+
+
+# (day-since-epoch, orderkey) packed into one BIGINT so max_by gets a
+# total order that breaks date ties by orderkey identically in both
+# engines (neither supports struct-ordered max_by).  10^10 > any
+# testdata orderkey; a 100 TB keyspace would widen to two-level max_by.
+_PACK = 10_000_000_000
+
+
+@query(
+    "b08_asof_payload",
+    oracle=f"""
+    SELECT e.event_id, e.user_id,
+           max(o.o_orderdate) AS asof_orderdate,
+           max_by(o.o_orderkey,
+                  date_diff('day', DATE '1970-01-01', o.o_orderdate::DATE)
+                    * {_PACK} + o.o_orderkey) AS asof_orderkey,
+           max_by(o.o_totalprice,
+                  date_diff('day', DATE '1970-01-01', o.o_orderdate::DATE)
+                    * {_PACK} + o.o_orderkey) AS asof_totalprice
+    FROM events e
+    JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def b08_asof_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 variant: as-of join that RETRIEVES THE MATCHED ROW'S PAYLOAD
+    (orderkey + totalprice), not just the match timestamp — the form
+    enrichment pipelines actually need.  max_by over the packed
+    (day, orderkey) bigint picks one deterministic row even when a user
+    has several orders on the as-of date."""
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    ordv = (
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        * _PACK
+        + F.col("o_orderkey")
+    )
+    return (
+        e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts))
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.max("o_orderdate").alias("asof_orderdate"),
+            F.max_by("o_orderkey", ordv).alias("asof_orderkey"),
+            F.max_by("o_totalprice", ordv).alias("asof_totalprice"),
+        )
+    )
+
+
 # ---------------------------------------------------------- B9-B11 aggs
 
 @query(
