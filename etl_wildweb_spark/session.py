@@ -23,12 +23,12 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Let AQE re-coalesce the output partitioning of cached plans: the
-    # near-dup pipelines cache signatures/posting lists mid-plan, and
-    # without this the cached subtree pins the session's static shuffle
-    # width (200 tiny tasks per stage under a default session).  We
-    # never rely on a cached plan's physical partitioning.
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # NOTE deliberately absent: canChangeCachedPlanOutputPartitioning.
+    # Letting AQE re-coalesce cached plans measured 2x SLOWER on the
+    # minhash pipeline at sf0.1/local[32] (the cached signature subtree
+    # coalesces below core count and the expensive per-row signature
+    # stage serializes), and gains nothing under a default 200-partition
+    # session once lift_parallelism targets cores (io.py).
 }
 
 
