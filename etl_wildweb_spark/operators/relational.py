@@ -1092,3 +1092,36 @@ def b19_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.map_keys(m), ",").alias("keys_csv"),
         F.array_contains(F.map_keys(m), "status").alias("has_status"),
     )
+
+
+_HYPER_BODY = """
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP)    AS g_day,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP)   AS g_hour,
+       CAST(date_trunc('minute', ts) AS TIMESTAMP) AS g_minute,
+       grouping(date_trunc('hour', ts))   AS coarser_than_hour,
+       grouping(date_trunc('minute', ts)) AS coarser_than_minute,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM {e}
+GROUP BY event_type,
+         ROLLUP(date_trunc('day', ts),
+                date_trunc('hour', ts),
+                date_trunc('minute', ts))
+"""
+
+
+@query("b11_time_rollup", oracle=_HYPER_BODY.format(e="events"))
+def b11_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 variant: hypertable-style continuous-aggregate shape — one
+    pass over the event stream producing minute, hour, day, and total
+    grains per event type via ROLLUP over truncated timestamps (what a
+    timeseries store maintains as materialized rollups; here it is a
+    single grouping-sets aggregate, map-side combined to the finest
+    grain before one shuffle).  grouping() flags disambiguate grain
+    levels exactly like a rollup table's grain column.  At 100 TB this
+    is the incremental-maintenance shape: each micro-batch aggregates
+    to the finest grain and the coarser grains re-aggregate from it,
+    never from raw rows."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("hyper_events")
+    return spark.sql(_HYPER_BODY.format(e="hyper_events"))
