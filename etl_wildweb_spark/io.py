@@ -9,7 +9,9 @@ the only place that would change.
 
 from __future__ import annotations
 
+import math
 import os
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -162,3 +164,30 @@ def read_evolving(
         else:
             df = df.withColumn(col, F.lit(val))
     return df
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 512,
+) -> DataFrame:
+    """Rewrite a small-files parquet directory into size-targeted files.
+
+    Long-lived ingest (streaming micro-batches, per-center fetch loops
+    like the reference's task.ts:76 per-center writes) accretes files
+    far below HDFS/S3-efficient sizes; every downstream scan then pays
+    per-file open/footer overhead and the NameNode/listing cost.  The
+    fix is periodic compaction: read, coalesce to ceil(bytes/target),
+    rewrite.  ``coalesce`` (not repartition) — compaction must not pay
+    a full shuffle; it only narrows the partition count, preserving
+    data order within files.  At 100 TB run this per partition-directory
+    (e.g. per date) so each compaction job is bounded and incremental.
+    """
+    src_bytes = sum(
+        f.stat().st_size for f in Path(src_path).rglob("*.parquet")
+    )
+    n = max(1, math.ceil(src_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    df.coalesce(n).write.mode("overwrite").parquet(dst_path)
+    return spark.read.parquet(dst_path)
