@@ -99,4 +99,4 @@ def load_all() -> None:
     from .ingest import wildweb  # noqa: F401
     from .streaming import joins, stateful, windows  # noqa: F401
     from . import sinks  # noqa: F401
-    from .sources import http  # noqa: F401
+    from .sources import files, http  # noqa: F401

@@ -1,0 +1,122 @@
+"""File-format ingest: JSONL / CSV with explicit schemas and an error
+channel for malformed rows.
+
+The reference decodes one JSON envelope per HTTP response and rejects
+unparsable payloads (/root/reference/task.ts:88-104); at corpus scale
+the same problem arrives as FILES — newline-delimited JSON and CSV
+drops where some fraction of rows is malformed.  The engine policy
+mirrors the reference decision in SURVEY.md §2.1.1: a bad row becomes
+an error-channel ROW, never an exception and never a silent drop.
+
+Mechanics: Spark's PERMISSIVE parse mode captures each unparsable line
+in ``columnNameOfCorruptRecord`` instead of failing the task.  We split
+that column into (clean_df, errors_df) — the same two-channel contract
+as ingest/wildweb.py.  Schemas are EXPLICIT, never inferred: schema
+inference is a full extra pass over 100 TB and non-deterministic under
+sampling; an ingest contract should be pinned in code.
+
+The corrupt-record column must be requested in the schema and cannot be
+the only selected column (Spark optimizes the parse away) — both
+handled here so callers can't hold it wrong.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt(schema: StructType) -> StructType:
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+    )
+
+
+def _split_channels(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    # cache() before splitting: PERMISSIVE parse is per-row stateful and
+    # the two channels must see ONE parse of the input, not two passes
+    # that could disagree on a flaky reader
+    df = df.cache()
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    errors = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw"),
+        F.lit("unparsable_row").alias("error"),
+    )
+    return clean, errors
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Read newline-delimited JSON under an explicit schema.
+
+    Returns (clean, errors): clean rows typed per ``schema``; errors
+    carry the raw offending line + a stable error tag, ready to union
+    into the pipeline error channel (A19)."""
+    df = (
+        spark.read.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    return _split_channels(df)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """Read CSV under an explicit schema with the same two-channel
+    contract as :func:`read_jsonl`.  A row whose arity or types don't
+    fit the schema lands in the error channel with its raw text."""
+    df = (
+        spark.read.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .csv(path)
+    )
+    return _split_channels(df)
+
+
+from ..registry import query  # noqa: E402  (registration tail, like sinks.py)
+
+
+@query("b36_file_ingest")  # rows-only: side-effecting fixture write
+def b36_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36: JSONL ingest round-trip — writes a small fixture (2 clean
+    rows, 2 malformed) under spark-warehouse, reads it back through the
+    explicit-schema PERMISSIVE path, and returns the union of both
+    channels tagged by channel name.  Demonstrates end-to-end that a
+    malformed row becomes DATA (channel='error'), not an exception."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("lang", StringType())]
+    )
+    d = tempfile.mkdtemp(dir="spark-warehouse" if os.path.isdir("spark-warehouse") else None)
+    with open(os.path.join(d, "fixture.jsonl"), "w") as f:
+        f.write(
+            '{"doc_id": 1, "lang": "en"}\n'
+            "garbage line\n"
+            '{"doc_id": 2, "lang": "de"}\n'
+            '{"doc_id": "bad", "lang": "fr"}\n'
+        )
+    clean, errors = read_jsonl(spark, d, schema)
+    return clean.select(
+        F.lit("clean").alias("channel"), F.col("doc_id").cast("string").alias("payload")
+    ).unionAll(
+        errors.select(F.lit("error").alias("channel"), F.col("raw").alias("payload"))
+    )

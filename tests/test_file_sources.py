@@ -1,0 +1,60 @@
+"""sources/files.py: JSONL/CSV ingest with corrupt-row error channel."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from etl_wildweb_spark.sources.files import read_csv, read_jsonl
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def test_jsonl_clean_and_error_channels(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "lang": "en", "score": 0.5}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "lang": "de", "score": 0.9}\n'
+        '{"doc_id": "NaN-ish", "lang": "fr"}\n'  # type mismatch -> corrupt
+    )
+    clean, errors = read_jsonl(spark, str(p), SCHEMA)
+    got = {r.doc_id: (r.lang, r.score) for r in clean.collect()}
+    assert got == {1: ("en", 0.5), 2: ("de", 0.9)}
+    errs = errors.collect()
+    assert len(errs) == 2
+    assert all(e.error == "unparsable_row" for e in errs)
+    assert any("not json" in e.raw for e in errs)
+
+
+def test_csv_arity_and_type_errors(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "doc_id,lang,score\n"
+        "1,en,0.5\n"
+        "not_a_long,de,0.9\n"
+        "3,fr,0.7\n"
+    )
+    clean, errors = read_csv(spark, str(p), SCHEMA)
+    assert {r.doc_id for r in clean.collect()} == {1, 3}
+    errs = errors.collect()
+    assert len(errs) == 1 and "not_a_long" in errs[0].raw
+
+
+def test_no_errors_is_empty_channel(spark, tmp_path):
+    p = tmp_path / "ok.jsonl"
+    p.write_text('{"doc_id": 7, "lang": "en", "score": 1.0}\n')
+    clean, errors = read_jsonl(spark, str(p), SCHEMA)
+    assert clean.count() == 1
+    assert errors.count() == 0
