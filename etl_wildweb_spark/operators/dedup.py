@@ -536,3 +536,53 @@ def b29_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(drop), "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@query(
+    "b29_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substring(a.text, 1, 64), substring(b.text, 1, 64))
+             AS edit_dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang
+     AND substring(a.text, 1, 16) = substring(b.text, 1, 16)
+     AND a.doc_id < b.doc_id
+    WHERE abs(a.n_chars - b.n_chars) <= 8
+      AND levenshtein(substring(a.text, 1, 64), substring(b.text, 1, 64)) <= 10
+    """,
+)
+def b29_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29 variant: edit-distance near-dup with BLOCKED candidate
+    generation — Levenshtein is O(len²) per pair, so the self-join is
+    keyed on (lang, 16-char prefix) with a length-delta guard, and the
+    quadratic function only ever runs on the tiny blocked candidate
+    set, on a 64-char prefix.  The blocking keys are equi-join keys →
+    plain hash join, no cross product anywhere.  Classic blocking from
+    record-linkage (Fellegi-Sunter lineage); Spark and DuckDB implement
+    identical classic Levenshtein, so this is exact-oracled."""
+    d = table(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang"),
+        F.substring("text", 1, 16).alias("blk"),
+        F.substring("text", 1, 64).alias("head_a"),
+        F.col("n_chars").alias("nc_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang"),
+        F.substring("text", 1, 16).alias("blk"),
+        F.substring("text", 1, 64).alias("head_b"),
+        F.col("n_chars").alias("nc_b"),
+    )
+    return (
+        a.join(b, ["lang", "blk"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 8)
+        )
+        .withColumn("edit_dist", F.levenshtein("head_a", "head_b"))
+        .filter(F.col("edit_dist") <= 10)
+        .select("id_a", "id_b", "edit_dist")
+    )
