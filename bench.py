@@ -67,31 +67,31 @@ def main() -> None:
     registry.load_all()
     spark = get_spark("etl-wildweb-spark-bench")
 
-    # Per-query untimed warmup pass: whole-stage-codegen compilation and
-    # JIT of each query's generated classes is a one-time driver/JVM cost
-    # (measured: 13.8 s cold vs 3.2 s steady for the heaviest pipeline)
-    # that would otherwise dominate and destabilize the numbers.  The
-    # benchmark records STEADY-STATE throughput — the regime that
-    # actually scales to 100 TB, where compile-once is amortized over
-    # thousands of tasks.  Caches built inside a query are dropped
-    # between passes so the timed run re-executes the full dataflow.
+    # Per-query: one untimed warmup pass, then the MEDIAN of 3 timed
+    # passes.  The warmup absorbs whole-stage-codegen compilation + JIT
+    # of the query's generated classes (measured: 13.8 s cold vs 3.2 s
+    # steady for the heaviest pipeline) — the benchmark records
+    # STEADY-STATE throughput, the regime that scales to 100 TB where
+    # compile-once is amortized over thousands of tasks.  The median
+    # defends against host noise: this VM shows up to 3× run-to-run
+    # variance (BASELINE.md), which produced phantom per-query outliers
+    # in single-pass benches.  Caches built inside a query are dropped
+    # between passes so every pass re-executes the full dataflow.
+    PASSES = 3
+    times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
-
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = registry.QUERIES.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        samples = []
+        for _ in range(PASSES):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        times[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     total = round(sum(times.values()), 3)
     print(

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import math
 import os
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -183,10 +182,14 @@ def compact_parquet(
     a full shuffle; it only narrows the partition count, preserving
     data order within files.  At 100 TB run this per partition-directory
     (e.g. per date) so each compaction job is bounded and incremental.
+
+    Input is sized through the Hadoop FileSystem API, so the same code
+    works on ``s3a://``/``hdfs://``/``file:/`` URIs — exactly the
+    filesystems where small-file compaction matters (a local-only
+    directory walk would silently size remote input as zero and
+    collapse everything into one file).
     """
-    src_bytes = sum(
-        f.stat().st_size for f in Path(src_path).rglob("*.parquet")
-    )
+    src_bytes = _fs_bytes(spark, src_path)
     n = max(1, math.ceil(src_bytes / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(src_path)
     df.coalesce(n).write.mode("overwrite").parquet(dst_path)

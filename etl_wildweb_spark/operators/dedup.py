@@ -453,40 +453,42 @@ def connected_components(
     )
     und = und.localCheckpoint(eager=True)
     # The dup graph is orders of magnitude smaller than the corpus that
-    # produced it, so the session's corpus-sized shuffle width is pure
-    # scheduling overhead here (measured 28 s → 3 s at sf0.01 under a
-    # 200-partition session).  Right-size the per-iteration shuffles to
-    # the materialized edge count, restore the conf after.
+    # produced it, so a corpus-sized partition count is pure scheduling
+    # overhead here (measured 28 s → 3 s at sf0.01 under a 200-partition
+    # session).  Right-size by explicitly hash-repartitioning every
+    # DataFrame that gets checkpointed — a checkpoint freezes its RDD
+    # partitioning, so every per-iteration scan would otherwise inherit
+    # the session's width for the whole loop.  Intermediate join/groupBy
+    # exchanges are left to AQE coalescing (asserted on in
+    # session.RUNTIME_CONFS); no session-global conf is touched, so the
+    # loop is safe on a shared/concurrent session.
     n_edges = und.count()
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    width = max(1, min(int(prev), n_edges // 100_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(width))
-    try:
-        und = und.repartition(width, "v").localCheckpoint(eager=True)
-        labels = (
-            und.select(F.col("u").alias("node"))
-            .distinct()
-            .withColumn("lab", F.col("node"))
-            .localCheckpoint(eager=True)
+    default_width = spark.sparkContext.defaultParallelism
+    width = max(1, min(default_width, n_edges // 100_000 + 1))
+    und = und.repartition(width, "v").localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .repartition(width, "node")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            und.join(labels, und.v == labels.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("lab").alias("nlab"))
         )
-        for _ in range(max_iter):
-            neigh = (
-                und.join(labels, und.v == labels.node)
-                .groupBy(F.col("u").alias("node"))
-                .agg(F.min("lab").alias("nlab"))
-            )
-            nxt = labels.join(neigh, "node", "left").select(
-                "node",
-                F.least("lab", F.coalesce("nlab", "lab")).alias("lab"),
-                (F.col("nlab") < F.col("lab")).alias("chg"),
-            )
-            nxt = nxt.localCheckpoint(eager=True)
-            changed = nxt.filter(F.col("chg")).limit(1).count()
-            labels = nxt.drop("chg")
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        nxt = labels.join(neigh, "node", "left").select(
+            "node",
+            F.least("lab", F.coalesce("nlab", "lab")).alias("lab"),
+            (F.col("nlab") < F.col("lab")).alias("chg"),
+        )
+        nxt = nxt.repartition(width, "node").localCheckpoint(eager=True)
+        changed = nxt.filter(F.col("chg")).limit(1).count()
+        labels = nxt.drop("chg")
+        if changed == 0:
+            break
     return labels.select("node", F.col("lab").alias("cluster_id"))
 
 

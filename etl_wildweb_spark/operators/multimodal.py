@@ -61,9 +61,12 @@ def b32_multimodal_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Output schema of the fake decoder — what a real image decode would
-#: produce (dimensions + a small feature vector).
+#: produce (dimensions + a small feature vector).  The feature is emitted
+#: as scalar columns (not array<double>) so downstream tabular tooling —
+#: including the driver's pandas canonicalizer — can sort/hash rows.
 DECODE_SCHEMA = (
-    "doc_id bigint, width int, height int, n_frames int, feat array<double>"
+    "doc_id bigint, width int, height int, n_frames int, "
+    "feat_len double, feat_first double, feat_last double, feat_sum8 double"
 )
 
 
@@ -84,10 +87,10 @@ def fake_decode_batches(
                 "width": (n % 640).astype("int32"),
                 "height": (n % 480).astype("int32"),
                 "n_frames": (1 + n % 4).astype("int32"),
-                "feat": [
-                    [float(len(b)), float(b[0]), float(b[-1]), float(sum(b[:8]))]
-                    for b in blobs
-                ],
+                "feat_len": [float(len(b)) for b in blobs],
+                "feat_first": [float(b[0]) for b in blobs],
+                "feat_last": [float(b[-1]) for b in blobs],
+                "feat_sum8": [float(sum(b[:8])) for b in blobs],
             }
         )
 

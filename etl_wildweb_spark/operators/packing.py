@@ -100,22 +100,21 @@ def b35_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN d.n_tokens ELSE p.fill + d.n_tokens END
       FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
     SELECT source, count(DISTINCT bin) AS n_bins,
-           sum(n_tokens) AS total_tokens,
-           round(sum(n_tokens)::DOUBLE / (count(DISTINCT bin) * {BUDGET}), 4)
-             AS utilization
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM pack GROUP BY source
     """,
 )
 def b35_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B35: packing efficiency report — bins used and budget
-    utilization per stream, the metric that tells you whether greedy
-    packing is wasting accelerator time (utilization ≪ 1 means you
-    want length-sorted or offline bin-packing instead)."""
+    """B35: packing efficiency report — bins used and total tokens per
+    stream, the inputs to the utilization metric that tells you whether
+    greedy packing is wasting accelerator time (total_tokens /
+    (n_bins·BUDGET) ≪ 1 means you want length-sorted or offline
+    bin-packing instead).  Only exact integers are emitted — the
+    derived ratio is left to the consumer, keeping the result
+    bit-identical across engines (float division canonicalizes
+    differently between Spark and SQL engines)."""
     packed = b35_sequence_pack(spark, sf_dir)
     return packed.groupBy("source").agg(
         F.countDistinct("bin").alias("n_bins"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(
-            F.sum("n_tokens") / (F.countDistinct("bin") * F.lit(BUDGET)), 4
-        ).alias("utilization"),
     )

@@ -83,6 +83,59 @@ def capabilities(
     }
 
 
+#: Explicit verification-priority order.  The driver's correctness
+#: harness checks the FIRST 50 entries of ``__spark_entry__.queries()``
+#: (dict insertion order) per round; round 1 verified the dedup /
+#: relational / sampling families, so this round the never-checked
+#: families — the full TPC-H suite, streaming, UDx, similarity, text,
+#: the wildweb pipeline itself — plus the two repaired entries
+#: (b32_fake_decode, b35_pack_utilization) go first.  Everything not
+#: listed follows in registration order (already green in
+#: CORRECTNESS_r01.json).
+PRIORITY: list[str] = [
+    *[f"tpch_q{i}" for i in range(1, 23)],
+    "b21_tumbling_window",
+    "b21_sliding_window",
+    "b22_session_window",
+    "b23_watermark_tumbling",
+    "b23_stream_static_join",
+    "b23_stream_stream_join",
+    "b24_stream_dedup",
+    "b24_custom_stateful",
+    "b25_pandas_udf",
+    "b26_pandas_udaf",
+    "b27_udtf",
+    "b30_cosine_topk",
+    "b31_text_stats",
+    "b31_quality_score",
+    "b31_lang_stats",
+    "b31_term_freq",
+    "b31_langid",
+    "b31_fingerprint",
+    "b31_bpe_token_count",
+    "b31_gopher_filters",
+    "wildweb_pipeline",
+    "wildweb_pipeline_errors",
+    "wildweb_envelope_e2e",
+    "b34_stratified_sample",
+    "b34_weighted_mix",
+    "b35_pack_utilization",
+    "b32_fake_decode",
+    "b36_file_ingest",
+]
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    """All registered queries, PRIORITY names first, then the rest in
+    registration order.  This is the order the driver consumes."""
+    load_all()
+    missing = [n for n in PRIORITY if n not in QUERIES]
+    if missing:
+        raise KeyError(f"PRIORITY names not registered: {missing}")
+    rest = {n: f for n, f in QUERIES.items() if n not in set(PRIORITY)}
+    return {**{n: QUERIES[n] for n in PRIORITY}, **rest}
+
+
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .operators import (  # noqa: F401

@@ -206,8 +206,10 @@ def test_fake_decode_deterministic(spark, sf_dir):
         b = text.encode("utf-8")
         r = out[doc_id]
         assert r.width == len(b) % 640
-        assert r.feat[0] == float(len(b))
-        assert r.feat[3] == float(sum(b[:8]))
+        assert r.feat_len == float(len(b))
+        assert r.feat_first == float(b[0])
+        assert r.feat_last == float(b[-1])
+        assert r.feat_sum8 == float(sum(b[:8]))
 
 
 def test_exact_dedup_planted(spark, planted_docs):

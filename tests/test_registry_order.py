@@ -1,0 +1,36 @@
+"""Registry ordering contract — the driver's correctness harness checks
+the first 50 entries of __spark_entry__.queries() in dict order, so the
+PRIORITY list (never-yet-verified families + repaired entries) must lead
+and must be fully registered."""
+
+from __future__ import annotations
+
+from etl_wildweb_spark import registry
+
+
+def test_priority_window_is_exactly_the_verification_targets():
+    ordered = registry.ordered_queries()
+    names = list(ordered)
+    assert names[: len(registry.PRIORITY)] == registry.PRIORITY
+    # the driver's window: 50 entries
+    assert len(registry.PRIORITY) == 50
+    # no duplicates, nothing dropped
+    assert len(set(names)) == len(names)
+    assert set(names) == set(registry.QUERIES)
+
+
+def test_priority_oracle_coverage():
+    """Every PRIORITY entry that can be SQL-checked has an oracle; the
+    rows-only ones are the declared streaming/heuristic/side-effecting
+    set and nothing else."""
+    registry.load_all()
+    rows_only = {n for n in registry.PRIORITY if n not in registry.ORACLES}
+    assert rows_only == {
+        "b23_watermark_tumbling",
+        "b24_stream_dedup",
+        "b24_custom_stateful",
+        "b31_langid",
+        "b32_fake_decode",
+        "b36_file_ingest",
+        "wildweb_envelope_e2e",
+    }
