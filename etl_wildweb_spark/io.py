@@ -165,6 +165,20 @@ def read_evolving(
     return df
 
 
+def _fs_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path``, via the JVM Hadoop FileSystem API.
+
+    Resolves the filesystem from the path's own URI scheme, so
+    ``s3a://`` / ``hdfs://`` / ``file:/`` and bare local paths all size
+    correctly (ADVICE round 1: a ``pathlib`` walk only works locally).
+    """
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    return fs.getContentSummary(hpath).getLength()
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,
