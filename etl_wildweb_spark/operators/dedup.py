@@ -588,3 +588,39 @@ def b29_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 10)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+@query(
+    "b28_incremental_dedup",
+    oracle="""
+    SELECT n.doc_id, n.source, md5(n.text) AS digest
+    FROM documents n
+    WHERE n.source = 'src0'
+      AND NOT EXISTS (
+        SELECT 1 FROM documents c
+        WHERE c.source <> 'src0' AND md5(c.text) = md5(n.text))
+    """,
+)
+def b28_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28: incremental cross-batch dedup — admit only the documents of
+    a NEW ingest batch (source = 'src0') whose content digest is absent
+    from the existing corpus (every other source).  This is the shape a
+    continuously-growing training corpus actually runs: the corpus is
+    never re-deduplicated wholesale; each arriving batch is anti-joined
+    against the digest index of what's already stored.
+
+    Scale: both sides project to (16-byte digest [+ ids]) BEFORE the
+    anti-join, so the shuffle carries digests, never document bodies —
+    at 100 TB the digest index is ~0.1% of corpus bytes and is exactly
+    the thing you'd keep as a bucketed table so successive batches join
+    against it with zero corpus-side exchange."""
+    d = table(spark, sf_dir, "documents")
+    new_batch = d.filter(F.col("source") == "src0").select(
+        "doc_id", "source", F.md5("text").alias("digest")
+    )
+    corpus_digests = (
+        d.filter(F.col("source") != "src0").select(F.md5("text").alias("digest"))
+    )
+    return new_batch.join(corpus_digests, "digest", "left_anti").select(
+        "doc_id", "source", "digest"
+    )

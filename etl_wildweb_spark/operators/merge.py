@@ -1,0 +1,103 @@
+"""MERGE / upsert — Delta-style ``MERGE INTO`` semantics composed from
+Spark built-ins (SURVEY.md §2 extension; the reference has no storage
+layer at all — its downstream TAK server performs the equivalent upsert
+keyed on the stable feature id the pipeline synthesizes, task.ts:127 —
+so this operator supplies the engine-side half of that contract).
+
+Semantics implemented (SCD type 1):
+
+  WHEN MATCHED THEN UPDATE SET *   -- change rows win over snapshot rows
+  WHEN NOT MATCHED THEN INSERT *
+
+Shape: tag both sides with a precedence rank, union, keep the top-ranked
+row per key.  One hash shuffle on the merge key — the same exchange an
+actual MERGE pays for its join.  At 100 TB:
+
+  * snapshot and changes bucketed on the key ⇒ the union + per-key pick
+    is exchange-free (bucket-local), which is how iceberg/delta-style
+    compaction jobs keep nightly merges off the shuffle service;
+  * a small change batch can instead broadcast into a left join
+    (``coalesce(change.col, snap.col)``), touching no snapshot exchange;
+  * the per-key pick uses max_by on the precedence rank — a partial
+    aggregate, not a window — so the map side combines before the
+    exchange and no per-key sort materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import query
+
+#: Deterministic synthetic change batch (both engines derive the same
+#: rows from the snapshot itself, so the merge is exactly
+#: oracle-checkable): every 10th order gets a status update + a price
+#: bump; every 97th order spawns a brand-new row keyed above the
+#: existing key space.
+_UPD_MOD = 10
+_INS_MOD = 97
+_INS_OFFSET = 1_000_000_000
+
+
+def merge_upsert(snapshot: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """Generic SCD-1 merge: rows of ``changes`` replace same-key rows of
+    ``snapshot``; unmatched change rows are inserts.  Columns must be
+    union-compatible by name."""
+    tagged = changes.withColumn("_rank", F.lit(1)).unionByName(
+        snapshot.withColumn("_rank", F.lit(0))
+    )
+    payload = [c for c in tagged.columns if c not in (key, "_rank")]
+    picked = tagged.groupBy(key).agg(
+        F.max_by(F.struct(*payload), F.col("_rank")).alias("_row")
+    )
+    return picked.select(key, *[F.col(f"_row.{c}").alias(c) for c in payload])
+
+
+@query(
+    "b38_merge_upsert",
+    oracle=f"""
+    WITH changes AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+             o_totalprice + 100.0 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % {_UPD_MOD} = 0
+      UNION ALL
+      SELECT o_orderkey + {_INS_OFFSET}, o_custkey, 'N',
+             o_totalprice, o_orderdate, 'NEW'
+      FROM orders WHERE o_orderkey % {_INS_MOD} = 0),
+    merged AS (
+      SELECT *, 1 AS _rank FROM changes
+      UNION ALL
+      SELECT *, 0 AS _rank FROM orders)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM merged
+    QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY _rank DESC) = 1
+    """,
+)
+def b38_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 MERGE over orders: a derived change batch (status+price
+    updates for every 10th key, fresh inserts above the key space for
+    every 97th) applied with changes-win precedence.  Result cardinality
+    = |snapshot| + |inserts|; updated rows carry the changed values
+    (asserted in tests/test_merge.py along with update/insert counts)."""
+    o = table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % _UPD_MOD == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    inserts = o.filter(F.col("o_orderkey") % _INS_MOD == 0).select(
+        (F.col("o_orderkey") + _INS_OFFSET).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        F.lit("NEW").alias("o_orderpriority"),
+    )
+    return merge_upsert(o, updates.unionByName(inserts), "o_orderkey")

@@ -244,3 +244,67 @@ def b30_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ----------------------------------------------------------- clustering
+
+N_CENTROIDS = 8  # deterministic seeds: the lowest vec_ids
+
+
+@query(
+    "b40_centroid_assign",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      WHERE vec_id < {N_CENTROIDS}),
+    sims AS (
+      SELECT e.vec_id, c.cid,
+             list_cosine_similarity(e.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]) AS cos_sim
+      FROM embeddings e CROSS JOIN c),
+    best AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, cid ASC) AS rn
+      FROM sims)
+    SELECT cid AS cluster_id,
+           count(*) AS n_members,
+           min(vec_id) AS min_vec_id,
+           max(vec_id) AS max_vec_id
+    FROM best WHERE rn = 1
+    GROUP BY cid
+    """,
+)
+def b40_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment — the inner step of k-means / the
+    routing step of IVF index builds — with deterministic seed
+    centroids (the 8 lowest vec_ids) so the result is
+    exactly oracle-checkable.  Emits per-cluster membership stats.
+
+    Engine shape: the centroid set is broadcast (k centroids always
+    fit in memory — k ≤ 10⁵ even for web-scale IVF), the corpus side is
+    never shuffled for scoring, and the only exchanges are the tiny
+    per-vector argmax rollup (vec_id, best) and the per-cluster count.
+    Cosine runs in double with sequential accumulation
+    (functions/vector.py) — bit-identical to DuckDB's
+    list_cosine_similarity, so the argmax tie-break (similarity DESC,
+    cid ASC) is cross-engine deterministic.  A full k-means would
+    iterate this assignment against recomputed means; each round is
+    this same broadcast-score-rollup plan."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = e.select("vec_id", "embedding").join(F.broadcast(cents)).select(
+        "vec_id", "cid", cosine("embedding", "ce").alias("cos_sim")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cid", F.struct(F.col("cos_sim"), (-F.col("cid")).alias("nc"))
+        ).alias("cluster_id")
+    )
+    return best.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )

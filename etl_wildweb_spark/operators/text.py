@@ -292,3 +292,310 @@ def b31_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stop"),
         (ok_len & ok_word_len & ok_alpha & ok_stop).alias("keep"),
     )
+
+
+# ------------------------------------------------------------- repetition
+
+def _word_grams(toks, n_words, k: int):
+    """Word k-grams as an array column (empty when the doc is shorter
+    than k) — built with sequence+transform so gram construction stays
+    inside whole-stage codegen; no explode, no shuffle."""
+    idx = F.sequence(F.lit(1), n_words - (k - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(k)]
+    )
+    return F.when(n_words >= k, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _top_run(sorted_arr):
+    """(count, value) of the most frequent element of a SORTED array,
+    computed as a single in-row fold: equal neighbors form runs, the
+    longest run wins, first-strictly-greater keeps ties on the
+    smallest value (= count DESC, value ASC).  Zero shuffle — the
+    Gopher repetition statistics need the per-document mode, and
+    explode+groupBy would shuffle the full gram volume (~n_words rows
+    per doc) at 100 TB just to answer a per-row question."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(None).cast("string").alias("bestg"),
+    )
+
+    def step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        hit = run > acc["best"]
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(hit, run).otherwise(acc["best"]).alias("best"),
+            F.when(hit, g).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    return F.aggregate(sorted_arr, zero, step)
+
+
+@query(
+    "b31_repetition_filters",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_words,
+             length(replace(text, ' ', '')) AS n_nonspace
+      FROM documents),
+    g2 AS (
+      SELECT doc_id, unnest(
+               [array_to_string(toks[i:i+1], ' ')
+                FOR i IN generate_series(1, n_words - 1)]) AS gram
+      FROM t WHERE n_words >= 2),
+    c2 AS (
+      SELECT doc_id, gram, count(*) AS n FROM g2 GROUP BY doc_id, gram),
+    top2 AS (
+      SELECT doc_id, gram, n,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n DESC, gram ASC) AS rn
+      FROM c2),
+    g5 AS (
+      SELECT doc_id,
+             len([1 FOR i IN generate_series(1, n_words - 4)]) AS n5,
+             len(list_distinct(
+               [array_to_string(toks[i:i+4], ' ')
+                FOR i IN generate_series(1, n_words - 4)])) AS d5
+      FROM t WHERE n_words >= 5)
+    SELECT t.doc_id,
+           round(1.0 - CAST(len(list_distinct(t.toks)) AS DOUBLE) / t.n_words,
+                 4) AS dup_word_frac,
+           round(coalesce(CAST(top2.n * length(replace(top2.gram, ' ', ''))
+                               AS DOUBLE) / t.n_nonspace, 0.0), 4)
+               AS top_2gram_char_frac,
+           round(coalesce(1.0 - CAST(g5.d5 AS DOUBLE) / g5.n5, 0.0), 4)
+               AS dup_5gram_frac
+    FROM t
+    LEFT JOIN top2 ON top2.doc_id = t.doc_id AND top2.rn = 1
+    LEFT JOIN g5 ON g5.doc_id = t.doc_id
+    """,
+)
+def b31_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31: Gopher-style repetition statistics (Rae et al. 2021, §A1.1
+    "repetitious text" signals, adapted to word granularity because the
+    synthetic corpus has no line structure): duplicate-word fraction,
+    fraction of non-space characters covered by the most frequent word
+    2-gram, and duplicate-5-gram fraction.
+
+    Engine shape: every statistic — including the per-document mode of
+    the 2-gram multiset — is an in-row fold over arrays built with
+    sequence/transform, so the whole query is ONE narrow codegen'd scan
+    with zero shuffles and zero UDFs.  The DuckDB oracle computes the
+    same mode relationally (unnest → count → row_number), which is the
+    plan shape this operator deliberately avoids at 100 TB: the gram
+    volume is ~n_words rows per document and never needs to leave its
+    row.  Ties on the mode break as (count DESC, gram ASC) on both
+    engines (the fold walks the SORTED gram array and only replaces on
+    a strictly longer run)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    n_nonspace = F.length(F.replace("text", F.lit(" "), F.lit("")))
+
+    top2 = _top_run(F.array_sort(_word_grams(toks, n_words, 2)))
+    g5 = _word_grams(toks, n_words, 5)
+    n5 = F.size(g5)
+    d5 = F.size(F.array_distinct(g5))
+
+    return d.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_words, 4
+        ).alias("dup_word_frac"),
+        F.round(
+            F.coalesce(
+                (
+                    top2["best"]
+                    * F.length(F.replace(top2["bestg"], F.lit(" "), F.lit("")))
+                ).cast("double")
+                / n_nonspace,
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("top_2gram_char_frac"),
+        F.round(
+            F.when(n5 > 0, F.lit(1.0) - d5.cast("double") / n5).otherwise(0.0), 4
+        ).alias("dup_5gram_frac"),
+    )
+
+
+# -------------------------------------------------------------------- PII
+
+#: Deliberately simple ASCII patterns written to the common subset of
+#: Java regex (Spark) and RE2 (DuckDB) so both engines match the same
+#: spans: no lookaround, no backreferences, POSIX classes avoided.
+PII_EMAIL = "[a-z0-9._]+@[a-z0-9-]+[.][a-z]+"
+PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+PII_PHONE = "555-[0-9]{4}"
+
+#: Deterministic PII injection (the synthetic corpus is PII-free, so
+#: both engines append the same synthetic identifiers derived from
+#: doc_id — the operator under test is the scan/redaction, not the
+#: fixture).
+_PII_SQL_TEXT = """
+      text
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              ELSE '' END
+"""
+
+
+@query(
+    "b31_pii_scan",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, {_PII_SQL_TEXT} AS ptext FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(ptext, '{PII_EMAIL}')) AS BIGINT)
+               AS n_email,
+           CAST(len(regexp_extract_all(ptext, '{PII_IPV4}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(ptext, '{PII_PHONE}')) AS BIGINT)
+               AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+                 '{PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{PII_IPV4}', '<IP>', 'g'),
+                 '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM p
+    """,
+)
+def b31_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31: PII detection + redaction — emails, IPv4 addresses, phone
+    numbers counted per document and scrubbed with typed placeholder
+    tokens; the redacted text is emitted as an md5 so the full
+    scrubbed corpus never leaves the executor in this report query.
+
+    JVM-side regexp_count/regexp_replace only (redaction is the classic
+    case where reaching for a Python UDF costs 10-100×); patterns are
+    restricted to the Java-regex ∩ RE2 subset so the DuckDB oracle
+    matches byte-identical spans.  At 100 TB this is an embarrassingly
+    parallel scan — no shuffle, and the match counts feed the same
+    audit-before-trust loop as b31_gopher_filters."""
+    d = table(spark, sf_dir, "documents")
+    ptext = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" from 10.0."), F.col("doc_id") % 256, F.lit(".1")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" call 555-01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(""),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(ptext, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(ptext, F.lit(PII_EMAIL)).cast("bigint").alias("n_email"),
+        F.regexp_count(ptext, F.lit(PII_IPV4)).cast("bigint").alias("n_ip"),
+        F.regexp_count(ptext, F.lit(PII_PHONE)).cast("bigint").alias("n_phone"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# ------------------------------------------------------- contamination
+
+#: Shingle width for benchmark-overlap detection.  Production
+#: contamination checks use 8-13-word shingles (GPT-3 appendix C /
+#: PaLM-style); the synthetic corpus draws from a tiny vocabulary, so 3
+#: keeps the overlap signal non-degenerate while exercising identical
+#: plumbing.
+CONTAM_K = 3
+#: Every 97th document plays the held-out benchmark.
+CONTAM_MOD = 97
+
+
+@query(
+    "b37_contamination",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(
+               [array_to_string(toks[i:i+{CONTAM_K - 1}], ' ')
+                FOR i IN generate_series(1, n_words - {CONTAM_K - 1})]) AS gram
+      FROM t WHERE n_words >= {CONTAM_K}),
+    bg AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % {CONTAM_MOD} = 0),
+    ov AS (
+      SELECT g.doc_id, count(*) AS n_overlap
+      FROM g JOIN bg USING (gram)
+      WHERE g.doc_id % {CONTAM_MOD} <> 0
+      GROUP BY g.doc_id)
+    SELECT t.doc_id,
+           CAST(greatest(t.n_words - {CONTAM_K - 1}, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           coalesce(ov.n_overlap, 0) > 0 AS contaminated
+    FROM t LEFT JOIN ov ON ov.doc_id = t.doc_id
+    WHERE t.doc_id % {CONTAM_MOD} <> 0
+    """,
+)
+def b37_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: flag training documents sharing
+    word shingles with a held-out benchmark set (here: every 97th doc).
+
+    Engine shape for 100 TB: the benchmark shingle set is tiny relative
+    to the corpus (benchmarks are MBs, corpora are TBs), so it is
+    DISTINCT'd and **broadcast** — the corpus-side gram stream joins
+    against it with no shuffle of the big side, and the only exchange
+    is the partially-aggregated (doc_id, count) rollup.  Gram matching
+    here is on raw strings to keep the oracle byte-identical; at scale
+    you xxhash64 shingles to 8-byte keys first (false-positive rate is
+    acceptable for a contamination *gate*, and flagged docs get a
+    verify pass)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    grams = _word_grams(toks, n_words, CONTAM_K)
+    is_bench = F.col("doc_id") % CONTAM_MOD == 0
+
+    with_grams = d.select("doc_id", grams.alias("grams"), is_bench.alias("bench"))
+    bench_grams = (
+        with_grams.filter("bench")
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = with_grams.filter(~F.col("bench"))
+    overlaps = (
+        corpus.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select("doc_id", F.size("grams").cast("bigint").alias("n_grams"))
+        .join(overlaps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -122,6 +122,15 @@ PRIORITY: list[str] = [
     "b35_pack_utilization",
     "b32_fake_decode",
     "b36_file_ingest",
+    # round-3 additions: new operators go behind the never-yet-verified
+    # families above (the driver's window is ~50 entries; anything past
+    # it waits for the next rotation).
+    "b31_repetition_filters",
+    "b31_pii_scan",
+    "b37_contamination",
+    "b38_merge_upsert",
+    "b40_centroid_assign",
+    "b28_incremental_dedup",
 ]
 
 
@@ -140,6 +149,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .operators import (  # noqa: F401
         dedup,
+        merge,
         multimodal,
         packing,
         relational,

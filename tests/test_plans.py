@@ -195,6 +195,7 @@ _NESTED_LOOP_OK = {
     "b30_cosine_topk",
     "b30_ann_ivf",
     "b30_ann_lsh",
+    "b40_centroid_assign",
 }
 
 # Streaming / connector / side-effecting queries execute eagerly or
