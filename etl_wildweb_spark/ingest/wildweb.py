@@ -34,7 +34,11 @@ from ..registry import query
 
 #: WildCadIncident (task.ts:7-24): 15 fields, numerics-as-strings
 #: (load-bearing — SURVEY.md §1.2).  ``resources`` is Any[] in the
-#: reference; elements are kept as raw JSON text fragments.
+#: reference (task.ts:20) and CHANGELOG.md:88 mandates full-fidelity
+#: pass-through, so it is typed VARIANT: objects stay objects, numbers
+#: stay numbers, and the submit sink's to_json re-emits the original
+#: JSON values instead of double-encoding them as escaped strings
+#: (ADVICE round 1; golden test: test_resources_raw_json_fragments).
 INCIDENT_FIELDS = [
     "ic", "date", "name", "type", "uuid", "acres", "fuels", "inc_num",
     "fire_num", "latitude", "location", "longitude", "resources",
@@ -43,7 +47,7 @@ INCIDENT_FIELDS = [
 
 INCIDENT_SCHEMA = T.StructType(
     [
-        T.StructField(f, T.ArrayType(T.StringType()) if f == "resources" else T.StringType())
+        T.StructField(f, T.VariantType() if f == "resources" else T.StringType())
         for f in INCIDENT_FIELDS
     ]
 )
@@ -321,7 +325,7 @@ def _synth_incidents(spark, sf_dir: str) -> DataFrame:
         "inc_num": F.lit(None).cast("string"),
         "fire_num": F.lit(None).cast("string"),
         "location": F.lit(None).cast("string"),
-        "resources": F.lit(None).cast(T.ArrayType(T.StringType())),
+        "resources": F.try_parse_json(F.lit(None).cast("string")),
         "webComment": F.lit(None).cast("string"),
         "fire_status": F.lit("Active"),
         "fiscal_data": F.lit(""),

@@ -186,13 +186,35 @@ def test_all_nullable_null_passthrough(spark):
 
 
 def test_resources_raw_json_fragments(spark):
-    # resources: Any[] (task.ts:20) → raw JSON text per element
+    # resources: Any[] (task.ts:20) typed VARIANT → object/number/string
+    # elements keep their JSON identity end to end
     res = [{"res": "E-1"}, "T-2", 3]
     rows = [("C1", envelope_payload([incident(resources=res)]), True)]
     feats, _ = run(spark, rows)
     got = feats[0].feature.properties.metadata.resources
-    assert json.loads(got[0]) == {"res": "E-1"}
-    assert len(got) == 3
+    assert json.loads(got.toJson()) == res
+
+
+def test_resources_roundtrip_through_submit_json(spark):
+    # ADVICE round 1: the submit sink's to_json must re-emit resources
+    # as raw JSON values (an array<string> typing double-encoded object
+    # elements as escaped strings).  Serialize the feature exactly as
+    # sinks.submit_features does and check the payload byte-for-byte
+    # semantics.
+    from etl_wildweb_spark.ingest.wildweb import run_pipeline
+
+    res = [{"res": "E-1", "n": 2}, "T-2", 3, None]
+    rows = [("C1", envelope_payload([incident(resources=res)]), True)]
+    raw = spark.createDataFrame(rows, "center string, payload string, http_ok boolean")
+    features, _ = run_pipeline(raw, None, F.current_timestamp())
+    fc_json = features.select(F.to_json("feature").alias("j")).collect()[0].j
+    feature = json.loads(fc_json)
+    assert feature["properties"]["metadata"]["resources"] == [
+        {"n": 2, "res": "E-1"},  # variant normalizes key order only
+        "T-2",
+        3,
+        None,
+    ]
 
 
 def test_capabilities_publishes_contract_schemas(spark, sf_dir):
