@@ -308,3 +308,59 @@ def b40_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("min_vec_id"),
         F.max("vec_id").alias("max_vec_id"),
     )
+
+
+# ------------------------------------------------- observed ANN quality
+
+def ann_with_recall(
+    spark: SparkSession, sf_dir: str, kind: str
+) -> tuple[DataFrame, "F.Observation"]:
+    """Wrap an ANN path with a ``df.observe`` recall@k probe: the ANN
+    result left-joins the exact top-k on the SAME query sample and the
+    observation aggregates hit-rate *during the action* — no second
+    scan, no separate evaluation job.  This is the A20 observability
+    pattern (metrics.py) applied to retrieval quality: at 100 TB you
+    cannot afford an offline recall study per index build, but you can
+    always afford the exact answer on a ~10-query probe sample (one
+    broadcast pass) riding along with the real query.
+
+    Returns (observed DataFrame, Observation); after any action on the
+    DataFrame, ``obs.get`` carries ``recall_at_10`` and ``n_ann_rows``.
+    """
+    from pyspark.sql import Observation
+
+    ann_fn = {"lsh": b30_ann_lsh, "ivf": b30_ann_ivf}[kind]
+    ann = ann_fn(spark, sf_dir)
+    exact = b30_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1.0).alias("in_exact")
+    )
+    obs = Observation(f"ann_{kind}_quality")
+    observed = (
+        ann.join(exact, ["query_id", "neighbor_id"], "left")
+        .observe(
+            obs,
+            F.round(
+                F.sum(F.coalesce("in_exact", F.lit(0.0)))
+                / F.lit(float(N_QUERIES * TOP_K)),
+                4,
+            ).alias("recall_at_10"),
+            F.count(F.lit(1)).alias("n_ann_rows"),
+        )
+        .drop("in_exact")
+    )
+    return observed, obs
+
+
+@query("b30_ann_lsh_observed")  # approximate → rows-only; recall rides along
+def b30_ann_lsh_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30: the LSH path with its recall@10-vs-exact probe attached as
+    an observe() metric (ADVICE round 1: surface ANN recall as an
+    observable).  tests/test_llmops.py asserts the observed recall
+    meets the same threshold the offline test enforces."""
+    return ann_with_recall(spark, sf_dir, "lsh")[0]
+
+
+@query("b30_ann_ivf_observed")  # approximate → rows-only; recall rides along
+def b30_ann_ivf_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30: the IVF path with the same observed recall@10 probe."""
+    return ann_with_recall(spark, sf_dir, "ivf")[0]

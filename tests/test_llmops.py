@@ -240,3 +240,17 @@ def test_with_shingles_equals_column_form(spark, sf_dir):
         ).collect()
     }
     assert a == b
+
+
+def test_ann_observed_recall_metric(spark, sf_dir):
+    """ADVICE round 1 #9: the ANN paths carry recall as a df.observe
+    metric riding the real query — assert the observed value meets the
+    same thresholds the offline tests enforce."""
+    from etl_wildweb_spark.operators.similarity import ann_with_recall
+
+    for kind in ("lsh", "ivf"):
+        df, obs = ann_with_recall(spark, sf_dir, kind)
+        n_rows = df.count()  # any action completes the observation
+        got = obs.get
+        assert got["n_ann_rows"] == n_rows
+        assert got["recall_at_10"] >= 0.4, (kind, got)
