@@ -122,27 +122,37 @@ PRIORITY: list[str] = [
     "b35_pack_utilization",
     "b32_fake_decode",
     "b36_file_ingest",
-    # round-3 additions: new operators go behind the never-yet-verified
-    # families above (the driver's window is ~50 entries; anything past
-    # it waits for the next rotation).
+]
+
+#: Queries added AFTER the current round's 50-entry verification window
+#: was locked.  They register immediately after PRIORITY (so a wider
+#: driver window picks them up for free) and are the rotation
+#: candidates for the next round's PRIORITY once the current window
+#: comes back green.
+PRIORITY_NEXT: list[str] = [
     "b31_repetition_filters",
     "b31_pii_scan",
     "b37_contamination",
     "b38_merge_upsert",
     "b40_centroid_assign",
     "b28_incremental_dedup",
+    "b30_ann_lsh_observed",
+    "b30_ann_ivf_observed",
 ]
 
 
 def ordered_queries() -> dict[str, QueryFn]:
-    """All registered queries, PRIORITY names first, then the rest in
-    registration order.  This is the order the driver consumes."""
+    """All registered queries: PRIORITY (the current verification
+    window) first, then PRIORITY_NEXT (this round's additions), then
+    the rest in registration order.  This is the order the driver
+    consumes."""
     load_all()
-    missing = [n for n in PRIORITY if n not in QUERIES]
+    head = [*PRIORITY, *PRIORITY_NEXT]
+    missing = [n for n in head if n not in QUERIES]
     if missing:
         raise KeyError(f"PRIORITY names not registered: {missing}")
-    rest = {n: f for n, f in QUERIES.items() if n not in set(PRIORITY)}
-    return {**{n: QUERIES[n] for n in PRIORITY}, **rest}
+    rest = {n: f for n, f in QUERIES.items() if n not in set(head)}
+    return {**{n: QUERIES[n] for n in head}, **rest}
 
 
 def load_all() -> None:

@@ -192,6 +192,7 @@ def read_centers(
     rate_per_sec: float = 0,
     retries: int = 2,
     transport: str = "https",
+    endpoint: str = DEFAULT_ENDPOINT,
 ) -> DataFrame:
     register(spark)
     return (
@@ -201,6 +202,7 @@ def read_centers(
         .option("ratePerSec", rate_per_sec)
         .option("retries", retries)
         .option("transport", transport)
+        .option("endpoint", endpoint)
         .load()
     )
 

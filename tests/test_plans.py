@@ -195,6 +195,8 @@ _NESTED_LOOP_OK = {
     "b30_cosine_topk",
     "b30_ann_ivf",
     "b30_ann_lsh",
+    "b30_ann_ivf_observed",
+    "b30_ann_lsh_observed",
     "b40_centroid_assign",
 }
 

@@ -14,17 +14,25 @@ def test_priority_window_is_exactly_the_verification_targets():
     assert names[: len(registry.PRIORITY)] == registry.PRIORITY
     # the driver's window: 50 entries
     assert len(registry.PRIORITY) == 50
+    # this round's additions follow immediately (picked up by a wider
+    # window; rotation candidates for the next PRIORITY)
+    n = len(registry.PRIORITY)
+    assert names[n : n + len(registry.PRIORITY_NEXT)] == registry.PRIORITY_NEXT
     # no duplicates, nothing dropped
     assert len(set(names)) == len(names)
     assert set(names) == set(registry.QUERIES)
 
 
 def test_priority_oracle_coverage():
-    """Every PRIORITY entry that can be SQL-checked has an oracle; the
-    rows-only ones are the declared streaming/heuristic/side-effecting
-    set and nothing else."""
+    """Every PRIORITY/PRIORITY_NEXT entry that can be SQL-checked has an
+    oracle; the rows-only ones are the declared streaming/heuristic/
+    side-effecting set and nothing else."""
     registry.load_all()
-    rows_only = {n for n in registry.PRIORITY if n not in registry.ORACLES}
+    rows_only = {
+        n
+        for n in registry.PRIORITY + registry.PRIORITY_NEXT
+        if n not in registry.ORACLES
+    }
     assert rows_only == {
         "b23_watermark_tumbling",
         "b24_stream_dedup",
@@ -33,4 +41,6 @@ def test_priority_oracle_coverage():
         "b32_fake_decode",
         "b36_file_ingest",
         "wildweb_envelope_e2e",
+        "b30_ann_lsh_observed",
+        "b30_ann_ivf_observed",
     }
