@@ -1125,3 +1125,36 @@ def b11_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never from raw rows."""
     table(spark, sf_dir, "events").createOrReplaceTempView("hyper_events")
     return spark.sql(_HYPER_BODY.format(e="hyper_events"))
+
+
+@query(
+    "b20_variant_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS k_mod,
+           CAST(json_extract_string(props, '$.missing') AS INTEGER) AS absent,
+           json_valid(props) AS is_obj
+    FROM events
+    """,
+)
+def b20_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20 (Spark 4): semi-structured access through VARIANT —
+    parse_json once, then typed variant_get path extraction.  Variant
+    keeps the parsed binary representation, so repeated path reads skip
+    re-tokenizing the JSON text (the from_json/get_json_object paths in
+    b20_json_funcs re-parse per expression); at 100 TB with many-field
+    telemetry payloads this is the difference between one decode and k
+    decodes per row.  try_variant_get returns NULL for missing paths /
+    failed casts instead of erroring — the PERMISSIVE twin of the typed
+    decode.  Same VARIANT type carries the WildWeb ``resources``
+    pass-through (ingest/wildweb.py)."""
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        (F.variant_get(v, "$.k", "bigint") % 5).alias("k_mod"),
+        F.try_variant_get(v, "$.missing", "int").alias("absent"),
+        F.try_parse_json("props").isNotNull().alias("is_obj"),
+    )

@@ -138,6 +138,7 @@ PRIORITY_NEXT: list[str] = [
     "b28_incremental_dedup",
     "b30_ann_lsh_observed",
     "b30_ann_ivf_observed",
+    "b20_variant_funcs",
 ]
 
 

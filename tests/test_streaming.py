@@ -3,6 +3,7 @@ equivalence under availableNow, watermark emission, stateful dedup."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_wildweb_spark import registry
@@ -102,3 +103,28 @@ def test_custom_stateful_equals_batch_agg(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_matches_batch_and_legacy(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas must agree with both the
+    batch aggregate and the legacy applyInPandasWithState operator.
+    Gated: this container's google.protobuf cannot back the TWS state
+    server (streaming/stateful.py::tws_available)."""
+    from etl_wildweb_spark.streaming.stateful import (
+        b24_custom_stateful,
+        b24_transform_with_state,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable: TWS state server cannot start")
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["max_value"])
+        for r in b24_transform_with_state(spark, sf_dir).collect()
+    }
+    legacy = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["max_value"])
+        for r in b24_custom_stateful(spark, sf_dir).collect()
+    }
+    assert got == legacy
