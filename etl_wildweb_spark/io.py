@@ -34,16 +34,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects outright; read it as raw int64 nanoseconds and
-        # truncate to a µs timestamp — the same ns→µs truncation DuckDB
-        # applies, keeping both engines value-identical (FIXTURES.md note).
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (round-1
+        # corpus) and as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        # (round-2 corpus).  Normalize BOTH to a session-UTC TIMESTAMP so
+        # every downstream query sees one canonical type:
+        #   * NANOS: Spark's reader rejects it outright — read as raw
+        #     int64 via nanosAsLong and truncate ns→µs (DuckDB applies
+        #     the same truncation, FIXTURES.md note).
+        #   * MICROS/NTZ: inferTimestampNTZ yields TIMESTAMP_NTZ, which
+        #     chronon funcs (unix_micros, window(), watermarks) reject;
+        #     under the UTC session the wall-clock cast is value-exact.
         from pyspark.sql import functions as F  # local: io stays light
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -31,8 +31,9 @@ from ..registry import query
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (schema from the batch loader,
-    including the TIMESTAMP(NANOS) → µs conversion)."""
+    """readStream over the events parquet, normalizing ``ts`` to a
+    session-UTC TIMESTAMP exactly like the batch loader (io.table):
+    int64-nanos corpora truncate ns→µs; NTZ-micros corpora cast."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # file streams need a directory basePath; select the single file via glob
@@ -41,7 +42,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def run_to_memory(
