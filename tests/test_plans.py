@@ -181,6 +181,29 @@ def test_tpch_q13_outer_join_preserves_unmatched(plans):
     assert audit.node_count(p, "NestedLoop") == 0
 
 
+# q2's one SortMergeJoin is the per-part min-cost aggregate joined back
+# on partkey: that side is proportional to |part| (fact-sized at 100 TB),
+# so SMJ is the plan you WANT there; statically (AQE off, no stats on the
+# agg subtree) Catalyst can't know it is tiny at bench scale, and AQE
+# converts it to broadcast at runtime.  Every other query: dims only.
+_SMJ_OK = {"tpch_q2"}
+
+
+@pytest.mark.parametrize("name", [f"tpch_q{i}" for i in range(1, 23)])
+def test_tpch_dims_broadcast_no_sort_merge(plans, name):
+    """Every TPC-H query at bench scale plans with ALL dims broadcast —
+    zero SortMergeJoin anywhere in the suite (except the documented
+    fact-sized agg-back edge in _SMJ_OK).  A SMJ appearing HERE means a
+    dim lost its broadcast (stats regression, threshold change, or an
+    accidental shuffle barrier) and the 100 TB plan would shuffle a
+    dimension that fits in memory."""
+    if name in _SMJ_OK:
+        pytest.skip("documented fact-sized sort-merge edge (see _SMJ_OK)")
+    p = plans(name)
+    assert audit.node_count(p, "SortMergeJoin") == 0, name
+    assert audit.node_count(p, "ShuffledHashJoin") == 0, name
+
+
 # ------------------------------------------- engine-wide plan sweep
 
 # Queries allowed to plan a nested-loop/cartesian join:
