@@ -1,0 +1,279 @@
+"""Corpus-preparation operators over the documents table — the
+operations a large-scale LLM training-data pipeline runs after cleaning
+and dedup: chunking for context windows, n-gram language-model counts,
+TF-IDF term ranking, quality-decile bucketing, and the per-source
+dataset card.
+
+All JVM-side (zero Python UDFs).  Scale notes per operator; the common
+theme is that every shuffle here is either vocabulary-sized (orders of
+magnitude below corpus size, thanks to map-side partial aggregation) or
+a per-document narrow transform.
+
+Determinism: every emitted number is integer (counts, scaled-integer
+scores via DIV) so driver hash checks can't hit float-repr edges —
+the functions/exact.py lesson applied corpus-wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import query
+
+#: Chunking geometry: 200-char windows, 150-char stride (50 overlap) —
+#: the classic sliding context-window prep.  Shared with the oracles.
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+
+@query(
+    "b39_doc_chunk",
+    oracle=f"""
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text), 1),
+                                    {CHUNK_STRIDE})) AS i
+      FROM documents)
+    SELECT doc_id,
+           CAST((i - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(i AS BIGINT) AS chunk_start,
+           substr(text, CAST(i AS INTEGER), {CHUNK_SIZE}) AS chunk,
+           CAST(length(substr(text, CAST(i AS INTEGER), {CHUNK_SIZE}))
+                AS BIGINT) AS chunk_len
+    FROM starts
+    """,
+)
+def b39_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking: fixed-size character windows with
+    a stride, one row per (doc, chunk) — the prep step that turns
+    variable-length documents into model-context-sized pieces while the
+    overlap preserves cross-boundary text.
+
+    Scale: posexplode(sequence(...)) is a narrow per-row transform — no
+    shuffle at all; output rows ≈ corpus_chars / stride, written
+    partition-parallel.  Empty documents still emit their one (empty)
+    chunk so downstream accounting sees every doc_id."""
+    d = table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunk = F.col("text").substr(F.col("chunk_start"), F.lit(CHUNK_SIZE))
+    return (
+        d.select("doc_id", "text", F.posexplode(starts).alias("pos", "chunk_start"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("chunk_id"),
+            F.col("chunk_start").cast("bigint").alias("chunk_start"),
+            chunk.alias("chunk"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+        )
+    )
+
+
+@query(
+    "b42_bigram_lm",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    idx AS (SELECT t, unnest(range(1, len(t))) AS i FROM toks),
+    bg AS (SELECT t[CAST(i AS INTEGER)] AS w1,
+                  t[CAST(i AS INTEGER) + 1] AS w2
+           FROM idx),
+    cnt AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+    wp AS (SELECT w1, w2, cnt,
+                  sum(cnt) OVER (PARTITION BY w1) AS prefix_cnt
+           FROM cnt)
+    SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
+           CAST(prefix_cnt AS BIGINT) AS prefix_cnt
+    FROM wp ORDER BY cnt DESC, w1, w2 LIMIT 100
+    """,
+)
+def b42_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model counts: top-100 bigrams with their count
+    and the first-word continuation total (prefix_cnt), i.e. the exact
+    integers behind P(w2|w1) = cnt / prefix_cnt — emitted as ints so the
+    check is float-free and smoothing stays a downstream choice.
+
+    Scale: the bigram explode is narrow; groupBy(w1, w2) map-side
+    combines to vocabulary² (bounded far below corpus size); the
+    prefix window is partitioned BY w1 — vocabulary-wide parallelism,
+    never a global window; the final top-100 is a TakeOrdered, not a
+    global sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.slice(toks, F.lit(1), n - 1),
+        lambda t, i: F.struct(
+            t.alias("w1"), F.element_at(toks, i + F.lit(2)).alias("w2")
+        ),
+    )
+    bg = d.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    prefix = W.partitionBy("w1")
+    return (
+        cnt.withColumn("prefix_cnt", F.sum("cnt").over(prefix))
+        .orderBy(F.desc("cnt"), "w1", "w2")
+        .limit(100)
+    )
+
+
+@query(
+    "b43_tfidf_rank",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, t.token, count(*) AS tf
+      FROM documents, unnest(string_split(text, ' ')) AS t(token)
+      GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS doc_freq
+              FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq,
+             tf.tf * ((1000000 * n.n_docs) // dfreq.doc_freq) AS score
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+          FROM scored)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+           CAST(doc_freq AS BIGINT) AS doc_freq,
+           CAST(score AS BIGINT) AS score, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def b43_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.  The idf is the SCALED-INTEGER
+    (1e6·N) DIV df — monotone in ln(N/df) for ranking purposes and
+    exactly reproducible cross-engine, where a float ln() could flip
+    near-ties between engines and break the hash check.
+
+    Scale: tf groupBy map-side combines to per-doc vocab; doc_freq is
+    vocabulary-sized; N attaches as an UNCORRELATED SCALAR SUBQUERY —
+    Catalyst executes it once as its own tiny stage and inlines the
+    value, so the main plan stays pure hash joins (a constant-key join
+    would constant-fold into BroadcastNestedLoop and trip the
+    engine-wide plan sweep); the ranking window partitions by doc_id —
+    full parallelism."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("docs_tfidf_v")
+    return spark.sql(
+        """
+        WITH tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM (SELECT doc_id, explode(split(text, ' ')) AS token
+                FROM docs_tfidf_v)
+          GROUP BY 1, 2),
+        dfreq AS (SELECT token, count(DISTINCT doc_id) AS doc_freq
+                  FROM tf GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq,
+                 tf.tf * ((1000000L * (SELECT count(*) FROM docs_tfidf_v))
+                          DIV dfreq.doc_freq) AS score
+          FROM tf JOIN dfreq USING (token)),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+              FROM scored)
+        SELECT doc_id, token, tf, doc_freq, score, rank
+        FROM r WHERE rank <= 3
+        """
+    )
+
+
+@query(
+    "b45_quality_deciles",
+    oracle="""
+    WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
+    cum AS (SELECT n_chars, c,
+                   COALESCE(sum(c) OVER (ORDER BY n_chars
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cb,
+                   sum(c) OVER () AS tot
+            FROM h),
+    m AS (SELECT n_chars, least(9, (cb * 10) // tot) AS decile FROM cum)
+    SELECT CAST(m.decile AS INTEGER) AS decile,
+           count(*) AS n_docs,
+           min(d.n_chars) AS min_chars, max(d.n_chars) AS max_chars,
+           CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+    FROM documents d JOIN m USING (n_chars)
+    GROUP BY 1
+    """,
+)
+def b45_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile bucketing by a quality proxy (n_chars) WITHOUT a
+    global row sort: aggregate to the VALUE histogram first (groupBy
+    n_chars — map-side combines to |distinct values|, not |rows|), walk
+    the cumulative counts over that tiny domain, then broadcast the
+    value→decile map back onto the corpus.  decile(v) = ⌊10·|rows below
+    v| / N⌋, capped at 9 — exact, deterministic, no percentile
+    interpolation semantics to reconcile cross-engine.
+
+    Scale: the only row-scale shuffle is the histogram groupBy; the
+    cumulative window runs over distinct VALUES (~10⁵ at 100 TB — the
+    documented single-partition bound, same class as the banded-join
+    band table); the map joins back by BROADCAST.  This is how you do
+    ntile at 100 TB — a global-ORDER ntile window is a one-partition
+    scale-killer."""
+    d = table(spark, sf_dir, "documents")
+    hist = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    cum_w = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, -1)
+    tot_w = W.partitionBy(F.lit(1))
+    mapping = (
+        hist.withColumn("cb", F.coalesce(F.sum("c").over(cum_w), F.lit(0)))
+        .withColumn("tot", F.sum("c").over(tot_w))
+        .select(
+            "n_chars",
+            F.least(F.lit(9), F.expr("cb * 10 DIV tot")).cast("int").alias("decile"),
+        )
+    )
+    return (
+        d.join(F.broadcast(mapping), "n_chars")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "b46_dataset_card",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY 1)
+    SELECT source, n_docs, n_tokens, n_langs, sum_chars,
+           CAST((n_docs * 1000000) // sum(n_docs) OVER () AS BIGINT)
+             AS share_ppm
+    FROM per
+    """,
+)
+def b46_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source dataset card: doc/token/char totals, language
+    spread, and each source's share of the corpus in exact parts-per-
+    million — the summary table a data-mixture decision actually reads.
+
+    Scale: one row-scale groupBy(source) with map-side combine; the
+    share window runs over the per-SOURCE aggregate (rows = |sources|,
+    a constant) — bounded by construction, not by data."""
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    tot_w = W.partitionBy(F.lit(1))
+    return per.withColumn("tot", F.sum("n_docs").over(tot_w)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "sum_chars",
+        F.expr("n_docs * 1000000 DIV tot").cast("bigint").alias("share_ppm"),
+    )

@@ -513,6 +513,110 @@ def b29_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components_bigstar(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 30
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the billion-edge swap that connected_components'
+    docstring promises, implemented so the promise is load-bearing.
+
+    Each round is two groupBy(min) + equi-join passes over the edge
+    list; the graph contracts toward a star per component in O(log n)
+    rounds REGARDLESS of diameter (label propagation above is
+    O(diameter) — fine for near-clique dup blobs, pathological for
+    chain-shaped graphs).  No collect_set: the per-node minimum is a
+    partial-aggregating min(), so high-degree hub nodes never
+    materialize a neighbor list (the skew trap of naive CC).
+
+      large-star: every node links its LARGER neighbors to its local
+                  min m = min(Γ(u) ∪ {u})     — emit (v, m) for v > u
+      small-star: on the now-downward edge list, every node re-links
+                  itself and its smaller neighbors to its min
+                  — emit (u, m) ∪ {(v, m) : v ∈ Γ(u), v ≠ m}
+
+    Fixpoint when the edge multiset stops changing (checked by count +
+    key checksums — one tiny aggregate per round, no exceptAll
+    shuffle).  At fixpoint the edge list IS the component star:
+    (node → component-min)."""
+    raw = edges.selectExpr(f"{src} AS u", f"{dst} AS v")
+    # Self-loops carry membership (the node exists) but no connectivity:
+    # keep their nodes, drop the edges before iterating.
+    e = (
+        raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    )
+    spark = e.sparkSession
+    n_edges = e.count()
+    default_width = spark.sparkContext.defaultParallelism
+    width = max(1, min(default_width, n_edges // 100_000 + 1))
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .repartition(width, "node")
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        # Order-insensitive edge-multiset signature: count + XOR of row
+        # hashes (bit_xor never overflows, unlike a sum under ANSI).
+        row = df.agg(
+            F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")
+        ).collect()[0]
+        return tuple(row)
+
+    sig = _sig(e)
+    for _ in range(max_iter):
+        bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # m(u) = min over neighbors and self — a partial-agg min, never
+        # a neighbor-list materialization.
+        mins = bidir.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        large = (
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # large-star output is strictly downward (v = some min < u), so
+        # small-star operates on it directly.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+        e = small.repartition(width, "u").localCheckpoint(eager=True)
+        nsig = _sig(e)
+        if nsig == sig:
+            break
+        sig = nsig
+    roots = e.groupBy("u").agg(F.min("v").alias("root"))
+    return nodes.join(
+        roots, nodes.node == roots.u, "left"
+    ).select("node", F.coalesce("root", "node").alias("cluster_id"))
+
+
+@query(
+    "b29_cc_bigstar",
+    oracle=_CC_ORACLE_PREFIX.format(shingles=SQL_SHINGLES, thr=NGRAM_THRESHOLD)
+    + """
+    SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def b29_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b29_dup_clusters' twin on the large-star/small-star engine — the
+    O(log n)-round contraction that replaces label propagation when the
+    dup graph stops being near-clique (same edge set, same oracle, same
+    output contract; equivalence also pinned in tests/test_components.py)."""
+    edges = b29_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return connected_components_bigstar(edges).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
 @query(
     "b29_dedup_canonical",
     oracle=_CC_ORACLE_PREFIX.format(shingles=SQL_SHINGLES, thr=NGRAM_THRESHOLD)

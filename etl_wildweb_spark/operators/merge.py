@@ -25,7 +25,7 @@ actual MERGE pays for its join.  At 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..io import table
@@ -101,3 +101,77 @@ def b38_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("NEW").alias("o_orderpriority"),
     )
     return merge_upsert(o, updates.unionByName(inserts), "o_orderkey")
+
+
+@query(
+    "b41_scd2_history",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events),
+    seg AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS version
+      FROM flagged),
+    g AS (
+      SELECT user_id, version, min(event_type) AS event_type,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM seg GROUP BY 1, 2)
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to,
+           CAST(n_events AS BIGINT) AS n_events,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             IS NULL AS is_current
+    FROM g
+    """,
+)
+def b41_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 2: turn an event log into attribute-validity history —
+    per user, collapse consecutive runs of the same event_type into
+    [valid_from, valid_to) intervals with an is_current flag (the
+    slowly-changing-dimension build every warehouse needs next to the
+    SCD-1 merge above).  Change points via lag(), run ids via running
+    sum, intervals closed by lead() — three window passes sharing ONE
+    (user_id)-partitioned sort; ties broken by event_id so the history
+    is deterministic.
+
+    Scale: everything partitions by user_id — full shuffle-width
+    parallelism, no global window; the run-collapse groupBy map-side
+    combines within the already-sorted partitions."""
+    e = table(spark, sf_dir, "events")
+    ew = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(ew).eqNullSafe(F.col("event_type")), 0
+        )
+        .otherwise(1)
+        .alias("chg"),
+    )
+    seg = flagged.withColumn(
+        "version",
+        F.sum("chg").over(ew.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    g = seg.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    vw = W.partitionBy("user_id").orderBy("version")
+    return g.select(
+        "user_id",
+        F.col("version").cast("bigint").alias("version"),
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(vw).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(vw).isNull().alias("is_current"),
+    )

@@ -139,6 +139,13 @@ PRIORITY_NEXT: list[str] = [
     "b30_ann_lsh_observed",
     "b30_ann_ivf_observed",
     "b20_variant_funcs",
+    "b39_doc_chunk",
+    "b41_scd2_history",
+    "b42_bigram_lm",
+    "b43_tfidf_rank",
+    "b45_quality_deciles",
+    "b46_dataset_card",
+    "b29_cc_bigstar",
 ]
 
 
@@ -159,6 +166,7 @@ def ordered_queries() -> dict[str, QueryFn]:
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .operators import (  # noqa: F401
+        corpus,
         dedup,
         merge,
         multimodal,
