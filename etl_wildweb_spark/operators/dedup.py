@@ -466,10 +466,12 @@ def connected_components(
     default_width = spark.sparkContext.defaultParallelism
     width = max(1, min(default_width, n_edges // 100_000 + 1))
     und = und.repartition(width, "v").localCheckpoint(eager=True)
+    # Init fuses propagation round 1 into the node-derivation groupBy:
+    # lab₀ = min(node, min(Γ(node))) — one round (and its two jobs)
+    # saved for free, since deriving the node set shuffles anyway.
     labels = (
-        und.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("lab", F.col("node"))
+        und.groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.col("u"), F.min("v")).alias("lab"))
         .repartition(width, "node")
         .localCheckpoint(eager=True)
     )
@@ -484,8 +486,14 @@ def connected_components(
             F.least("lab", F.coalesce("nlab", "lab")).alias("lab"),
             (F.col("nlab") < F.col("lab")).alias("chg"),
         )
-        nxt = nxt.repartition(width, "node").localCheckpoint(eager=True)
-        changed = nxt.filter(F.col("chg")).limit(1).count()
+        # LAZY checkpoint + full count = ONE job per round (an eager
+        # checkpoint plus a separate convergence count is two); the
+        # unrestricted count touches every partition, so the checkpoint
+        # is fully materialized before lineage is dropped — never pair
+        # a lazy localCheckpoint with a short-circuiting action like
+        # limit(1).count().
+        nxt = nxt.repartition(width, "node").localCheckpoint(eager=False)
+        changed = nxt.filter(F.col("chg")).count()
         labels = nxt.drop("chg")
         if changed == 0:
             break
@@ -588,7 +596,10 @@ def connected_components_bigstar(
             .union(mins2.select("u", F.col("m").alias("v")))
             .distinct()
         )
-        e = small.repartition(width, "u").localCheckpoint(eager=True)
+        # Lazy checkpoint: the signature aggregate reads every partition
+        # (full agg, no short-circuit), materializing the checkpoint in
+        # the same job it uses — one job per round, not two.
+        e = small.repartition(width, "u").localCheckpoint(eager=False)
         nsig = _sig(e)
         if nsig == sig:
             break
