@@ -1,0 +1,151 @@
+"""Event-analytics operators over the events table: ordered funnels and
+cohort retention — the product-analytics staples a general engine gets
+asked for next to windows and sessionization (SURVEY.md §2 extension).
+
+Both are pure DataFrame compositions: per-user aggregates joined on the
+user key, then tiny summary aggregations.  Determinism: time gaps are
+exact integer microseconds (unix_micros), never float seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import query
+
+#: Ordered funnel stages (each must strictly follow the previous).
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@query(
+    "b47_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+    SELECT 1 AS stage, 'view' AS event_type,
+           count(*) AS n_users, CAST(0 AS BIGINT) AS sum_gap_us FROM s1
+    UNION ALL
+    SELECT 2, 'click', count(*),
+           CAST(sum(epoch_us(t2) - epoch_us(t1)) AS BIGINT)
+    FROM s2 JOIN s1 USING (user_id)
+    UNION ALL
+    SELECT 3, 'purchase', count(*),
+           CAST(sum(epoch_us(t3) - epoch_us(t2)) AS BIGINT)
+    FROM s3 JOIN s2 USING (user_id)
+    """,
+)
+def b47_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel (view → click → purchase): a user counts at stage
+    k only with an event strictly AFTER their stage-k-1 entry time —
+    the sequence constraint that separates a funnel from three bare
+    counts.  Emits per-stage reach plus the exact summed conversion
+    gap in integer microseconds (averages are a downstream division).
+
+    Scale: each stage is filter → per-user min — partial aggregates
+    that shuffle once on user_id, then user-keyed equi-joins that all
+    reuse the SAME hash partitioning (Catalyst chains them without
+    re-exchanging); stage outputs shrink monotonically, and the final
+    stage summaries are single-row aggregates.  No windows, no global
+    sorts, no per-user event-list materialization."""
+    e = table(spark, sf_dir, "events")
+
+    def stage(ev: str, prev: DataFrame | None, prev_t: str, t: str) -> DataFrame:
+        s = e.filter(F.col("event_type") == ev)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return s.groupBy("user_id").agg(F.min("ts").alias(t))
+
+    s1 = stage("view", None, "", "t1")
+    s2 = stage("click", s1, "t1", "t2")
+    s3 = stage("purchase", s2, "t2", "t3")
+
+    def summary(num: int, ev: str, df: DataFrame, gap) -> DataFrame:
+        return df.agg(
+            F.lit(num).alias("stage"),
+            F.lit(ev).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.coalesce(F.sum(gap), F.lit(0)).cast("bigint").alias("sum_gap_us"),
+        )
+
+    return (
+        summary(1, "view", s1, F.lit(0))
+        .unionAll(
+            summary(
+                2,
+                "click",
+                s2.join(s1, "user_id"),
+                F.unix_micros("t2") - F.unix_micros("t1"),
+            )
+        )
+        .unionAll(
+            summary(
+                3,
+                "purchase",
+                s3.join(s2, "user_id"),
+                F.unix_micros("t3") - F.unix_micros("t2"),
+            )
+        )
+    )
+
+
+@query(
+    "b48_retention",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY 1),
+    activity AS (
+      SELECT DISTINCT e.user_id, c.cohort_week,
+             date_diff('day', c.cohort_week,
+                       date_trunc('week', e.ts)) // 7 AS week_k
+      FROM events e JOIN cohorts c USING (user_id))
+    SELECT cohort_week, CAST(week_k AS INTEGER) AS week_k,
+           count(*) AS n_active
+    FROM activity
+    GROUP BY 1, 2
+    """,
+)
+def b48_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen ISO week, counted
+    as active in each subsequent week — the (cohort_week, week_k,
+    n_active) triangle behind every retention curve.  week_k is an
+    exact integer (both engines truncate to Monday week starts, so the
+    day difference is divisible by 7 by construction).
+
+    Scale: one shuffle for per-user first-seen, one user-keyed join
+    (re-uses the same partitioning), a distinct at (user, week) grain
+    — corpus-sized but combiner-friendly — and a final cohort-sized
+    aggregate.  Nothing global, nothing windowed."""
+    e = table(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_k"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_k").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )

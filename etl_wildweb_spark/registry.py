@@ -146,6 +146,8 @@ PRIORITY_NEXT: list[str] = [
     "b45_quality_deciles",
     "b46_dataset_card",
     "b29_cc_bigstar",
+    "b47_funnel",
+    "b48_retention",
 ]
 
 
@@ -166,6 +168,7 @@ def ordered_queries() -> dict[str, QueryFn]:
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .operators import (  # noqa: F401
+        analytics,
         corpus,
         dedup,
         merge,
