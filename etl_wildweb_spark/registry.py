@@ -148,6 +148,7 @@ PRIORITY_NEXT: list[str] = [
     "b29_cc_bigstar",
     "b47_funnel",
     "b48_retention",
+    "b49_quality_checks",
 ]
 
 
@@ -174,6 +175,7 @@ def load_all() -> None:
         merge,
         multimodal,
         packing,
+        quality,
         relational,
         sampling,
         similarity,
