@@ -103,6 +103,65 @@ def b38_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(o, updates.unionByName(inserts), "o_orderkey")
 
 
+def stream_scd1_snapshot(
+    stream: DataFrame, key: str, order_cols: list[str], snap_dir: str
+):
+    """Continuous SCD-1: maintain a latest-row-per-key parquet snapshot
+    from a stream via foreachBatch — the streaming half of the MERGE
+    story (micro-batch upsert, the pattern behind every bronze→silver
+    compaction job).
+
+    Each batch unions with the previous snapshot VERSION and keeps the
+    max_by row per key ordered by ``order_cols`` — order-independent
+    across batches, so retried/replayed micro-batches converge to the
+    same snapshot (idempotent under at-least-once delivery).  Versioned
+    directories (v0, v1, ...) sidestep the read-then-overwrite-same-
+    path hazard; production would swap a table pointer or use a
+    transactional table format the same way.
+
+    Scale: per batch, one hash exchange on the key over
+    |batch| + |snapshot| rows; max_by is a partial aggregate (no per-key
+    sort).  A bucketed snapshot makes the nightly variant exchange-free
+    (see module docstring).  Returns a started StreamingQuery."""
+    import os as _os
+
+    spark = stream.sparkSession
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        prev = _os.path.join(snap_dir, f"v{batch_id}")
+        cur = _os.path.join(snap_dir, f"v{batch_id + 1}")
+        merged = batch
+        if _os.path.exists(prev):
+            merged = batch.unionByName(spark.read.parquet(prev))
+        cols = [c for c in merged.columns if c != key]
+        latest = merged.groupBy(key).agg(
+            F.max_by(F.struct(*cols), F.struct(*order_cols)).alias("_r")
+        )
+        latest.select(key, *[f"_r.{c}" for c in cols]).write.mode(
+            "overwrite"
+        ).parquet(cur)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", _os.path.join(snap_dir, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_scd1_snapshot(spark: SparkSession, snap_dir: str) -> DataFrame:
+    """Latest version of a stream_scd1_snapshot directory."""
+    import os as _os
+
+    versions = sorted(
+        (d for d in _os.listdir(snap_dir) if d.startswith("v")),
+        key=lambda d: int(d[1:]),
+    )
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions under {snap_dir}")
+    return spark.read.parquet(_os.path.join(snap_dir, versions[-1]))
+
+
 @query(
     "b41_scd2_history",
     oracle="""

@@ -121,3 +121,48 @@ def test_centroid_assign_partitions_corpus(spark, sf_dir):
     # each seed belongs to its own cluster (cos(v, v) = 1 is maximal)
     seeds = {r["cluster_id"] for r in out}
     assert seeds <= set(range(8)) and len(out) == len(seeds)
+
+
+def test_stream_scd1_snapshot_matches_batch(spark, sf_dir, tmp_path):
+    """Multi-micro-batch streaming upsert converges to the same
+    latest-row-per-user snapshot as the one-shot batch aggregation —
+    regardless of which file lands in which micro-batch."""
+    from etl_wildweb_spark.io import table
+    from etl_wildweb_spark.operators.merge import (
+        read_scd1_snapshot,
+        stream_scd1_snapshot,
+    )
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    e.repartition(4).write.parquet(src)  # 4 files → 4 micro-batches
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_scd1_snapshot(
+        stream, "user_id", ["ts", "event_id"], str(tmp_path / "snap")
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.user_id: (r.ts, r.event_id, r.event_type)
+        for r in read_scd1_snapshot(spark, str(tmp_path / "snap")).collect()
+    }
+    want = {
+        r.user_id: (r.ts, r.event_id, r.event_type)
+        for r in e.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "event_id", "event_type"),
+                F.struct("ts", "event_id"),
+            ).alias("r")
+        )
+        .select("user_id", "r.ts", "r.event_id", "r.event_type")
+        .collect()
+    }
+    assert got == want
