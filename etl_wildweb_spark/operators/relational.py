@@ -902,6 +902,75 @@ def b11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b11_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, val
+    FROM (SELECT o_orderkey,
+                 CAST(o_totalprice AS DOUBLE) AS totalprice,
+                 CAST(o_custkey AS DOUBLE) AS custkey
+          FROM orders WHERE o_orderkey <= 2000)
+    UNPIVOT (val FOR metric IN (totalprice, custkey))
+    """,
+)
+def b11_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 inverse: UNPIVOT / melt — wide metric columns to (key,
+    metric, value) long form, the reshaping step feeding generic
+    metric stores and plotting layers.  ``DataFrame.unpivot`` plans as
+    an Expand node: a narrow per-row fan-out (one output row per
+    metric), zero shuffles, fully codegen'd — at 100 TB the cost is
+    exactly the output write, same class as chunking."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return wide.unpivot(
+        ["o_orderkey"], ["totalprice", "custkey"], "metric", "val"
+    )
+
+
+@query(
+    "b18_width_bucket",
+    oracle="""
+    -- DuckDB has no width_bucket; this replays Spark's exact formula
+    -- (floor((x - lo) / ((hi - lo) / n)) + 1, clamped to [0, n+1]) with
+    -- the same operation order so float boundaries agree bit-for-bit.
+    SELECT CASE WHEN x < 0.0 THEN 0
+                WHEN x >= 600000.0 THEN 21
+                ELSE CAST(floor(x / 30000.0) AS BIGINT) + 1 END AS bucket,
+           count(*) AS n_orders,
+           min(o_orderkey) AS min_key
+    FROM (SELECT CAST(o_totalprice AS DOUBLE) AS x, o_orderkey FROM orders)
+    GROUP BY 1
+    """,
+)
+def b18_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 companion: equi-width histogram binning via width_bucket —
+    the SQL-standard binning primitive behind distribution dashboards.
+    Bucket boundaries are compile-time constants, so the bin id is a
+    pure scan-side expression: one map-side-combining groupBy over at
+    most n_buckets+2 groups regardless of data volume."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket",
+            F.width_bucket(
+                F.col("o_totalprice").cast("double"),
+                F.lit(0.0),
+                F.lit(600000.0),
+                F.lit(20),
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+    )
+
+
+@query(
     "b06_scalar_subquery",
     oracle="""
     SELECT p_partkey, p_name,

@@ -149,6 +149,8 @@ PRIORITY_NEXT: list[str] = [
     "b47_funnel",
     "b48_retention",
     "b49_quality_checks",
+    "b11_unpivot",
+    "b18_width_bucket",
 ]
 
 
