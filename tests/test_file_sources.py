@@ -10,6 +10,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from pyspark.sql import functions as F
+
 from etl_wildweb_spark.sources.files import read_csv, read_jsonl
 
 SCHEMA = StructType(
@@ -58,3 +60,29 @@ def test_no_errors_is_empty_channel(spark, tmp_path):
     clean, errors = read_jsonl(spark, str(p), SCHEMA)
     assert clean.count() == 1
     assert errors.count() == 0
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC coverage (the other first-class columnar format): lossless
+    round-trip of the documents table and filter pushdown reaching the
+    ORC scan — format breadth is free when the engine is declarative,
+    but only if nothing in the pipeline assumes parquet."""
+    from etl_wildweb_spark.io import table
+
+    d = table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_orc")
+    d.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == d.schema
+    assert back.count() == d.count()
+    assert (
+        back.exceptAll(d).count() == 0 and d.exceptAll(back).count() == 0
+    )
+    plan = (
+        back.filter(F.col("lang") == "en")
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "lang" in plan
