@@ -238,6 +238,58 @@ def b45_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b50_grouped_median",
+    oracle="""
+    WITH h AS (SELECT lang, n_chars, count(*) AS c
+               FROM documents GROUP BY 1, 2),
+    cum AS (SELECT lang, n_chars, c,
+                   sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                                ROWS UNBOUNDED PRECEDING) AS cumc,
+                   sum(c) OVER (PARTITION BY lang) AS tot
+            FROM h)
+    SELECT lang,
+           CAST(min(n_chars) AS BIGINT) AS median_chars,
+           CAST(min(tot) AS BIGINT) AS n_docs
+    FROM cum
+    WHERE cumc >= (tot + 1) // 2
+    GROUP BY lang
+    """,
+)
+def b50_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (percentile_disc(0.5): the smallest value
+    whose cumulative count reaches ⌈n/2⌉) via the value-histogram walk —
+    the grouped generalization of b45's decile trick, and the scalable
+    replacement for a per-group sort-based percentile.
+
+    Scale: the only row-scale shuffle is groupBy(lang, value) with
+    map-side combine; both windows run over the per-group VALUE domain
+    (|langs| × |distinct values|), partitioned by group — never a
+    row-count-sized window.  Discrete selection keeps the result an
+    exact input value: no interpolation semantics to reconcile
+    cross-engine (the b10_percentile lesson)."""
+    d = table(spark, sf_dir, "documents")
+    hist = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    cum_w = (
+        W.partitionBy("lang").orderBy("n_chars").rowsBetween(W.unboundedPreceding, 0)
+    )
+    tot_w = W.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "n_chars",
+        F.sum("c").over(cum_w).alias("cumc"),
+        F.sum("c").over(tot_w).alias("tot"),
+    )
+    return (
+        cum.filter(F.col("cumc") >= F.expr("(tot + 1) DIV 2"))
+        .groupBy("lang")
+        .agg(
+            F.min("n_chars").cast("bigint").alias("median_chars"),
+            F.min("tot").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+@query(
     "b46_dataset_card",
     oracle="""
     WITH per AS (

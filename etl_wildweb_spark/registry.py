@@ -151,6 +151,7 @@ PRIORITY_NEXT: list[str] = [
     "b49_quality_checks",
     "b11_unpivot",
     "b18_width_bucket",
+    "b50_grouped_median",
 ]
 
 
