@@ -100,6 +100,78 @@ def b47_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b51_resample_ffill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds),
+    j AS (
+      SELECT g.user_id, g.day, COALESCE(d.n, 0) AS n_events,
+             max(CASE WHEN d.n IS NOT NULL THEN g.day END)
+               OVER (PARTITION BY g.user_id ORDER BY g.day
+                     ROWS UNBOUNDED PRECEDING) AS last_seen_day
+      FROM grid g LEFT JOIN daily d
+        ON g.user_id = d.user_id AND g.day = d.day)
+    SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+           last_seen_day,
+           CAST(date_diff('day', last_seen_day, day) AS INTEGER)
+             AS days_since_seen
+    FROM j
+    """,
+)
+def b51_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill: densify each user's
+    activity onto a complete daily grid over their own [first, last]
+    span, then gap-fill — n_events = 0 on silent days, last_seen_day
+    carried forward, days_since_seen as the exact recency feature.
+    This is the gap-filling primitive behind churn features and
+    continuous training signals, where missing rows are data.
+
+    Scale: the grid explode is proportional to user-spans (output-
+    sized, narrow); the grid⋈daily join and the forward-fill window
+    both key on user_id — one partitioning reused end-to-end, nothing
+    global.  The fill is max-over-prefix of observed days (a running
+    aggregate), not a last(ignoreNulls) over an unbounded sort — same
+    semantics, partial-aggregate-friendly frame."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    from pyspark.sql import Window as W
+
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    last_seen = F.max(
+        F.when(F.col("n").isNotNull(), F.col("day"))
+    ).over(w)
+    return j.select(
+        "user_id",
+        "day",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        last_seen.alias("last_seen_day"),
+        F.datediff(F.col("day"), last_seen).cast("int").alias("days_since_seen"),
+    )
+
+
+@query(
     "b48_retention",
     oracle="""
     WITH cohorts AS (

@@ -152,6 +152,7 @@ PRIORITY_NEXT: list[str] = [
     "b11_unpivot",
     "b18_width_bucket",
     "b50_grouped_median",
+    "b51_resample_ffill",
 ]
 
 
