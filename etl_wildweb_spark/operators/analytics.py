@@ -100,6 +100,60 @@ def b47_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b52_sequence_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2,
+             lag(ts, 2) OVER w AS t0
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, t0 AS start_ts, ts AS end_ts, event_id AS end_event_id,
+           CAST(epoch_us(ts) - epoch_us(t0) AS BIGINT) AS span_us
+    FROM seq
+    WHERE event_type = 'purchase' AND p1 = 'click' AND p2 = 'view'
+    """,
+)
+def b52_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-lite sequence pattern matching: find every STRICTLY
+    CONSECUTIVE view→click→purchase triple in each user's event stream
+    (no interleaving events allowed — the adjacency-sensitive pattern a
+    funnel can't express).  MATCH_RECOGNIZE's fixed-length core as two
+    lag() taps over one per-user sort; variable-length patterns
+    (view+ click? purchase) extend this with run-collapse (the
+    b41_scd2_history segmenter) before the lag taps.
+
+    Scale: one (user_id)-partitioned window, predicates evaluated
+    in-row — a single shuffle and a narrow scan, output-bounded by
+    match count.  Span is exact integer microseconds."""
+    e = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.lag("ts", 2).over(w).alias("t0"),
+    )
+    return seq.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("p1") == "click")
+        & (F.col("p2") == "view")
+    ).select(
+        "user_id",
+        F.col("t0").alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+        F.col("event_id").alias("end_event_id"),
+        (F.unix_micros("ts") - F.unix_micros("t0")).alias("span_us"),
+    )
+
+
+@query(
     "b51_resample_ffill",
     oracle="""
     WITH daily AS (

@@ -153,6 +153,7 @@ PRIORITY_NEXT: list[str] = [
     "b18_width_bucket",
     "b50_grouped_median",
     "b51_resample_ffill",
+    "b52_sequence_match",
 ]
 
 
