@@ -126,3 +126,42 @@ def b34_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hash_bucket(F.col("doc_id"), 16) < F.col("rate"))
         .select("doc_id", "source", "n_chars")
     )
+
+
+@query(
+    "b53_train_val_test",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang,
+             CASE WHEN {SQL_BUCKET.format(key="doc_id", n=100)} < 80
+                    THEN 'train'
+                  WHEN {SQL_BUCKET.format(key="doc_id", n=100)} < 90
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, count(*) AS n_docs
+    FROM tagged GROUP BY 1, 2
+    """,
+)
+def b53_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical ML split: 80/10/10 train/val/test assigned by
+    content-hash bucket — disjoint and exhaustive BY CONSTRUCTION (one
+    bucket value maps to exactly one split), stable as the corpus
+    grows (a new document never moves an old one across splits, the
+    property random splits lack), and portable (md5 agrees in every
+    engine).  Emitted as per-(split, lang) counts so the leakage-free
+    partition is itself the checked artifact.
+
+    Scale: one map-side bucket expression + a tiny groupBy — the split
+    of a 100 TB corpus costs one scan, and writing the three splits is
+    a partitionBy('split') on the same pass."""
+    d = table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

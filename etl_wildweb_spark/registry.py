@@ -154,6 +154,7 @@ PRIORITY_NEXT: list[str] = [
     "b50_grouped_median",
     "b51_resample_ffill",
     "b52_sequence_match",
+    "b53_train_val_test",
 ]
 
 
