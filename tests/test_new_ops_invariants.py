@@ -1,0 +1,93 @@
+"""Structural invariants for this round's operators — properties the
+oracle differential can't express (reassembly, monotonicity,
+partition-ness, grid contiguity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_wildweb_spark import registry
+from etl_wildweb_spark.io import table
+from etl_wildweb_spark.operators.corpus import CHUNK_SIZE, CHUNK_STRIDE
+
+registry.load_all()
+
+
+def test_chunks_reassemble_to_documents(spark, sf_dir):
+    """Dropping each chunk's overlap tail (keep first CHUNK_STRIDE
+    chars, all of the last chunk) and concatenating in chunk_id order
+    reconstructs every document exactly."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = registry.QUERIES["b39_doc_chunk"](spark, sf_dir)
+    w_max = chunks.groupBy("doc_id").agg(F.max("chunk_id").alias("last_id"))
+    rebuilt = (
+        chunks.join(w_max, "doc_id")
+        .withColumn(
+            "piece",
+            F.when(
+                F.col("chunk_id") < F.col("last_id"),
+                F.col("chunk").substr(1, CHUNK_STRIDE),
+            ).otherwise(F.col("chunk")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("chunk_id", "piece")))
+                .getField("piece")
+            ).alias("rebuilt")
+        )
+    )
+    diff = (
+        d.join(rebuilt, "doc_id")
+        .filter(F.col("text") != F.col("rebuilt"))
+        .count()
+    )
+    assert diff == 0
+    assert CHUNK_STRIDE <= CHUNK_SIZE  # overlap ≥ 0 by config
+
+
+def test_funnel_stage_counts_monotone(spark, sf_dir):
+    rows = {r.stage: r.n_users for r in
+            registry.QUERIES["b47_funnel"](spark, sf_dir).collect()}
+    assert rows[1] >= rows[2] >= rows[3] >= 0
+
+
+def test_split_is_partition(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    out = registry.QUERIES["b53_train_val_test"](spark, sf_dir)
+    total = out.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == d.count()  # exhaustive; disjoint by construction
+    splits = {r.split for r in out.collect()}
+    assert splits == {"train", "val", "test"}
+
+
+def test_resample_grid_contiguous_and_count_preserving(spark, sf_dir):
+    out = registry.QUERIES["b51_resample_ffill"](spark, sf_dir)
+    e = table(spark, sf_dir, "events")
+    # per-user grid row count == span days; event counts preserved
+    per_user = out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("span"),
+        F.sum("n_events").alias("n_events"),
+    )
+    assert per_user.filter(F.col("n_rows") != F.col("span")).count() == 0
+    want = {r.user_id: r.n for r in
+            e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r.user_id: r.n_events for r in per_user.collect()}
+    assert got == want
+
+
+def test_grouped_median_matches_bruteforce(spark, sf_dir):
+    """Brute-force check: per lang, the reported median equals the
+    sorted value at index ceil(n/2)-1."""
+    d = table(spark, sf_dir, "documents")
+    got = {r.lang: (r.median_chars, r.n_docs) for r in
+           registry.QUERIES["b50_grouped_median"](spark, sf_dir).collect()}
+    rows = d.select("lang", "n_chars").collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.n_chars)
+    for lang, vals in by_lang.items():
+        vals.sort()
+        want = vals[(len(vals) + 1) // 2 - 1]
+        assert got[lang] == (want, len(vals)), lang
