@@ -509,6 +509,41 @@ def b11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b11_grouping_id",
+    oracle="""
+    SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def b11_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 completeness: grouping_id() — the bitmask that tells a cube
+    consumer WHICH aggregation level each row came from, required the
+    moment a grouped column can itself be NULL (COALESCE sentinels
+    alone can't distinguish 'NULL value' from 'rolled up').  Oracle
+    builds the same mask from per-column GROUPING() bits (DuckDB has no
+    combined grouping_id)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "gid",
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+        )
+    )
+
+
+@query(
     "b11_cube",
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

@@ -155,6 +155,7 @@ PRIORITY_NEXT: list[str] = [
     "b51_resample_ffill",
     "b52_sequence_match",
     "b53_train_val_test",
+    "b11_grouping_id",
 ]
 
 
