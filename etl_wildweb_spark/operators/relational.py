@@ -1032,6 +1032,38 @@ def b06_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b55_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    """,
+)
+def b55_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with per-row LIMIT — the 'top-N of
+    the related table for each outer row' idiom in its SQL-standard
+    spelling (both engines speak it verbatim).  Catalyst decorrelates
+    the lateral into a hash join + per-key ranking: the executed plan
+    is a BroadcastHashJoin, NOT a per-outer-row re-execution — the
+    property that makes lateral viable at scale (verified: zero
+    nested-loop nodes, covered by the engine-wide plan sweep).
+    Deterministic via the (acctbal DESC, name) total order."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat_v")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_lat_v n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer_lat_v c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        """
+    )
+
+
+@query(
     "b07_join_range_banded",
     oracle="""
     SELECT s_suppkey, count(*) AS n_richer_customers

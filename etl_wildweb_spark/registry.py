@@ -156,6 +156,7 @@ PRIORITY_NEXT: list[str] = [
     "b52_sequence_match",
     "b53_train_val_test",
     "b11_grouping_id",
+    "b55_lateral_topk",
 ]
 
 
