@@ -364,3 +364,64 @@ def b30_ann_lsh_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b30_ann_ivf_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B30: the IVF path with the same observed recall@10 probe."""
     return ann_with_recall(spark, sf_dir, "ivf")[0]
+
+
+@query(
+    "b56_embedding_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+             list_transform(embedding,
+               x -> CAST(round(127.0 * CAST(x AS DOUBLE) /
+                    list_max(list_transform(embedding,
+                             y -> abs(CAST(y AS DOUBLE))))) AS BIGINT))
+               AS qv
+      FROM embeddings)
+    SELECT vec_id, label,
+           CAST(round(max_abs * 1000000) AS BIGINT) AS scale_ppm,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max
+    FROM q
+    """,
+)
+def b56_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4×
+    storage/bandwidth cut every billion-vector ANN index takes before
+    sharding (scale = per-vector max|x|, q = round(127·x/scale)).
+    Emitted as per-vector integer summaries (scale in exact ppm, sum/
+    min/max of the quantized values) so the check is float-repr-free:
+    every number is an integer derived from IEEE-exact steps (f32→f64
+    widening is exact, both engines round half-away-from-zero).
+
+    Scale: pure narrow per-row transform over the vector column — zero
+    shuffles; the production variant writes q_arr (array<tinyint>) +
+    scale side-by-side with the same plan shape, and the ANN operators
+    up-cast on the fly."""
+    e = table(spark, sf_dir, "embeddings")
+    max_abs = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    withq = e.select(
+        "vec_id",
+        "label",
+        max_abs.alias("max_abs"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(F.lit(127.0) * x.cast("double") / max_abs).cast(
+                "bigint"
+            ),
+        ).alias("qv"),
+    )
+    return withq.select(
+        "vec_id",
+        "label",
+        F.round(F.col("max_abs") * 1_000_000).cast("bigint").alias("scale_ppm"),
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    )

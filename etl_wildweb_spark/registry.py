@@ -157,6 +157,7 @@ PRIORITY_NEXT: list[str] = [
     "b53_train_val_test",
     "b11_grouping_id",
     "b55_lateral_topk",
+    "b56_embedding_quantize",
 ]
 
 
