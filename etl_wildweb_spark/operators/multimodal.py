@@ -113,6 +113,57 @@ def b32_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Resize target: the fake keeps ≤64 evenly-strided bytes per blob —
+#: the byte-subsampling analog of a thumbnail.
+RESIZE_TARGET = 64
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, out_len int, out_sum bigint, out_first int, out_last int"
+)
+
+
+def fake_resize_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """STUB resize (deterministic fake): a real implementation would
+    decode + rescale pixels here; the fake subsamples every k-th byte
+    (k = ⌈len/target⌉) — same contract as a thumbnail: bounded output
+    size, content-dependent values, order-preserving.  Emits integer
+    summaries of the 'resized' bytes so tests assert exact values."""
+    for pdf in batches:
+        out_len, out_sum, out_first, out_last = [], [], [], []
+        for b in pdf["blob"]:
+            step = max(1, len(b) // RESIZE_TARGET)
+            r = b[::step][:RESIZE_TARGET] if len(b) else b"\x00"
+            out_len.append(len(r))
+            out_sum.append(sum(r))
+            out_first.append(r[0])
+            out_last.append(r[-1])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "out_len": pd.array(out_len, dtype="int32"),
+                "out_sum": pd.array(out_sum, dtype="int64"),
+                "out_first": pd.array(out_first, dtype="int32"),
+                "out_last": pd.array(out_last, dtype="int32"),
+            }
+        )
+
+
+@query("b32_fake_resize")  # binary → bounded binary via mapInPandas; rows-only
+def b32_fake_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32: the resize/thumbnail operator shape — mapInPandas over the
+    blob column with a bounded-size output contract (every input maps
+    to ≤ RESIZE_TARGET bytes).  Same pruning/batching story as decode;
+    at 100 TB this is the step that shrinks a crawl's media payload
+    before feature extraction, so output size bounds matter more than
+    fidelity."""
+    d = with_blob_columns(table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "blob").mapInPandas(
+        fake_resize_batches, schema=RESIZE_SCHEMA
+    )
+
+
 @query(
     "b32_frame_sample",
     oracle="""

@@ -158,6 +158,7 @@ PRIORITY_NEXT: list[str] = [
     "b11_grouping_id",
     "b55_lateral_topk",
     "b56_embedding_quantize",
+    "b32_fake_resize",
 ]
 
 

@@ -91,3 +91,21 @@ def test_grouped_median_matches_bruteforce(spark, sf_dir):
         vals.sort()
         want = vals[(len(vals) + 1) // 2 - 1]
         assert got[lang] == (want, len(vals)), lang
+
+
+def test_fake_resize_exact_and_bounded(spark, sf_dir):
+    """The resize stub's Spark-side output matches a pure-Python replay
+    byte-for-byte and respects the bounded-output contract."""
+    from etl_wildweb_spark.operators.multimodal import RESIZE_TARGET
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    want = {}
+    for r in d:
+        b = r.text.encode("utf-8")
+        step = max(1, len(b) // RESIZE_TARGET)
+        rz = b[::step][:RESIZE_TARGET] if len(b) else b"\x00"
+        want[r.doc_id] = (len(rz), sum(rz), rz[0], rz[-1])
+    out = registry.QUERIES["b32_fake_resize"](spark, sf_dir).collect()
+    got = {r.doc_id: (r.out_len, r.out_sum, r.out_first, r.out_last) for r in out}
+    assert got == want
+    assert all(v[0] <= RESIZE_TARGET for v in got.values())
