@@ -112,3 +112,49 @@ def b49_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for chk in checks[1:]:
         out = out.unionAll(chk)
     return out
+
+
+#: Field delimiter for row serialization in fingerprints — unit
+#: separator, can't appear in the corpus text, prevents ("a","bc") vs
+#: ("ab","c") collisions that a bare concat would allow.
+_FP_SEP = "\x1f"
+
+
+@query(
+    "b57_table_fingerprint",
+    oracle=f"""
+    SELECT 'documents' AS tbl,
+           count(*) AS n_rows,
+           bit_xor(CAST(('0x' || substring(md5(
+               CAST(doc_id AS VARCHAR) || '{_FP_SEP}' || lang ||
+               '{_FP_SEP}' || source || '{_FP_SEP}' ||
+               CAST(n_chars AS VARCHAR)), 1, 15)) AS BIGINT)) AS xor_hash,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    """,
+)
+def b57_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint: (row count, XOR of per-row
+    md5-derived 64-bit hashes, an exact column sum) — the anti-entropy
+    primitive for validating replicas/migrations without moving data
+    (compare three numbers instead of two tables).  XOR is commutative
+    and overflow-free, so the fingerprint is independent of row order,
+    partitioning, AND engine — md5 agrees everywhere (the sampling.py
+    portability argument), where xxhash64 seeds would not.
+
+    Scale: a single full-scan partial aggregate — map-side XOR/sum then
+    a 1-row reduce; zero shuffles of row data.  Fingerprint any table
+    by swapping the serialized column list."""
+    d = table(spark, sf_dir, "documents")
+    # 15 hex chars = 60 bits: fits BIGINT in both engines (16 would
+    # overflow 2^63 and error under ANSI casts).
+    return d.agg(
+        F.lit("documents").alias("tbl"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            f"bit_xor(CAST(conv(substring(md5(CAST(concat_ws('{_FP_SEP}', "
+            "CAST(doc_id AS STRING), lang, source, CAST(n_chars AS STRING)) "
+            "AS BINARY)), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("xor_hash"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

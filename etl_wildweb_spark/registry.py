@@ -159,6 +159,7 @@ PRIORITY_NEXT: list[str] = [
     "b55_lateral_topk",
     "b56_embedding_quantize",
     "b32_fake_resize",
+    "b57_table_fingerprint",
 ]
 
 
