@@ -160,6 +160,7 @@ PRIORITY_NEXT: list[str] = [
     "b56_embedding_quantize",
     "b32_fake_resize",
     "b57_table_fingerprint",
+    "b58_stream_funnel",
 ]
 
 

@@ -217,3 +217,108 @@ if tws_available():  # pragma: no cover - gated on container deps
     b24_transform_with_state = query("b24_transform_with_state")(
         b24_transform_with_state
     )
+
+
+# ------------------------------------------------- streaming funnel (CEP)
+
+FUNNEL_OUT = "user_id bigint, stage int, reached_us bigint"
+FUNNEL_STATE = "stage int, t bigint"
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_progress(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user funnel state machine (view → click → purchase, each
+    strictly after the previous stage's entry): state = (stage index,
+    entry ts µs).  Correct under IN-ORDER event time across batches —
+    the staging below guarantees it; out-of-order CEP needs candidate
+    retention + watermark finalization (documented trade-off, same as
+    any streaming MATCH_RECOGNIZE)."""
+    (user_id,) = key
+    stage, t = state.get if state.exists else (0, None)
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts", "event_id"])
+    for ts, etype in zip(batch["ts"], batch["event_type"]):
+        ts_us = int(pd.Timestamp(ts).value // 1000)
+        if stage < len(_FUNNEL_STAGES) and etype == _FUNNEL_STAGES[stage] and (
+            t is None or ts_us > t
+        ):
+            stage += 1
+            t = ts_us
+    state.update((stage, t if t is not None else -1))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "stage": [stage],
+            "reached_us": [t if t is not None else -1],
+        }
+    )
+
+
+def _time_sliced_stream(
+    spark: SparkSession, sf_dir: str, n_slices: int = 4
+) -> tuple[DataFrame, str]:
+    """Stage events as ``n_slices`` DISJOINT TIME RANGES written
+    sequentially (one write job per slice → strictly increasing file
+    modification times), so the file stream's mtime ordering replays
+    event time in order across micro-batches — the precondition the
+    funnel state machine declares."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    chunk_dir = tempfile.mkdtemp(prefix="events_slices_")
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    bounds = e.agg(F.min("ts"), F.max("ts")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    span = (hi - lo) / n_slices
+    for i in range(n_slices):
+        a = lo + span * i
+        b = hi if i == n_slices - 1 else lo + span * (i + 1)
+        cond = (F.col("ts") >= F.lit(a)) & (
+            F.col("ts") <= F.lit(b) if i == n_slices - 1 else F.col("ts") < F.lit(b)
+        )
+        e.filter(cond).coalesce(1).write.parquet(os.path.join(chunk_dir, f"s{i}"))
+    schema = e.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+    return stream, chunk_dir
+
+
+@query("b58_stream_funnel")  # cross-batch CEP state machine → rows-only
+def b58_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The b47_funnel semantics maintained INCREMENTALLY: per-user
+    funnel stage advanced across 4 time-ordered micro-batches via
+    applyInPandasWithState; the final per-user stage distribution
+    equals the batch funnel's reach counts (pinned in
+    tests/test_streaming.py).  This is streaming CEP's core shape:
+    per-key state machine + in-order replay; at 100 TB state is one
+    (int, long) per user in the RocksDB store."""
+    stream, chunk_dir = _time_sliced_stream(spark, sf_dir)
+    try:
+        updates = stream.groupBy("user_id").applyInPandasWithState(
+            funnel_progress,
+            FUNNEL_OUT,
+            FUNNEL_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        out = run_to_memory(updates, mode="update")
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        w = W.partitionBy("user_id").orderBy(F.desc("stage"), F.desc("reached_us"))
+        return (
+            out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)

@@ -225,7 +225,9 @@ _NESTED_LOOP_OK = {
 
 # Streaming / connector / side-effecting queries execute eagerly or
 # need a streaming planner — excluded from the static batch-plan sweep.
-_PLAN_SWEEP_SKIP_PREFIXES = ("b21_", "b22_", "b23_", "b24_", "b33_", "a18_")
+_PLAN_SWEEP_SKIP_PREFIXES = (
+    "b21_", "b22_", "b23_", "b24_", "b33_", "a18_", "b58_",
+)
 
 
 def _sweepable() -> list[str]:

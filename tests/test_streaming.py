@@ -128,3 +128,16 @@ def test_transform_with_state_matches_batch_and_legacy(spark, sf_dir):
         for r in b24_custom_stateful(spark, sf_dir).collect()
     }
     assert got == legacy
+
+
+def test_stream_funnel_equals_batch_funnel(spark, sf_dir):
+    """The incremental funnel's final stage distribution equals the
+    batch funnel's reach counts: |stage >= k| == batch n_users(k)."""
+    from etl_wildweb_spark import registry
+
+    out = registry.QUERIES["b58_stream_funnel"](spark, sf_dir).collect()
+    batch = {r.stage: r.n_users for r in
+             registry.QUERIES["b47_funnel"](spark, sf_dir).collect()}
+    stages = [r.stage for r in out]
+    for k in (1, 2, 3):
+        assert sum(1 for s in stages if s >= k) == batch[k], k
