@@ -39,8 +39,10 @@ def test_priority_oracle_coverage():
         "b24_custom_stateful",
         "b31_langid",
         "b32_fake_decode",
+        "b32_fake_resize",
         "b36_file_ingest",
         "wildweb_envelope_e2e",
         "b30_ann_lsh_observed",
         "b30_ann_ivf_observed",
+        "b58_stream_funnel",
     }
