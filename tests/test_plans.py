@@ -204,6 +204,31 @@ def test_tpch_dims_broadcast_no_sort_merge(plans, name):
     assert audit.node_count(p, "ShuffledHashJoin") == 0, name
 
 
+# Measured shuffle budgets for this round's operators (sf0.001 static
+# plans) — a future edit that adds an exchange class fails here first.
+_SHUFFLE_BUDGET = {
+    "b39_doc_chunk": 0,          # narrow posexplode
+    "b11_unpivot": 0,            # Expand node
+    "b56_embedding_quantize": 0,  # narrow vector transform
+    "b52_sequence_match": 1,     # one user-partitioned window
+    "b53_train_val_test": 1,     # map-side bucket + tiny groupBy
+    "b57_table_fingerprint": 1,  # single partial-agg reduce
+    "b42_bigram_lm": 2,          # gram groupBy + vocab window
+    "b50_grouped_median": 2,     # value histogram + value-domain window
+    "b51_resample_ffill": 2,     # daily agg + user window (grid joins broadcast)
+    "b48_retention": 3,          # firsts + join + cohort agg
+    "b47_funnel": 6,             # 3 stage aggs + stage joins (dims broadcast)
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SHUFFLE_BUDGET))
+def test_shuffle_budget_not_exceeded(plans, name):
+    """Each operator's exchange count stays at its designed budget —
+    the 100 TB claim in its docstring, enforced."""
+    p = plans(name)
+    assert audit.exchanges(p)["shuffle"] <= _SHUFFLE_BUDGET[name], name
+
+
 # ------------------------------------------- engine-wide plan sweep
 
 # Queries allowed to plan a nested-loop/cartesian join:
