@@ -42,6 +42,45 @@ def prepare(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def cluster_confs(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    target_partition_mb: int = 128,
+) -> dict[str, str]:
+    """The conf profile this engine deploys with at 100 TB — the
+    concrete version of every 'at scale' docstring claim, kept next to
+    the local profile so the two can't drift silently.
+
+    Sizing logic (not magic numbers):
+      * shuffle partitions ≈ 2× total cores — enough waves for AQE's
+        coalescer to work DOWN from, while skew-join splits work up;
+      * maxPartitionBytes fixes scan-task input, so task count scales
+        with data, not cluster (100 TB / 128 MB ≈ 800k scan tasks —
+        fine, scheduling is O(ms) per task);
+      * broadcast threshold stays modest cluster-side (every executor
+        holds a copy; 64 MB × 1000 executors = 64 GB aggregate is the
+        budget ceiling, not driver memory);
+      * RocksDB state store: heap state OOMs at billions of streaming
+        keys (streaming/stateful.py docstring).
+    """
+    total_cores = executors * cores_per_executor
+    return {
+        **RUNTIME_CONFS,
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.files.maxPartitionBytes": str(
+            target_partition_mb * 1024 * 1024
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            target_partition_mb * 1024 * 1024
+        ),
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+    }
+
+
 def get_spark(app_name: str = "etl-wildweb-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (

@@ -61,3 +61,19 @@ def test_cli_list_and_query(capsys):
     assert main(["--list"]) == 0
     out = capsys.readouterr().out
     assert "flagship_revenue_by_nation\toracle" in out
+
+
+def test_cluster_conf_profile_scales_with_fleet():
+    from etl_wildweb_spark.session import RUNTIME_CONFS, cluster_confs
+
+    c = cluster_confs(executors=1000, cores_per_executor=4)
+    assert c["spark.sql.shuffle.partitions"] == str(2 * 1000 * 4)
+    assert int(c["spark.sql.files.maxPartitionBytes"]) == 128 * 1024 * 1024
+    assert "RocksDBStateStoreProvider" in c[
+        "spark.sql.streaming.stateStore.providerClass"
+    ]
+    # the runtime (correctness-bearing) confs ride along unchanged
+    for k, v in RUNTIME_CONFS.items():
+        assert c[k] == v
+    # a small fleet gets proportionally narrower shuffles
+    assert cluster_confs(executors=10)["spark.sql.shuffle.partitions"] == "80"
