@@ -166,3 +166,40 @@ def test_stream_scd1_snapshot_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_incremental_agg_equals_batch(spark, sf_dir, tmp_path):
+    """Merging per-micro-batch partial aggregates yields the same
+    (count, DECIMAL sum) per key as the one-shot batch aggregate —
+    bit-identical, regardless of how rows split across batches."""
+    from etl_wildweb_spark.operators.merge import (
+        read_scd1_snapshot,
+        stream_incremental_agg,
+    )
+
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    src = str(tmp_path / "src")
+    e.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_incremental_agg(
+        stream, ["event_type"], "value", str(tmp_path / "snap")
+    )
+    q.awaitTermination(180)
+    got = {
+        r.event_type: (r.n, r.total)
+        for r in read_scd1_snapshot(spark, str(tmp_path / "snap")).collect()
+    }
+    want = {
+        r.event_type: (r.n, r.total)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
