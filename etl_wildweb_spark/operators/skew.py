@@ -42,3 +42,36 @@ def salted_join(
         SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return b.join(s, [*on, SALT], how).drop(SALT)
+
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ..io import table  # noqa: E402
+from ..registry import query  # noqa: E402
+
+
+@query(
+    "b59_salted_join",
+    oracle="""
+    SELECT e.event_type, count(*) AS n,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.event_type
+    """,
+)
+def b59_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted join as a registered, hash-checked query: events
+    (user_id is the skewable key — real traffic is zipfian) joined to
+    customer through the salt scatter, then aggregated.  Results are
+    row-identical to the plain join (the oracle IS the plain join);
+    only the shuffle layout differs — hot keys spread over 16 salts,
+    small side replicated 16×."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    joined = salted_join(e, c, ["user_id"], n_salts=16)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -161,6 +161,7 @@ PRIORITY_NEXT: list[str] = [
     "b32_fake_resize",
     "b57_table_fingerprint",
     "b58_stream_funnel",
+    "b59_salted_join",
 ]
 
 
@@ -182,6 +183,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .operators import (  # noqa: F401
         analytics,
+        skew,
         corpus,
         dedup,
         merge,
