@@ -1294,3 +1294,34 @@ def b20_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.missing", "int").alias("absent"),
         F.try_parse_json("props").isNotNull().alias("is_obj"),
     )
+
+
+@query("b60_hll_mergeable_rollup")  # sketch bytes → estimates; rows-only
+def b60_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg): build one sketch per (event_type,
+    day), then roll WEEKS up from the day sketches WITHOUT touching raw
+    rows again — the property approx_count_distinct (b10) lacks, and
+    the entire point of sketch columns in a 100 TB rollup hierarchy:
+    daily partials persist, every coarser grain is a cheap union over
+    sketch bytes (presized, ~KB each), never a recount.
+
+    Accuracy vs the exact count is pinned in
+    tests/test_new_ops_invariants.py (±5% at lgK=12).  Rows-only: the
+    estimates are approximate by design, so no SQL oracle."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    )
+    weekly = (
+        daily.withColumn("week", F.date_trunc("week", F.col("day")))
+        .groupBy("event_type", "week")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+    )
+    return weekly.select(
+        "event_type",
+        "week",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )

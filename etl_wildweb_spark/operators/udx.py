@@ -154,3 +154,73 @@ def b27_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 50
         """
     )
+
+
+def _merge_user_activity(
+    events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame
+) -> pd.DataFrame:
+    """Cogroup merge: both sides of one user key as pandas frames.
+    All sums are int64 (cents precomputed JVM-side) — pandas float
+    summation order would otherwise leak nondeterminism."""
+    if len(events_pdf):
+        user = events_pdf["user_id"].iloc[0]
+    else:
+        user = orders_pdf["user_id"].iloc[0]
+    return pd.DataFrame(
+        {
+            "user_id": [user],
+            "n_events": [len(events_pdf)],
+            "n_orders": [len(orders_pdf)],
+            "spend_cents": [
+                int(orders_pdf["cents"].sum()) if len(orders_pdf) else 0
+            ],
+        }
+    )
+
+
+@query(
+    "b62_cogroup_merge",
+    oracle="""
+    WITH ev AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+    od AS (SELECT o_custkey AS user_id, count(*) AS n_orders,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS spend_cents
+           FROM orders GROUP BY 1)
+    SELECT COALESCE(ev.user_id, od.user_id) AS user_id,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(spend_cents, 0) AS BIGINT) AS spend_cents
+    FROM ev FULL OUTER JOIN od ON ev.user_id = od.user_id
+    """,
+)
+def b62_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOURTH pandas surface (after UDF/UDAF/UDTF): cogrouped
+    ``applyInPandas`` — both tables shuffled to the same key partitions,
+    each key's two frames handed to one Python function.  This is the
+    escape hatch for per-key custom MERGES (as-of alignment, custom
+    reconciliation) that aren't a join + aggregate; here the merge IS
+    SQL-expressible on purpose, so the full-outer-join oracle hash-
+    checks the cogroup machinery itself (key routing, empty-side
+    frames, both-side dtypes).
+
+    Determinism: money is converted to integer CENTS JVM-side before
+    the Python hop (F.round half-up matches the oracle's round;
+    summing int64 in pandas is order-free, float would not be).
+
+    Scale: one co-partitioning shuffle per side — identical exchange
+    plan to a shuffle join; Arrow-batched per key group."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    out_schema = (
+        "user_id bigint, n_events bigint, n_orders bigint, spend_cents bigint"
+    )
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("user_id"))
+        .applyInPandas(
+            lambda ev, od: _merge_user_activity(ev, od), out_schema
+        )
+    )

@@ -162,6 +162,8 @@ PRIORITY_NEXT: list[str] = [
     "b57_table_fingerprint",
     "b58_stream_funnel",
     "b59_salted_join",
+    "b60_hll_mergeable_rollup",
+    "b62_cogroup_merge",
 ]
 
 

@@ -109,3 +109,25 @@ def test_fake_resize_exact_and_bounded(spark, sf_dir):
     got = {r.doc_id: (r.out_len, r.out_sum, r.out_first, r.out_last) for r in out}
     assert got == want
     assert all(v[0] <= RESIZE_TARGET for v in got.values())
+
+
+def test_hll_rollup_within_tolerance_of_exact(spark, sf_dir):
+    """Week-level estimates unioned FROM DAY SKETCHES stay within 5%
+    of the exact weekly distinct counts — the mergeability guarantee."""
+    got = {
+        (r.event_type, r.week): r.approx_users
+        for r in registry.QUERIES["b60_hll_mergeable_rollup"](
+            spark, sf_dir
+        ).collect()
+    }
+    e = table(spark, sf_dir, "events")
+    exact = {
+        (r.event_type, r.week): r.n
+        for r in e.withColumn("week", F.date_trunc("week", F.col("ts")))
+        .groupBy("event_type", "week")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])

@@ -45,4 +45,5 @@ def test_priority_oracle_coverage():
         "b30_ann_lsh_observed",
         "b30_ann_ivf_observed",
         "b58_stream_funnel",
+        "b60_hll_mergeable_rollup",
     }
