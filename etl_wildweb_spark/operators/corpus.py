@@ -290,6 +290,64 @@ def b50_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b63_quantile_bands",
+    oracle="""
+    WITH h AS (SELECT event_type, value, count(*) AS c
+               FROM events GROUP BY 1, 2),
+    cum AS (SELECT event_type, value, c,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY value
+                                ROWS UNBOUNDED PRECEDING) AS cumc,
+                   sum(c) OVER (PARTITION BY event_type) AS tot
+            FROM h)
+    SELECT event_type, CAST(min(tot) AS BIGINT) AS n,
+           min(CASE WHEN cumc >= (tot * 50 + 99) // 100 THEN value END)
+             AS p50,
+           min(CASE WHEN cumc >= (tot * 95 + 99) // 100 THEN value END)
+             AS p95,
+           min(CASE WHEN cumc >= (tot * 99 + 99) // 100 THEN value END)
+             AS p99
+    FROM cum GROUP BY event_type
+    """,
+)
+def b63_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring quantile bands (p50/p95/p99 per group) — b50's
+    histogram walk generalized to a quantile SET, one pass: the q-th
+    band is the smallest value whose cumulative count reaches
+    ⌈q·n⌉ (exact integer thresholds, percentile_disc semantics).  All
+    bands fall out of the same cumulative column, so adding quantiles
+    is free; emitted values are RAW input values (no interpolation
+    arithmetic), the safest float class for differential checks.
+
+    Scale: identical to b50 — one row-scale histogram groupBy, windows
+    over the per-group value domain, never row counts."""
+    e = table(spark, sf_dir, "events")
+    hist = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    cum_w = (
+        W.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    tot_w = W.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "value",
+        F.sum("c").over(cum_w).alias("cumc"),
+        F.sum("c").over(tot_w).alias("tot"),
+    )
+
+    def band(q100: int, name: str):
+        thr = F.expr(f"(tot * {q100} + 99) DIV 100")
+        return F.min(F.when(F.col("cumc") >= thr, F.col("value"))).alias(name)
+
+    return cum.groupBy("event_type").agg(
+        F.min("tot").cast("bigint").alias("n"),
+        band(50, "p50"),
+        band(95, "p95"),
+        band(99, "p99"),
+    )
+
+
+@query(
     "b46_dataset_card",
     oracle="""
     WITH per AS (

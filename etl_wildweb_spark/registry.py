@@ -164,6 +164,7 @@ PRIORITY_NEXT: list[str] = [
     "b59_salted_join",
     "b60_hll_mergeable_rollup",
     "b62_cogroup_merge",
+    "b63_quantile_bands",
 ]
 
 
