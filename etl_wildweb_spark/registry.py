@@ -165,6 +165,7 @@ PRIORITY_NEXT: list[str] = [
     "b60_hll_mergeable_rollup",
     "b62_cogroup_merge",
     "b63_quantile_bands",
+    "b64_stream_stream_left_outer",
 ]
 
 

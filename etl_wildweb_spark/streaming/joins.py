@@ -95,3 +95,45 @@ def b23_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS")),
     ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
     return run_to_memory(joined, mode="append")
+
+
+@query("b64_stream_stream_left_outer")  # watermark-finalized nulls → rows-only
+def b64_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics inner
+    joins don't have: an unmatched view emits its null-padded row only
+    once the WATERMARK proves no purchase can still arrive (v_ts + 6h
+    behind the final watermark).  Matched pairs equal the batch join;
+    the null set is the batch unmatched set INTERSECTED with the
+    closed-by-watermark region — availableNow ends at watermark
+    max(ts)−1h, so late-corpus views stay open and unemitted.  That
+    boundary is pinned exactly in tests/test_streaming.py; rows-only
+    here because the emitted set depends on the final watermark, not
+    just the data."""
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS")),
+        "leftOuter",
+    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
+    return run_to_memory(joined, mode="append")

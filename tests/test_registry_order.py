@@ -46,4 +46,5 @@ def test_priority_oracle_coverage():
         "b30_ann_ivf_observed",
         "b58_stream_funnel",
         "b60_hll_mergeable_rollup",
+        "b64_stream_stream_left_outer",
     }

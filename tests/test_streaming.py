@@ -141,3 +141,57 @@ def test_stream_funnel_equals_batch_funnel(spark, sf_dir):
     stages = [r.stage for r in out]
     for k in (1, 2, 3):
         assert sum(1 for s in stages if s >= k) == batch[k], k
+
+
+def test_stream_stream_left_outer_null_padding(spark, sf_dir):
+    """Matched pairs equal the batch interval join; null-padded rows
+    are exactly the batch-unmatched views whose 6h horizon the final
+    watermark (max ts − 1h) has closed."""
+    from etl_wildweb_spark import registry
+    from etl_wildweb_spark.io import table
+
+    out = registry.QUERIES["b64_stream_stream_left_outer"](
+        spark, sf_dir
+    ).collect()
+    got_pairs = {(r.view_id, r.purchase_id) for r in out if r.purchase_id is not None}
+    got_nulls = {r.view_id for r in out if r.purchase_id is None}
+
+    e = table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = v.join(
+        p,
+        (F.col("vu") == F.col("pu"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS")),
+        "left",
+    )
+    want_pairs = {
+        (r.view_id, r.purchase_id)
+        for r in batch.filter(F.col("purchase_id").isNotNull()).collect()
+    }
+    assert got_pairs == want_pairs
+
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    unmatched = {
+        r.view_id: r.v_ts
+        for r in batch.filter(F.col("purchase_id").isNull()).collect()
+    }
+    # every emitted null is a genuine batch-unmatched view
+    assert got_nulls <= set(unmatched)
+    # and every unmatched view comfortably closed by the final
+    # watermark (1h delay + 6h horizon, 1h slack for boundary
+    # semantics) was emitted
+    import datetime as dt
+
+    closed = {
+        vid for vid, ts in unmatched.items()
+        if ts < max_ts - dt.timedelta(hours=8)
+    }
+    assert closed <= got_nulls
