@@ -1325,3 +1325,40 @@ def b60_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week",
         F.hll_sketch_estimate("sk").alias("approx_users"),
     )
+
+
+@query(
+    "b65_map_hof",
+    oracle="""
+    WITH m AS (
+      SELECT l_orderkey, l_linenumber,
+             list_filter(
+               [struct_pack(k := 'qty',
+                            v := CAST(l_quantity AS DOUBLE) * 2),
+                struct_pack(k := 'price',
+                            v := CAST(l_extendedprice AS DOUBLE) * 2)],
+               e -> e.v > 50.0) AS entries
+      FROM lineitem WHERE l_orderkey <= 500)
+    SELECT l_orderkey, l_linenumber, e.k AS key, e.v AS value
+    FROM (SELECT l_orderkey, l_linenumber, unnest(entries) AS e FROM m)
+    """,
+)
+def b65_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 completeness: map HIGHER-ORDER functions —
+    transform_values rewrites every value in place, map_filter prunes
+    entries by predicate, and the result explodes to scalar (key,
+    value) rows so the check stays canonicalizable (map cells are the
+    b32 pandas-sort trap).  DuckDB has no map HOFs, so the oracle
+    replays the pipeline on lists of structs — same semantics,
+    different spelling, which is exactly what makes it a real parity
+    check.  All narrow in-row transforms: zero shuffles."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity").cast("double"),
+        F.lit("price"), F.col("l_extendedprice").cast("double"),
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    kept = F.map_filter(doubled, lambda k, v: v > 50.0)
+    return li.select(
+        "l_orderkey", "l_linenumber", F.explode(kept).alias("key", "value")
+    )

@@ -166,6 +166,7 @@ PRIORITY_NEXT: list[str] = [
     "b62_cogroup_merge",
     "b63_quantile_bands",
     "b64_stream_stream_left_outer",
+    "b65_map_hof",
 ]
 
 
