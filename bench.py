@@ -54,6 +54,20 @@ BENCH_QUERIES = [
     # whose runtime is fixed Python-worker startup, not data-path
     # throughput (covered by tests/test_sources.py instead)
     "wildweb_pipeline",
+    # round-2 operator families (VERDICT r2 #4: the bench must be able
+    # to catch a regression in the newer ~40% of the surface)
+    "b38_merge_upsert",
+    "b38_merge_upsert_broadcast",
+    "b41_scd2_history",
+    "b43_tfidf_rank",
+    "b45_quality_deciles",
+    "b47_funnel",
+    "b52_sequence_match",
+    "b29_cc_bigstar",
+    "b59_salted_join",
+    "b63_quantile_bands",
+    # round-3 additions
+    "b32_ppm_decode",
 ]
 
 
@@ -79,6 +93,7 @@ def main() -> None:
     # between passes so every pass re-executes the full dataflow.
     PASSES = 3
     times: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry.QUERIES.get(name)
         if fn is None:
@@ -92,6 +107,7 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
         times[name] = round(sorted(samples)[len(samples) // 2], 3)
+        mins[name] = round(min(samples), 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -101,6 +117,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                # min-of-3 per query, alongside the median that "queries"
+                # reports: a busy host inflates median but rarely min, so
+                # median≫min flags environment noise, median≈min≫baseline
+                # flags a real regression — separable without a re-run
+                # (VERDICT r2 #10).
+                "queries_min": mins,
                 "sf": sf,
             }
         )

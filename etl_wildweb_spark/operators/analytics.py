@@ -37,11 +37,11 @@ FUNNEL_STAGES = ("view", "click", "purchase")
            count(*) AS n_users, CAST(0 AS BIGINT) AS sum_gap_us FROM s1
     UNION ALL
     SELECT 2, 'click', count(*),
-           CAST(sum(epoch_us(t2) - epoch_us(t1)) AS BIGINT)
+           CAST(COALESCE(sum(epoch_us(t2) - epoch_us(t1)), 0) AS BIGINT)
     FROM s2 JOIN s1 USING (user_id)
     UNION ALL
     SELECT 3, 'purchase', count(*),
-           CAST(sum(epoch_us(t3) - epoch_us(t2)) AS BIGINT)
+           CAST(COALESCE(sum(epoch_us(t3) - epoch_us(t2)), 0) AS BIGINT)
     FROM s3 JOIN s2 USING (user_id)
     """,
 )

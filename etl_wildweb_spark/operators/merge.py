@@ -103,6 +103,86 @@ def b38_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(o, updates.unionByName(inserts), "o_orderkey")
 
 
+def merge_upsert_broadcast(
+    snapshot: DataFrame, changes: DataFrame, key: str
+) -> DataFrame:
+    """The small-change-batch MERGE path the module docstring promises:
+    when ``changes`` fits in a broadcast, apply the merge WITHOUT ever
+    exchanging the snapshot —
+
+      updates: snapshot LEFT JOIN broadcast(changes), change columns
+               win via coalesce (a map-side join, snapshot streamed);
+      inserts: matched keys = snapshot ⋈ broadcast(change keys) (small
+               output), then changes ANTI broadcast(matched) — both
+               broadcast joins over tiny sides.
+
+    Two snapshot scans, ZERO snapshot shuffles (plan-asserted in
+    tests/test_plans.py) — vs merge_upsert's one full hash exchange of
+    snapshot+changes.  At 100 TB the nightly trickle-merge (thousands
+    of changed rows against billions) takes this path; the bucketed
+    union path takes over when the change batch itself is large.
+    Requires unique keys in ``changes`` (same contract as MERGE)."""
+    payload = [c for c in snapshot.columns if c != key]
+    ch_ren = changes.select(
+        key, *[F.col(c).alias(f"_c_{c}") for c in payload]
+    )
+    updated = snapshot.join(F.broadcast(ch_ren), key, "left").select(
+        key,
+        *[F.coalesce(F.col(f"_c_{c}"), F.col(c)).alias(c) for c in payload],
+    )
+    matched = snapshot.select(key).join(
+        F.broadcast(changes.select(key)), key, "inner"
+    )
+    inserts = changes.join(F.broadcast(matched), key, "left_anti")
+    return updated.unionByName(inserts.select(key, *payload))
+
+
+@query(
+    "b38_merge_upsert_broadcast",
+    oracle=f"""
+    WITH changes AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+             o_totalprice + 100.0 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % {_UPD_MOD} = 0
+      UNION ALL
+      SELECT o_orderkey + {_INS_OFFSET}, o_custkey, 'N',
+             o_totalprice, o_orderdate, 'NEW'
+      FROM orders WHERE o_orderkey % {_INS_MOD} = 0),
+    merged AS (
+      SELECT *, 1 AS _rank FROM changes
+      UNION ALL
+      SELECT *, 0 AS _rank FROM orders)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM merged
+    QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY _rank DESC) = 1
+    """,
+)
+def b38_merge_upsert_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b38_merge_upsert's exact semantics (same oracle) on the
+    broadcast plan — proof the two physical strategies agree, which is
+    the invariant that lets a planner pick by change-batch size."""
+    o = table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % _UPD_MOD == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    inserts = o.filter(F.col("o_orderkey") % _INS_MOD == 0).select(
+        (F.col("o_orderkey") + _INS_OFFSET).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        F.lit("NEW").alias("o_orderpriority"),
+    )
+    return merge_upsert_broadcast(o, updates.unionByName(inserts), "o_orderkey")
+
+
 def stream_scd1_snapshot(
     stream: DataFrame, key: str, order_cols: list[str], snap_dir: str
 ):
@@ -165,10 +245,12 @@ def stream_incremental_agg(
     The per-batch cost is |batch| + |distinct keys| (read previous
     snapshot, union, re-aggregate) — independent of total history size,
     which is the entire point at 100 TB: refreshing a corpus-wide
-    aggregate costs the delta, not the corpus.  Sums go through
-    DECIMAL(18,6) so the merged total is bit-identical to a one-shot
-    batch aggregate regardless of batch boundaries (the functions/
-    exact.py argument applied to state merging).  Versioned dirs as in
+    aggregate costs the delta, not the corpus.  Sums go through exact
+    DECIMAL — inputs read at (18,6), the snapshot total held at
+    (38,6) so the running sum can never overflow into a silent NULL —
+    making the merged total bit-identical to a one-shot batch
+    aggregate regardless of batch boundaries (the functions/exact.py
+    argument applied to state merging).  Versioned dirs as in
     stream_scd1_snapshot."""
     import os as _os
 
@@ -177,7 +259,15 @@ def stream_incremental_agg(
     def upsert(batch: DataFrame, batch_id: int) -> None:
         part = batch.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("total"),
+            # snapshot column is decimal(38,6), NOT the input's (18,6):
+            # with ANSI off, a downcast back to (18,6) would silently
+            # NULL once the running total crossed 10^12, and that NULL
+            # then poisons every later merge of the key.  (38,6) holds
+            # 10^32 — unreachable from summing (18,6) inputs row-wise
+            # before the f64-ULP age of the universe.
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("total"),
         )
         prev = _os.path.join(snap_dir, f"v{batch_id}")
         cur = _os.path.join(snap_dir, f"v{batch_id + 1}")
@@ -185,7 +275,7 @@ def stream_incremental_agg(
             part = part.unionByName(spark.read.parquet(prev))
         merged = part.groupBy(*keys).agg(
             F.sum("n").alias("n"),
-            F.sum("total").cast("decimal(18,6)").alias("total"),
+            F.sum("total").cast("decimal(38,6)").alias("total"),
         )
         merged.write.mode("overwrite").parquet(cur)
 
@@ -282,3 +372,74 @@ def b41_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.lead("valid_from").over(vw).isNull().alias("is_current"),
     )
+
+
+# ------------------------------------- driver-visible streaming wrappers
+#
+# stream_scd1_snapshot / stream_incremental_agg are library functions
+# exercised by tests/test_merge.py; these thin rows-only queries stage
+# the events table as a 4-file stream and run them end-to-end so the
+# driver executes the incremental-maintenance paths too (VERDICT r2 #5),
+# not just pytest.
+
+
+@query("b66_stream_scd1")  # foreachBatch snapshot maintenance → rows-only
+def b66_stream_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-event-per-user SCD-1 snapshot maintained across 4
+    micro-batches via stream_scd1_snapshot, then read back.  Pinned to
+    the batch max_by equivalent in tests/test_merge.py; here the
+    snapshot itself is the returned result (|users| rows)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..streaming.stateful import _chunked_events_stream
+
+    stream, chunk_dir = _chunked_events_stream(spark, sf_dir)
+    snap_dir = _tempfile.mkdtemp(prefix="scd1_snap_")
+    try:
+        q = stream_scd1_snapshot(
+            stream.select("user_id", "ts", "event_id", "event_type", "value"),
+            "user_id",
+            ["ts", "event_id"],
+            snap_dir,
+        )
+        q.awaitTermination(300)
+        out = read_scd1_snapshot(spark, snap_dir)
+        # materialize on the EXECUTORS (not a driver collect) before
+        # the temp snapshot dir disappears; lineage truncates to the
+        # checkpointed blocks.
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(chunk_dir, ignore_errors=True)
+        _shutil.rmtree(snap_dir, ignore_errors=True)
+
+
+@query("b67_stream_incremental_agg")  # partial-agg MV maintenance → rows-only
+def b67_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-merged (count, exact DECIMAL sum) per event_type
+    maintained across 4 micro-batches via stream_incremental_agg.
+    Bit-identical to the one-shot batch aggregate (tests/test_merge.py);
+    the final snapshot is the returned result."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..streaming.stateful import _chunked_events_stream
+
+    stream, chunk_dir = _chunked_events_stream(spark, sf_dir)
+    snap_dir = _tempfile.mkdtemp(prefix="incr_agg_")
+    try:
+        q = stream_incremental_agg(
+            stream.select("event_type", "value"),
+            ["event_type"],
+            "value",
+            snap_dir,
+        )
+        q.awaitTermination(300)
+        out = read_scd1_snapshot(spark, snap_dir)
+        # materialize on the EXECUTORS (not a driver collect) before
+        # the temp snapshot dir disappears; lineage truncates to the
+        # checkpointed blocks.
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(chunk_dir, ignore_errors=True)
+        _shutil.rmtree(snap_dir, ignore_errors=True)

@@ -118,6 +118,13 @@ def b49_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: separator, can't appear in the corpus text, prevents ("a","bc") vs
 #: ("ab","c") collisions that a bare concat would allow.
 _FP_SEP = "\x1f"
+#: NULL sentinel — record separator, also corpus-impossible.  Every
+#: field is coalesced to it on BOTH engines so NULLs serialize
+#: explicitly: concat_ws would silently SKIP a NULL field (rows
+#: differing only in which column is NULL would hash identically)
+#: while the oracle's || would NULL the whole row — both wrong, and
+#: differently so.
+_FP_NULL = "\x1e"
 
 
 @query(
@@ -126,9 +133,12 @@ _FP_SEP = "\x1f"
     SELECT 'documents' AS tbl,
            count(*) AS n_rows,
            bit_xor(CAST(('0x' || substring(md5(
-               CAST(doc_id AS VARCHAR) || '{_FP_SEP}' || lang ||
-               '{_FP_SEP}' || source || '{_FP_SEP}' ||
-               CAST(n_chars AS VARCHAR)), 1, 15)) AS BIGINT)) AS xor_hash,
+               COALESCE(CAST(doc_id AS VARCHAR), '{_FP_NULL}') ||
+               '{_FP_SEP}' || COALESCE(lang, '{_FP_NULL}') ||
+               '{_FP_SEP}' || COALESCE(source, '{_FP_NULL}') ||
+               '{_FP_SEP}' ||
+               COALESCE(CAST(n_chars AS VARCHAR), '{_FP_NULL}')),
+               1, 15)) AS BIGINT)) AS xor_hash,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     """,
@@ -153,7 +163,10 @@ def b57_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.expr(
             f"bit_xor(CAST(conv(substring(md5(CAST(concat_ws('{_FP_SEP}', "
-            "CAST(doc_id AS STRING), lang, source, CAST(n_chars AS STRING)) "
+            f"coalesce(CAST(doc_id AS STRING), '{_FP_NULL}'), "
+            f"coalesce(lang, '{_FP_NULL}'), "
+            f"coalesce(source, '{_FP_NULL}'), "
+            f"coalesce(CAST(n_chars AS STRING), '{_FP_NULL}')) "
             "AS BINARY)), 1, 15), 16, 10) AS BIGINT))"
         ).alias("xor_hash"),
         F.sum("n_chars").alias("sum_chars"),

@@ -369,16 +369,18 @@ def b30_ann_ivf_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "b56_embedding_quantize",
     oracle="""
-    WITH q AS (
-      SELECT vec_id, label,
+    WITH m AS (
+      SELECT vec_id, label, embedding,
              list_max(list_transform(embedding,
-                      x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+                      x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, label, max_abs,
              list_transform(embedding,
-               x -> CAST(round(127.0 * CAST(x AS DOUBLE) /
-                    list_max(list_transform(embedding,
-                             y -> abs(CAST(y AS DOUBLE))))) AS BIGINT))
-               AS qv
-      FROM embeddings)
+               x -> CASE WHEN max_abs = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(round(127.0 * CAST(x AS DOUBLE) / max_abs)
+                              AS BIGINT) END) AS qv
+      FROM m)
     SELECT vec_id, label,
            CAST(round(max_abs * 1000000) AS BIGINT) AS scale_ppm,
            CAST(list_sum(qv) AS BIGINT) AS q_sum,
@@ -410,8 +412,10 @@ def b56_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_abs.alias("max_abs"),
         F.transform(
             "embedding",
-            lambda x: F.round(F.lit(127.0) * x.cast("double") / max_abs).cast(
-                "bigint"
+            # zero-vector guard: 0/0 would give NaN (Spark) vs error/NULL
+            # (oracle); an all-zero embedding quantizes to all zeros.
+            lambda x: F.when(max_abs == 0, F.lit(0).cast("bigint")).otherwise(
+                F.round(F.lit(127.0) * x.cast("double") / max_abs).cast("bigint")
             ),
         ).alias("qv"),
     )

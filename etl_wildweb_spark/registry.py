@@ -29,11 +29,15 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(
+            spark: SparkSession, sf_dir: str, *args, **kwargs
+        ) -> DataFrame:
             # Re-assert runtime confs (UTC etc.) on whatever session the
             # driver hands us — correctness must not depend on its config.
+            # Extra args pass through for test-harness knobs (e.g. the
+            # funnel's replay_order); the driver always calls (spark, sf).
             prepare(spark)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, *args, **kwargs)
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
@@ -85,51 +89,14 @@ def capabilities(
 
 #: Explicit verification-priority order.  The driver's correctness
 #: harness checks the FIRST 50 entries of ``__spark_entry__.queries()``
-#: (dict insertion order) per round; round 1 verified the dedup /
-#: relational / sampling families, so this round the never-checked
-#: families — the full TPC-H suite, streaming, UDx, similarity, text,
-#: the wildweb pipeline itself — plus the two repaired entries
-#: (b32_fake_decode, b35_pack_utilization) go first.  Everything not
-#: listed follows in registration order (already green in
-#: CORRECTNESS_r01.json).
+#: (dict insertion order) per round.  Rounds 1+2 verified everything
+#: registered through round 2's PRIORITY window (CORRECTNESS_r01 +
+#: CORRECTNESS_r02: 50/50 green each).  Round 3's window = the 41
+#: queries that have never had a driver row (round 2's PRIORITY_NEXT
+#: block + the 4 rows-only stragglers a18/b30_ann_lsh/b30_ann_ivf/b33)
+#: plus 9 load-bearing re-checks on this round's regenerated testdata.
 PRIORITY: list[str] = [
-    *[f"tpch_q{i}" for i in range(1, 23)],
-    "b21_tumbling_window",
-    "b21_sliding_window",
-    "b22_session_window",
-    "b23_watermark_tumbling",
-    "b23_stream_static_join",
-    "b23_stream_stream_join",
-    "b24_stream_dedup",
-    "b24_custom_stateful",
-    "b25_pandas_udf",
-    "b26_pandas_udaf",
-    "b27_udtf",
-    "b30_cosine_topk",
-    "b31_text_stats",
-    "b31_quality_score",
-    "b31_lang_stats",
-    "b31_term_freq",
-    "b31_langid",
-    "b31_fingerprint",
-    "b31_bpe_token_count",
-    "b31_gopher_filters",
-    "wildweb_pipeline",
-    "wildweb_pipeline_errors",
-    "wildweb_envelope_e2e",
-    "b34_stratified_sample",
-    "b34_weighted_mix",
-    "b35_pack_utilization",
-    "b32_fake_decode",
-    "b36_file_ingest",
-]
-
-#: Queries added AFTER the current round's 50-entry verification window
-#: was locked.  They register immediately after PRIORITY (so a wider
-#: driver window picks them up for free) and are the rotation
-#: candidates for the next round's PRIORITY once the current window
-#: comes back green.
-PRIORITY_NEXT: list[str] = [
+    # -- 37 round-2 additions, never driver-checked --
     "b31_repetition_filters",
     "b31_pii_scan",
     "b37_contamination",
@@ -167,6 +134,33 @@ PRIORITY_NEXT: list[str] = [
     "b63_quantile_bands",
     "b64_stream_stream_left_outer",
     "b65_map_hof",
+    # -- 4 rows-only stragglers, never driver-checked --
+    "a18_submit_sink",
+    "b30_ann_lsh",
+    "b30_ann_ivf",
+    "b33_http_ingest",
+    # -- 9 load-bearing re-checks on this round's regenerated data --
+    "tpch_q1",
+    "tpch_q9",
+    "b09_agg_q1",
+    "wildweb_pipeline",
+    "b28_exact_dedup",
+    "b29_minhash_near_dedup",
+    "b30_cosine_topk",
+    "b21_tumbling_window",
+    "flagship_revenue_by_nation",
+]
+
+#: Queries added AFTER the current round's 50-entry verification window
+#: was locked.  They register immediately after PRIORITY (so a wider
+#: driver window picks them up for free) and are the rotation
+#: candidates for the next round's PRIORITY once the current window
+#: comes back green.
+PRIORITY_NEXT: list[str] = [
+    "b32_ppm_decode",
+    "b38_merge_upsert_broadcast",
+    "b66_stream_scd1",
+    "b67_stream_incremental_agg",
 ]
 
 

@@ -221,49 +221,101 @@ if tws_available():  # pragma: no cover - gated on container deps
 
 # ------------------------------------------------- streaming funnel (CEP)
 
-FUNNEL_OUT = "user_id bigint, stage int, reached_us bigint"
-FUNNEL_STATE = "stage int, t bigint"
-_FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_OUT = "user_id bigint, stage int, reached_us bigint, seq int"
+FUNNEL_STATE = (
+    "t1 bigint, clicks array<bigint>, purchases array<bigint>, seq int"
+)
 
 
 def funnel_progress(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Per-user funnel state machine (view → click → purchase, each
-    strictly after the previous stage's entry): state = (stage index,
-    entry ts µs).  Correct under IN-ORDER event time across batches —
-    the staging below guarantees it; out-of-order CEP needs candidate
-    retention + watermark finalization (documented trade-off, same as
-    any streaming MATCH_RECOGNIZE)."""
+    """Per-user funnel (view → click → purchase, each strictly after
+    the previous stage's entry) — OUT-OF-ORDER-SAFE via candidate
+    retention, the b64_stream_stream_left_outer pattern applied to
+    CEP: instead of a forward-only stage counter (which silently
+    misses conversions when a micro-batch replays earlier event time),
+    state keeps enough candidates to re-derive the batch answer under
+    any arrival order:
+
+      t1        = min view ts seen so far (only the min matters; it
+                  is monotone non-increasing),
+      clicks    = click ts candidates ≤ current t2 (a click above the
+                  current t2 = min click > t1 can never become the
+                  min later, because t1 — hence t2 — only decreases),
+      purchases = purchase ts candidates ≤ current t3 (same argument
+                  one stage down).
+
+    Each batch appends its events, re-derives (t2, t3) from the
+    retained candidates, prunes, and emits the current (stage,
+    reached_us, seq).  The emitted stage is monotone non-decreasing —
+    more data can only unlock stages — so the final emission (max
+    seq) equals the batch funnel regardless of slice order; pinned in
+    tests/test_streaming.py for both in-order AND shuffled replay.
+
+    100 TB notes: retention is bounded by the answer, not the stream —
+    once a stage converts, its candidate list holds only ts ≤ the
+    current stage entry (in practice a handful); pre-conversion lists
+    are the watermark's job in production (evict candidates older
+    than the horizon, exactly like any streaming MATCH_RECOGNIZE /
+    interval join's state TTL)."""
     (user_id,) = key
-    stage, t = state.get if state.exists else (0, None)
+    if state.exists:
+        t1, clicks, purchases, seq = state.get
+        t1 = None if t1 is None or t1 < 0 else int(t1)
+        clicks = [int(c) for c in (clicks or [])]
+        purchases = [int(p) for p in (purchases or [])]
+    else:
+        t1, clicks, purchases, seq = None, [], [], 0
     batch = pd.concat(list(pdfs), ignore_index=True)
-    batch = batch.sort_values(["ts", "event_id"])
     for ts, etype in zip(batch["ts"], batch["event_type"]):
         ts_us = int(pd.Timestamp(ts).value // 1000)
-        if stage < len(_FUNNEL_STAGES) and etype == _FUNNEL_STAGES[stage] and (
-            t is None or ts_us > t
-        ):
-            stage += 1
-            t = ts_us
-    state.update((stage, t if t is not None else -1))
+        if etype == "view":
+            t1 = ts_us if t1 is None else min(t1, ts_us)
+        elif etype == "click":
+            clicks.append(ts_us)
+        elif etype == "purchase":
+            purchases.append(ts_us)
+    t2 = min((c for c in clicks if t1 is not None and c > t1), default=None)
+    if t2 is not None:
+        clicks = [c for c in clicks if c <= t2]
+    t3 = min((p for p in purchases if t2 is not None and p > t2), default=None)
+    if t3 is not None:
+        purchases = [p for p in purchases if p <= t3]
+    stage = 3 if t3 is not None else 2 if t2 is not None else (
+        1 if t1 is not None else 0
+    )
+    reached = t3 if t3 is not None else t2 if t2 is not None else (
+        t1 if t1 is not None else -1
+    )
+    seq += 1
+    state.update((t1 if t1 is not None else -1, clicks, purchases, seq))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "stage": [stage],
-            "reached_us": [t if t is not None else -1],
+            "reached_us": [reached],
+            "seq": [seq],
         }
     )
 
 
 def _time_sliced_stream(
-    spark: SparkSession, sf_dir: str, n_slices: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 4,
+    replay_order: list[int] | None = None,
 ) -> tuple[DataFrame, str]:
-    """Stage events as ``n_slices`` DISJOINT TIME RANGES written
-    sequentially (one write job per slice → strictly increasing file
-    modification times), so the file stream's mtime ordering replays
-    event time in order across micro-batches — the precondition the
-    funnel state machine declares."""
+    """Stage events as ``n_slices`` DISJOINT TIME RANGES and replay
+    them one micro-batch per slice in ``replay_order`` (default: time
+    order).  FileStreamSource picks up files by modification time, so
+    after writing we ``os.utime`` each slice's files with strictly
+    increasing timestamps in the requested replay order — coarse-mtime
+    filesystems would otherwise let two slices tie and replay
+    nondeterministically.  The funnel state machine no longer NEEDS
+    in-order replay (candidate retention handles any order); the
+    explicit ordering keeps the replay itself deterministic, and lets
+    tests force an out-of-order replay on purpose."""
     import os
 
     from pyspark.sql import functions as F
@@ -282,6 +334,12 @@ def _time_sliced_stream(
             F.col("ts") <= F.lit(b) if i == n_slices - 1 else F.col("ts") < F.lit(b)
         )
         e.filter(cond).coalesce(1).write.parquet(os.path.join(chunk_dir, f"s{i}"))
+    base = 1_000_000_000  # well-past epoch, far below real mtimes' future
+    for pos, i in enumerate(replay_order or range(n_slices)):
+        sdir = os.path.join(chunk_dir, f"s{i}")
+        for f in os.listdir(sdir):
+            t = base + pos * 60
+            os.utime(os.path.join(sdir, f), (t, t))
     schema = e.schema
     stream = (
         spark.readStream.schema(schema)
@@ -293,15 +351,19 @@ def _time_sliced_stream(
 
 
 @query("b58_stream_funnel")  # cross-batch CEP state machine → rows-only
-def b58_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b58_stream_funnel(
+    spark: SparkSession, sf_dir: str, replay_order: list[int] | None = None
+) -> DataFrame:
     """The b47_funnel semantics maintained INCREMENTALLY: per-user
-    funnel stage advanced across 4 time-ordered micro-batches via
-    applyInPandasWithState; the final per-user stage distribution
-    equals the batch funnel's reach counts (pinned in
-    tests/test_streaming.py).  This is streaming CEP's core shape:
-    per-key state machine + in-order replay; at 100 TB state is one
-    (int, long) per user in the RocksDB store."""
-    stream, chunk_dir = _time_sliced_stream(spark, sf_dir)
+    funnel progress advanced across 4 micro-batches via
+    applyInPandasWithState with out-of-order-safe candidate retention
+    (see funnel_progress) — the final per-user stage distribution
+    equals the batch funnel's reach counts under in-order AND
+    shuffled slice replay (both pinned in tests/test_streaming.py).
+    This is streaming CEP's production shape: per-key candidate state
+    + latest-emission finalization; at 100 TB state is a few longs
+    per user in the RocksDB store, watermark-evicted."""
+    stream, chunk_dir = _time_sliced_stream(spark, sf_dir, replay_order=replay_order)
     try:
         updates = stream.groupBy("user_id").applyInPandasWithState(
             funnel_progress,
@@ -314,11 +376,12 @@ def b58_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import Window as W
         from pyspark.sql import functions as F
 
-        w = W.partitionBy("user_id").orderBy(F.desc("stage"), F.desc("reached_us"))
+        # The last emission (max seq) reflects all retained candidates.
+        w = W.partitionBy("user_id").orderBy(F.desc("seq"))
         return (
             out.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .drop("rn")
+            .drop("rn", "seq")
         )
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)

@@ -212,6 +212,55 @@ def test_fake_decode_deterministic(spark, sf_dir):
         assert r.feat_sum8 == float(sum(b[:8]))
 
 
+def test_ppm_decode_byte_exact(spark, sf_dir):
+    """b32_ppm_decode is REAL pixel math: the Spark two-stage
+    encode→decode pipeline must agree byte-exactly with a pure-Python
+    replay (build the same P6 bytes, parse them back, sum channels) —
+    for EVERY document, not a sample."""
+    import numpy as np
+
+    from etl_wildweb_spark.io import table
+    from etl_wildweb_spark.operators.multimodal import (
+        make_ppm_bytes,
+        parse_ppm,
+    )
+    from etl_wildweb_spark.registry import QUERIES
+
+    out = {
+        r.doc_id: r for r in QUERIES["b32_ppm_decode"](spark, sf_dir).collect()
+    }
+    docs = {r.doc_id: r.text for r in table(spark, sf_dir, "documents").collect()}
+    assert set(out) == set(docs)
+    for doc_id, text in docs.items():
+        w, h, raster = parse_ppm(make_ppm_bytes(doc_id, text))
+        sums = raster.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        r = out[doc_id]
+        assert (r.width, r.height, r.n_px) == (w, h, w * h)
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)
+
+
+def test_ppm_parser_rejects_malformed():
+    """The decoder is a real parser: bad magic, truncated header, and
+    truncated raster all fail loudly (silent garbage pixels are how
+    multimodal corpora rot)."""
+    import pytest as _pytest
+
+    from etl_wildweb_spark.operators.multimodal import (
+        make_ppm_bytes,
+        parse_ppm,
+    )
+
+    good = make_ppm_bytes(7, "hello world")
+    w, h, raster = parse_ppm(good)
+    assert raster.shape == (h, w, 3)
+    with _pytest.raises(ValueError):
+        parse_ppm(b"P5" + good[2:])
+    with _pytest.raises(ValueError):
+        parse_ppm(good[:4])
+    with _pytest.raises(ValueError):
+        parse_ppm(good[:-1])
+
+
 def test_exact_dedup_planted(spark, planted_docs):
     groups = (
         planted_docs.groupBy("text")

@@ -275,3 +275,16 @@ def test_no_nested_loop_anywhere(plans, name):
     p = plans(name)
     assert audit.node_count(p, "BroadcastNestedLoopJoin") == 0, name
     assert audit.node_count(p, "CartesianProduct") == 0, name
+
+
+def test_b38_broadcast_merge_zero_snapshot_exchange(plans):
+    """The trickle-merge path: the snapshot (orders) must never enter a
+    shuffle exchange — every join broadcasts the change side (or a
+    derivative of it), so the only exchanges in the plan are broadcasts.
+    A SortMergeJoin or shuffle here means the 'small change batch' merge
+    would re-exchange billions of snapshot rows at 100 TB."""
+    p = plans("b38_merge_upsert_broadcast")
+    assert audit.node_count(p, "SortMergeJoin") == 0
+    ex = audit.exchanges(p)
+    assert ex["shuffle"] == 0, ex
+    assert ex["broadcast"] >= 2, ex

@@ -143,6 +143,26 @@ def test_stream_funnel_equals_batch_funnel(spark, sf_dir):
         assert sum(1 for s in stages if s >= k) == batch[k], k
 
 
+def test_stream_funnel_out_of_order_replay(spark, sf_dir):
+    """Out-of-order safety: replaying the 4 time slices SHUFFLED
+    (latest first, then interleaved) yields the identical per-user
+    (stage, reached_us) as the batch-equivalent in-order replay —
+    the candidate-retention state machine is arrival-order
+    invariant, not merely mtime-lucky."""
+    from etl_wildweb_spark import registry
+
+    fn = registry.QUERIES["b58_stream_funnel"]
+    want = {
+        r.user_id: (r.stage, r.reached_us)
+        for r in fn(spark, sf_dir).collect()
+    }
+    got = {
+        r.user_id: (r.stage, r.reached_us)
+        for r in fn(spark, sf_dir, replay_order=[3, 1, 2, 0]).collect()
+    }
+    assert got == want
+
+
 def test_stream_stream_left_outer_null_padding(spark, sf_dir):
     """Matched pairs equal the batch interval join; null-padded rows
     are exactly the batch-unmatched views whose 6h horizon the final
