@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "b63_quantile_bands",
     # round-3 additions
     "b32_ppm_decode",
+    "b68_cep_kleene",
 ]
 
 

@@ -547,7 +547,13 @@ def connected_components_bigstar(
     key checksums — one tiny aggregate per round, no exceptAll
     shuffle).  At fixpoint the edge list IS the component star:
     (node → component-min)."""
-    raw = edges.selectExpr(f"{src} AS u", f"{dst} AS v")
+    # Materialize the incoming edge list ONCE — `e` and `nodes` both
+    # derive from it, and the upstream lineage (e.g. the PPJoin
+    # candidate generation feeding b29_cc_bigstar) is the expensive
+    # part; without this checkpoint it would execute twice.
+    raw = edges.selectExpr(f"{src} AS u", f"{dst} AS v").localCheckpoint(
+        eager=True
+    )
     # Self-loops carry membership (the node exists) but no connectivity:
     # keep their nodes, drop the edges before iterating.
     e = (

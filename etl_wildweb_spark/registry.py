@@ -161,6 +161,7 @@ PRIORITY_NEXT: list[str] = [
     "b38_merge_upsert_broadcast",
     "b66_stream_scd1",
     "b67_stream_incremental_agg",
+    "b68_cep_kleene",
 ]
 
 
