@@ -599,3 +599,113 @@ def b37_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ----------------------------------------------- C4-style line dedup
+
+#: Tokens per derived line.  The corpus ships single-line documents, so
+#: lines are derived as fixed 8-token chunks — IDENTICALLY on both
+#: engines (the b31_pii_scan fixture argument: the operator under test
+#: is the corpus-level line-frequency machinery, not the line splitter).
+_LINE_W = 8
+#: A line is corpus boilerplate when it appears in at least this many
+#: DISTINCT documents (C4 discards any three-sentence-ish span occurring
+#: more than once; the tiny synthetic vocabulary needs a higher floor to
+#: keep the kept/dropped split non-degenerate).
+_LINE_K = 3
+
+
+@query(
+    "b69_line_dedup",
+    oracle=f"""
+    WITH lines AS (
+      SELECT doc_id, ln.pos, ln.line FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, CAST(ceil(len(str_split(text, ' ')) / {_LINE_W}.0)
+                       AS BIGINT) + 1),
+                 i -> struct_pack(pos := i,
+                      line := array_to_string(
+                        list_slice(str_split(text, ' '),
+                                   (i - 1) * {_LINE_W} + 1,
+                                   i * {_LINE_W}), ' ')))) AS ln
+        FROM documents)),
+    freq AS (
+      SELECT line, count(DISTINCT doc_id) AS n_docs
+      FROM lines GROUP BY line),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l JOIN freq f ON l.line = f.line
+      WHERE f.n_docs < {_LINE_K})
+    SELECT d.doc_id,
+           CAST((SELECT count(*) FROM lines l2
+                 WHERE l2.doc_id = d.doc_id) AS BIGINT) AS n_lines,
+           CAST(COALESCE((SELECT count(*) FROM kept k2
+                 WHERE k2.doc_id = d.doc_id), 0) AS BIGINT) AS n_kept,
+           COALESCE((SELECT string_agg(k3.line, ' ' ORDER BY k3.pos)
+                 FROM kept k3 WHERE k3.doc_id = d.doc_id), '')
+             AS cleaned_text
+    FROM documents d
+    """,
+)
+def b69_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-STYLE CORPUS-LEVEL LINE DEDUP — the web-scale cleaning step
+    where a line (nav bar, cookie banner, license footer) is dropped
+    from EVERY document once it repeats across ≥ K distinct documents.
+    Pairwise dedup can't express this; it is a corpus-global frequency
+    join: explode lines → count distinct docs per line → re-join →
+    re-assemble surviving lines in order.
+
+    Scale: the line-frequency table shuffles (line_hash, doc_id) pairs
+    once and aggregates down to |distinct lines|; the re-join keys on
+    the line again (same partitioning), and re-assembly is one
+    (doc_id)-keyed sort-free aggregate — sort_array over (pos, line)
+    structs inside the row, NOT a window sort.  At 100 TB you'd hash
+    lines to 8-byte keys for the frequency pass (same argument as
+    b37_contamination) and keep the raw line only in the re-join;
+    boilerplate lines are the head of a zipfian distribution, so the
+    frequency table is small and AQE broadcast-joins it back."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_lines_of = F.ceil(F.size(toks) / F.lit(float(_LINE_W))).cast("int")
+    lines = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_lines_of),
+                lambda i: F.array_join(
+                    F.slice(toks, (i - 1) * _LINE_W + 1, _LINE_W), " "
+                ),
+            )
+        ).alias("pos0", "line"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
+    freq = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    kept = lines.join(freq, "line").filter(F.col("n_docs") < _LINE_K)
+    per_doc_total = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    per_doc_kept = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "line"))
+                ),
+                lambda s: s.line,
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc_total, "doc_id", "left")
+        .join(per_doc_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

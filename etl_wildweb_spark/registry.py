@@ -162,6 +162,9 @@ PRIORITY_NEXT: list[str] = [
     "b66_stream_scd1",
     "b67_stream_incremental_agg",
     "b68_cep_kleene",
+    "b69_line_dedup",
+    "b70_orc_roundtrip",
+    "b71_partitioned_prune",
 ]
 
 

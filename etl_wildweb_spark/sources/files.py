@@ -120,3 +120,99 @@ def b36_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         errors.select(F.lit("error").alias("channel"), F.col("raw").alias("payload"))
     )
+
+
+@query(
+    "b70_orc_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def b70_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a second columnar format (the engine's source/sink
+    surface is format-plural, like any warehouse ingest tier): write
+    the documents table to ORC (zlib), read it back, aggregate — the
+    oracle runs on the ORIGINAL parquet, so a hash match proves the
+    ORC round-trip is lossless for every value the aggregate touches.
+
+    Scale: ORC and Parquet share the same scan contract in Spark
+    (column pruning + predicate pushdown via the vectorized reader);
+    the round-trip writes only the projected columns.  Format choice
+    is a storage-layer decision, invisible to the query layer — which
+    is the point of demonstrating it behind an unchanged oracle."""
+    import shutil
+    import tempfile
+
+    from ..io import table
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        d.write.mode("overwrite").option("compression", "zlib").orc(out)
+        back = spark.read.orc(out)
+        res = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        # materialize before the temp dir disappears (executor-side)
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "b71_partitioned_prune",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def b71_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style PARTITIONED layout + partition pruning: write events
+    partitioned by event_type, read back with a partition-key filter —
+    the scan must touch ONLY the two matching directories (asserted on
+    the plan's PartitionFilters in tests/test_plans.py via
+    partitioned_events_scan below).  This is the layout decision that
+    turns a 100 TB full scan into a directory listing: partition
+    columns never ride in the data files, and a filter on them prunes
+    at PLANNING time, before any I/O.
+
+    The oracle aggregates the original unpartitioned parquet — a hash
+    match proves the partitioned round-trip preserves every row and
+    value of the selected partitions."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="events_part_")
+    try:
+        res = partitioned_events_scan(spark, sf_dir, out)
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def partitioned_events_scan(
+    spark: SparkSession, sf_dir: str, out: str
+) -> DataFrame:
+    """Build the partitioned layout under ``out`` and return the pruned
+    aggregate over it (separated from b71 so the plan test can inspect
+    the scan without the checkpoint/cleanup wrapper)."""
+    from ..io import table
+
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("total"),
+        )
+    )

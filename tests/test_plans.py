@@ -288,3 +288,24 @@ def test_b38_broadcast_merge_zero_snapshot_exchange(plans):
     ex = audit.exchanges(p)
     assert ex["shuffle"] == 0, ex
     assert ex["broadcast"] >= 2, ex
+
+
+def test_b71_partition_pruning_reaches_scan(spark, sf_dir):
+    """The partitioned-layout read must prune at PLANNING time: the
+    scan's PartitionFilters carries the event_type IN-list, so only
+    2 of the partition directories are ever listed or read."""
+    import shutil
+    import tempfile
+
+    from etl_wildweb_spark.sources.files import partitioned_events_scan
+
+    out = tempfile.mkdtemp(prefix="prune_plan_")
+    try:
+        df = partitioned_events_scan(spark, sf_dir, out)
+        p = audit.plan_of(lambda s, d: df, spark, sf_dir)
+        part_lines = [
+            ln for ln in p.splitlines() if "PartitionFilters" in ln
+        ]
+        assert part_lines and "event_type" in part_lines[0], part_lines
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
