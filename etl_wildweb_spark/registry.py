@@ -165,6 +165,7 @@ PRIORITY_NEXT: list[str] = [
     "b69_line_dedup",
     "b70_orc_roundtrip",
     "b71_partitioned_prune",
+    "b72_stateful_sessionize",
 ]
 
 

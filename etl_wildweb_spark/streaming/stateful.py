@@ -385,3 +385,108 @@ def b58_stream_funnel(
         )
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+# ------------------------------------- custom stateful sessionization
+
+SESS_OUT = "user_id bigint, session_start_us bigint, n_events bigint, seq int"
+SESS_STATE = (
+    "starts array<bigint>, ends array<bigint>, counts array<bigint>, seq int"
+)
+#: Same 5-minute gap as b22_session_window (strictly-less merges).
+_SESS_GAP_US = 5 * 60 * 1_000_000
+
+
+def sessionize_progress(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user SESSIONIZATION as custom state: open/merged sessions
+    kept as (start, end, count) interval triples; each batch folds its
+    events in as unit intervals and re-runs the gap-merge — an
+    order-independent fold (the merge of a sorted interval multiset),
+    so the final per-user snapshot equals the batch session_window
+    result under ANY arrival order (the b58 candidate-retention
+    argument applied to interval state).  Emits the full current
+    session set per invocation tagged with seq; the registered query
+    keeps each user's final snapshot.
+
+    100 TB notes: state per user is its OPEN session tail plus any
+    sessions the watermark hasn't closed; production evicts closed
+    sessions (end + gap < watermark) on each invocation and emits them
+    append-only — the state then holds at most one open session per
+    user, which is exactly Spark's own session_window state layout."""
+    (user_id,) = key
+    if state.exists:
+        starts, ends, counts, seq = state.get
+        sess = sorted(
+            zip(
+                [int(s) for s in (starts or [])],
+                [int(e) for e in (ends or [])],
+                [int(c) for c in (counts or [])],
+            )
+        )
+    else:
+        sess, seq = [], 0
+    items = list(sess)
+    for pdf in pdfs:
+        items.extend(
+            (int(pd.Timestamp(t).value // 1000),) * 2 + (1,)
+            for t in pdf["ts"]
+        )
+    items.sort()
+    merged: list[tuple[int, int, int]] = []
+    for s, e, c in items:
+        if merged and s - merged[-1][1] < _SESS_GAP_US:
+            ps, pe, pc = merged[-1]
+            merged[-1] = (ps, max(pe, e), pc + c)
+        else:
+            merged.append((s, e, c))
+    seq += 1
+    state.update(
+        (
+            [m[0] for m in merged],
+            [m[1] for m in merged],
+            [m[2] for m in merged],
+            seq,
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(merged),
+            "session_start_us": [m[0] for m in merged],
+            "n_events": [m[2] for m in merged],
+            "seq": [seq] * len(merged),
+        }
+    )
+
+
+@query("b72_stateful_sessionize")  # custom interval state → rows-only
+def b72_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 extension: sessionization re-built on applyInPandasWithState
+    interval state and pinned EXACTLY (full set equality, not a
+    watermark subset) to the built-in session_window aggregation in
+    tests/test_streaming.py — the strongest batch/stream unification
+    claim in the suite, and the template for session semantics Spark's
+    built-in can't express (per-session caps, inactivity policies,
+    carried payloads)."""
+    stream, chunk_dir = _chunked_events_stream(spark, sf_dir)
+    try:
+        updates = stream.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
+            sessionize_progress,
+            SESS_OUT,
+            SESS_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        out = run_to_memory(updates, mode="update")
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        w = W.partitionBy("user_id")
+        return (
+            out.withColumn("mx", F.max("seq").over(w))
+            .filter(F.col("seq") == F.col("mx"))
+            .select("user_id", "session_start_us", "n_events")
+        )
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)

@@ -34,17 +34,20 @@ def test_priority_oracle_coverage():
         if n not in registry.ORACLES
     }
     assert rows_only == {
-        "b23_watermark_tumbling",
-        "b24_stream_dedup",
-        "b24_custom_stateful",
-        "b31_langid",
-        "b32_fake_decode",
-        "b32_fake_resize",
-        "b36_file_ingest",
-        "wildweb_envelope_e2e",
+        # round-3 window: ANN (approximate), streaming-state, and
+        # side-effecting connector/sink ops — declared, nothing else
+        "a18_submit_sink",
+        "b30_ann_lsh",
+        "b30_ann_ivf",
         "b30_ann_lsh_observed",
         "b30_ann_ivf_observed",
+        "b32_fake_resize",
+        "b32_ppm_decode",
+        "b33_http_ingest",
         "b58_stream_funnel",
         "b60_hll_mergeable_rollup",
         "b64_stream_stream_left_outer",
+        "b66_stream_scd1",
+        "b67_stream_incremental_agg",
+        "b72_stateful_sessionize",
     }

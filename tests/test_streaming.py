@@ -163,6 +163,31 @@ def test_stream_funnel_out_of_order_replay(spark, sf_dir):
     assert got == want
 
 
+def test_stateful_sessionize_equals_session_window(spark, sf_dir):
+    """FULL set equality (not a watermark subset): the custom interval-
+    state sessionizer's final snapshot must equal the built-in
+    session_window aggregation — per user, per session start, per
+    event count."""
+    from etl_wildweb_spark import registry
+
+    got = {
+        (r.user_id, r.session_start_us, r.n_events)
+        for r in registry.QUERIES["b72_stateful_sessionize"](
+            spark, sf_dir
+        ).collect()
+    }
+    batch = registry.QUERIES["b22_session_window"](spark, sf_dir)
+    want = {
+        (r.user_id, r.start_us, r.n_events)
+        for r in batch.select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            "n_events",
+        ).collect()
+    }
+    assert got == want
+
+
 def test_stream_stream_left_outer_null_padding(spark, sf_dir):
     """Matched pairs equal the batch interval join; null-padded rows
     are exactly the batch-unmatched views whose 6h horizon the final
