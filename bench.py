@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     # round-3 additions
     "b32_ppm_decode",
     "b68_cep_kleene",
+    "b69_line_dedup",
+    "b73_salted_agg",
+    "b74_rolling_features",
 ]
 
 

@@ -166,6 +166,8 @@ PRIORITY_NEXT: list[str] = [
     "b70_orc_roundtrip",
     "b71_partitioned_prune",
     "b72_stateful_sessionize",
+    "b73_salted_agg",
+    "b74_rolling_features",
 ]
 
 

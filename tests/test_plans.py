@@ -309,3 +309,12 @@ def test_b71_partition_pruning_reaches_scan(spark, sf_dir):
         assert part_lines and "event_type" in part_lines[0], part_lines
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_b73_salted_agg_two_phase_shape(plans):
+    """The explicit salt decomposition must actually decompose: two
+    exchanges (partial on (key, salt), final on key), no single
+    key-only exchange carrying raw rows."""
+    p = plans("b73_salted_agg")
+    assert audit.exchanges(p)["shuffle"] == 2, audit.exchanges(p)
+    assert "__salt" in p
