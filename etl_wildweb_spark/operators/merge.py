@@ -443,3 +443,188 @@ def b67_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _shutil.rmtree(chunk_dir, ignore_errors=True)
         _shutil.rmtree(snap_dir, ignore_errors=True)
+
+
+def merge_full(
+    snapshot: DataFrame, changes: DataFrame, key: str, op: str = "op"
+) -> DataFrame:
+    """Full three-way MERGE:
+
+      WHEN MATCHED AND changes.op = 'D' THEN DELETE
+      WHEN MATCHED AND changes.op = 'U' THEN UPDATE SET *
+      WHEN NOT MATCHED             THEN INSERT *
+
+    Same single-exchange shape as merge_upsert: tag + union + max_by
+    per key — a DELETE is just "the change row wins, then is filtered
+    out".  No join at all, no window; the op column never survives
+    into the output.  At 100 TB the one shuffle is on the merge key
+    (bucket-local if the snapshot is bucketed), and the max_by partial
+    aggregate combines map-side, so a 1%-churn change batch costs the
+    snapshot one exchange, not one exchange per WHEN clause."""
+    tagged = changes.withColumn("_rank", F.lit(1)).unionByName(
+        snapshot.withColumn(op, F.lit(None).cast("string")).withColumn(
+            "_rank", F.lit(0)
+        )
+    )
+    payload = [c for c in tagged.columns if c not in (key, "_rank")]
+    picked = tagged.groupBy(key).agg(
+        F.max_by(F.struct(*payload), F.col("_rank")).alias("_row")
+    )
+    return (
+        picked.filter(
+            (F.col(f"_row.{op}").isNull()) | (F.col(f"_row.{op}") != "D")
+        )
+        .select(key, *[F.col(f"_row.{c}").alias(c) for c in payload])
+        .drop(op)
+    )
+
+
+#: Full-MERGE change derivation (deterministic, both engines derive it
+#: from the snapshot): every 21st key is deleted; every 10th key (not
+#: also 21st) is updated; every 97th spawns an insert above the key
+#: space.  Delete beats update by construction (disjoint predicates).
+_DEL_MOD = 21
+
+
+@query(
+    "b75_merge_full",
+    oracle=f"""
+    WITH changes AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority, 'D' AS op
+      FROM orders WHERE o_orderkey % {_DEL_MOD} = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'X', o_totalprice + 100.0,
+             o_orderdate, o_orderpriority, 'U'
+      FROM orders
+      WHERE o_orderkey % {_UPD_MOD} = 0 AND o_orderkey % {_DEL_MOD} <> 0
+      UNION ALL
+      SELECT o_orderkey + {_INS_OFFSET}, o_custkey, 'N', o_totalprice,
+             o_orderdate, 'NEW', 'I'
+      FROM orders WHERE o_orderkey % {_INS_MOD} = 0),
+    merged AS (
+      SELECT *, 1 AS _rank FROM changes
+      UNION ALL
+      SELECT *, NULL AS op, 0 AS _rank FROM orders),
+    picked AS (
+      SELECT * FROM merged
+      QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY _rank DESC) = 1)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM picked WHERE op IS NULL OR op <> 'D'
+    """,
+)
+def b75_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style full MERGE (delete + update + insert in ONE
+    statement) over orders — the reference's downstream TAK upsert
+    (task.ts:127) plus the deletion path a retention/GDPR pipeline
+    needs.  Every 21st key is deleted, every 10th (surviving) key
+    updated, every 97th key inserted above the key space; cardinality
+    = |orders| − |deletes| + |inserts| and the per-class counts are
+    asserted in tests/test_merge.py."""
+    o = table(spark, sf_dir, "orders")
+    deletes = o.filter(F.col("o_orderkey") % _DEL_MOD == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority", F.lit("D").alias("op"),
+    )
+    updates = (
+        o.filter(
+            (F.col("o_orderkey") % _UPD_MOD == 0)
+            & (F.col("o_orderkey") % _DEL_MOD != 0)
+        )
+        .select(
+            "o_orderkey", "o_custkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+            "o_orderdate", "o_orderpriority", F.lit("U").alias("op"),
+        )
+    )
+    inserts = o.filter(F.col("o_orderkey") % _INS_MOD == 0).select(
+        (F.col("o_orderkey") + _INS_OFFSET).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        F.lit("NEW").alias("o_orderpriority"),
+        F.lit("I").alias("op"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    return merge_full(o, changes, "o_orderkey")
+
+
+def snapshot_diff(
+    v1: DataFrame, v2: DataFrame, key: str
+) -> DataFrame:
+    """Change-data-capture between two snapshot versions: one row per
+    key whose state differs, classified added / removed / changed.
+    Shape: full outer join on the key (ONE exchange per side, none at
+    all when both snapshots are bucketed on the key — the nightly
+    "what did yesterday's load change" audit), then row-local struct
+    comparison.  Unchanged keys — the overwhelming majority at 100 TB
+    — are dropped before anything downstream, so the output is
+    churn-sized, not corpus-sized."""
+    payload = [c for c in v1.columns if c != key]
+    a = v1.select(key, F.struct(*payload).alias("_a"))
+    b = v2.select(key, F.struct(*payload).alias("_b"))
+    j = a.join(b, key, "full_outer")
+    return (
+        j.withColumn(
+            "change_type",
+            F.when(F.col("_a").isNull(), F.lit("added"))
+            .when(F.col("_b").isNull(), F.lit("removed"))
+            .when(F.col("_a") != F.col("_b"), F.lit("changed")),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select(key, "change_type")
+    )
+
+
+@query(
+    "b76_snapshot_diff",
+    oracle=f"""
+    WITH changes AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority, 'D' AS op
+      FROM orders WHERE o_orderkey % {_DEL_MOD} = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'X', o_totalprice + 100.0,
+             o_orderdate, o_orderpriority, 'U'
+      FROM orders
+      WHERE o_orderkey % {_UPD_MOD} = 0 AND o_orderkey % {_DEL_MOD} <> 0
+      UNION ALL
+      SELECT o_orderkey + {_INS_OFFSET}, o_custkey, 'N', o_totalprice,
+             o_orderdate, 'NEW', 'I'
+      FROM orders WHERE o_orderkey % {_INS_MOD} = 0),
+    merged AS (
+      SELECT *, 1 AS _rank FROM changes
+      UNION ALL
+      SELECT *, NULL AS op, 0 AS _rank FROM orders),
+    v2 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM (SELECT * FROM merged
+            QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                                       ORDER BY _rank DESC) = 1)
+      WHERE op IS NULL OR op <> 'D')
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM orders a FULL OUTER JOIN v2 b USING (o_orderkey)
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR (a.o_custkey, a.o_orderstatus, a.o_totalprice,
+           a.o_orderdate, a.o_orderpriority)
+          IS DISTINCT FROM
+          (b.o_custkey, b.o_orderstatus, b.o_totalprice,
+           b.o_orderdate, b.o_orderpriority)
+    """,
+)
+def b76_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between orders-v1 and the b75 full-MERGE result: the diff
+    must recover EXACTLY the change batch — deletes come back as
+    'removed', updates as 'changed', inserts as 'added' (round-trip
+    asserted in tests/test_merge.py).  Churn-sized output."""
+    o = table(spark, sf_dir, "orders")
+    v2 = b75_merge_full(spark, sf_dir)
+    return snapshot_diff(o, v2, "o_orderkey")

@@ -168,6 +168,8 @@ PRIORITY_NEXT: list[str] = [
     "b72_stateful_sessionize",
     "b73_salted_agg",
     "b74_rolling_features",
+    "b75_merge_full",
+    "b76_snapshot_diff",
 ]
 
 

@@ -203,3 +203,57 @@ def test_stream_incremental_agg_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_merge_full_classes(spark, sf_dir):
+    """b75: deletes removed, updates applied, inserts present; exact
+    per-class cardinality arithmetic."""
+    from etl_wildweb_spark.operators.merge import (
+        _DEL_MOD,
+        _INS_MOD,
+        _INS_OFFSET,
+        _UPD_MOD,
+        b75_merge_full,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    merged = b75_merge_full(spark, sf_dir)
+    n = o.count()
+    n_del = o.filter(F.col("o_orderkey") % _DEL_MOD == 0).count()
+    n_ins = o.filter(F.col("o_orderkey") % _INS_MOD == 0).count()
+    assert merged.count() == n - n_del + n_ins
+    # no deleted key survives
+    assert (
+        merged.filter(
+            (F.col("o_orderkey") % _DEL_MOD == 0)
+            & (F.col("o_orderkey") < _INS_OFFSET)
+        ).count()
+        == 0
+    )
+    # every surviving %10 key carries the update
+    upd = merged.filter(
+        (F.col("o_orderkey") % _UPD_MOD == 0)
+        & (F.col("o_orderkey") % _DEL_MOD != 0)
+        & (F.col("o_orderkey") < _INS_OFFSET)
+    )
+    assert upd.filter(F.col("o_orderstatus") != "X").count() == 0
+
+
+def test_snapshot_diff_roundtrips_change_batch(spark, sf_dir):
+    """b76: diff(v1, merge(v1, changes)) recovers the change batch
+    exactly — class counts match the derivation mods."""
+    from etl_wildweb_spark.operators.merge import (
+        _DEL_MOD,
+        _INS_MOD,
+        _UPD_MOD,
+        b76_snapshot_diff,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    d = b76_snapshot_diff(spark, sf_dir)
+    by = {r.change_type: r.n for r in d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by["removed"] == o.filter(F.col("o_orderkey") % _DEL_MOD == 0).count()
+    assert by["added"] == o.filter(F.col("o_orderkey") % _INS_MOD == 0).count()
+    assert by["changed"] == o.filter(
+        (F.col("o_orderkey") % _UPD_MOD == 0) & (F.col("o_orderkey") % _DEL_MOD != 0)
+    ).count()
