@@ -455,3 +455,168 @@ def b74_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,6)")
         .alias("sum_24h"),
     )
+
+
+#: Interval half-width for b77: each event covers [ts, ts + 300 s).
+_COVER_US = 300 * 1_000_000
+
+
+@query(
+    "b77_interval_union",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_COVER_US} AS e
+      FROM events),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > COALESCE(max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged)
+    SELECT user_id,
+           CAST(count(DISTINCT island) AS BIGINT) AS n_islands,
+           CAST(sum(len) AS BIGINT) AS covered_us
+    FROM (SELECT user_id, island, max(e) - min(s) AS len
+          FROM islands GROUP BY user_id, island)
+    GROUP BY user_id
+    """,
+)
+def b77_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL UNION (gaps-and-islands coverage): each event opens a
+    300 s activity interval; overlapping intervals merge, and the
+    output is each user's merged-island count and total covered
+    microseconds — the "how much wall-clock was this entity actually
+    active" primitive behind SLA coverage, ad-exposure, and machine-
+    uptime queries, which naive sum-of-durations double-counts.
+
+    Implementation: the classic running-max island detector — an
+    interval starts a new island iff its start exceeds the running
+    max of all previous ends; islands are then a running sum of the
+    start flags, and each island contributes max(e) − min(s).
+
+    Scale: ONE (user_id)-hash exchange and per-partition sort shared
+    by both window passes and the final aggregation (Catalyst chains
+    the two same-keyed windows without re-exchanging); everything is
+    integer microseconds.  No joins, no self-overlap quadratic blowup
+    — O(n log n) per partition regardless of overlap density."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_COVER_US)).alias("e"),
+    )
+    w = W.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(prev_max_e, F.lit(-(1 << 63))), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("len")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count_distinct("island").cast("bigint").alias("n_islands"),
+        F.sum("len").cast("bigint").alias("covered_us"),
+    )
+
+
+@query(
+    "b80_attribution",
+    oracle="""
+    WITH chan AS (
+      SELECT event_id, ts, user_id, event_type, value,
+             CASE CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) % 4
+               WHEN 0 THEN 'search' WHEN 1 THEN 'social'
+               WHEN 2 THEN 'email'  ELSE 'ads' END AS channel
+      FROM events),
+    tagged AS (
+      SELECT *,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN channel END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_channel
+      FROM chan)
+    SELECT COALESCE(touch_channel, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def b80_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION: every purchase is credited to the
+    channel of the user's most recent STRICTLY PRECEDING non-purchase
+    event ('direct' when none exists) — the marketing-analytics
+    staple that needs an order-aware carry-forward, not a join.
+    Channel is derived deterministically from the event's JSON props
+    (k mod 4), revenue in exact integer cents (floor(value*100) —
+    IEEE multiply + floor agree bit-for-bit across engines).
+
+    Implementation: F.last(..., ignorenulls) over a per-user frame
+    ending at 1 PRECEDING — the strictly-before constraint lives in
+    the frame, so same-timestamp self-attribution is impossible; the
+    (ts, event_id) sort key makes ties deterministic.
+
+    Scale: one (user_id)-hash exchange + sort for the carry-forward
+    window, then a channel-cardinality-sized aggregation (map-side
+    combine leaves ≤5 rows per task).  The frame is computed
+    incrementally per partition — no per-purchase backward scan."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    chan = e.select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        (
+            F.regexp_extract("props", r"([0-9]+)", 1).cast("bigint") % 4
+        ).alias("k4"),
+    ).withColumn(
+        "channel",
+        F.element_at(
+            F.array(*[F.lit(c) for c in ("search", "social", "email", "ads")]),
+            F.col("k4").cast("int") + 1,
+        ),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    tagged = chan.withColumn(
+        "touch_channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("channel")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("touch_channel", F.lit("direct")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )

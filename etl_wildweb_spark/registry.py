@@ -170,6 +170,8 @@ PRIORITY_NEXT: list[str] = [
     "b74_rolling_features",
     "b75_merge_full",
     "b76_snapshot_diff",
+    "b77_interval_union",
+    "b80_attribution",
 ]
 
 
