@@ -1362,3 +1362,190 @@ def b65_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey", "l_linenumber", F.explode(kept).alias("key", "value")
     )
+
+
+@query(
+    "b78_null_safe_join",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg,
+             c_acctbal
+      FROM customer),
+    dim AS (
+      SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 'unsegmented'
+                  ELSE lower(c_mktsegment) END AS seg_label
+      FROM customer)
+    SELECT d.seg_label,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM c JOIN dim d ON c.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY d.seg_label
+    """,
+)
+def b78_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantics a
+    dimension join needs when "unknown" is itself a dimension member.
+    NULLs are derived deterministically (segment BUILDING → NULL), the
+    dim side maps NULL to an explicit 'unsegmented' label, and every
+    BUILDING customer must land there — cardinality conservation is
+    asserted in tests (a plain equi-join would lose them all).
+
+    Scale: Spark plans ``<=>`` as a HASH join (null-safe keys hash
+    like ordinary keys — Coalesce(key) bucketing), NOT a nested loop;
+    the 5-row dim broadcasts.  One narrow scan, zero corpus shuffles,
+    then a segment-cardinality aggregation.  Exact integer cents."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        "c_acctbal",
+    )
+    dim = (
+        table(spark, sf_dir, "customer")
+        .select(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+            F.when(
+                F.col("c_mktsegment") == "BUILDING", F.lit("unsegmented")
+            )
+            .otherwise(F.lower("c_mktsegment"))
+            .alias("seg_label"),
+        )
+        .distinct()
+    )
+    j = c.join(F.broadcast(dim), c["seg"].eqNullSafe(dim["seg"]), "inner")
+    return j.groupBy("seg_label").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.floor(F.col("c_acctbal") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("acctbal_cents"),
+    )
+
+
+@query(
+    "b85_grouped_mode",
+    oracle="""
+    SELECT user_id, event_type AS mode_event, CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rk
+      FROM events GROUP BY user_id, event_type)
+    WHERE rk = 1
+    """,
+)
+def b85_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE with a DETERMINISTIC tie-break (highest count,
+    then lexicographically smallest value — Spark's built-in mode()
+    leaves ties arbitrary, which is unusable for a differential
+    check or a reproducible pipeline).
+
+    Implementation: count per (user, event_type), then ONE max_by over
+    a (count, reversed-value) ordering struct — a partial aggregate,
+    not a window, so the per-user pick combines map-side.  The value
+    ordering is inverted via unbase64-free trick: order by (n, neg
+    lexicographic) can't be structed directly, so the pick uses
+    min_by over (-n, value) — both components ascending.
+
+    Scale: one (user, type)-keyed exchange for the counts (map-side
+    combined), then one user-keyed exchange for the pick; output is
+    group-sized.  No sorts, no windows."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    picked = counts.groupBy("user_id").agg(
+        F.min_by(
+            F.struct(F.col("event_type").alias("mode_event"), F.col("n")),
+            F.struct((-F.col("n")).alias("a"), F.col("event_type").alias("b")),
+        ).alias("_m")
+    )
+    return picked.select(
+        "user_id",
+        F.col("_m.mode_event").alias("mode_event"),
+        F.col("_m.n").cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "b87_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT s_suppkey,
+             CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_cents,
+             CAST(s_nationkey AS BIGINT) AS dist
+      FROM supplier)
+    SELECT s_suppkey, bal_cents, dist FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.bal_cents >= p.bal_cents AND q.dist <= p.dist
+        AND (q.bal_cents > p.bal_cents OR q.dist < p.dist))
+    """,
+)
+def b87_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier): suppliers not dominated on
+    (maximize acctbal, minimize nationkey-as-distance) — the
+    multi-criteria shortlist operator.  The textbook formulation is a
+    quadratic NOT EXISTS self-join (the oracle runs exactly that);
+    the engine instead uses the sort-scan identity: order points by
+    dist and a point is on the frontier iff its bal strictly exceeds
+    the running max over all strictly-closer points AND equals the
+    running max including its own dist tie-group (a same-dist point
+    with strictly higher bal dominates; an exact duplicate does not —
+    both frames are RANGE frames on dist, so tie groups are handled
+    exactly).
+
+    Scale: a naive global-ORDER-BY window would collapse to ONE
+    partition (WindowExec warns exactly that) — instead the running
+    max is distributed by the two-phase prefix-scan pattern: bucket
+    points by dist value range (bucketing is internal — ANY monotonic
+    assignment preserves semantics), run both RANGE-frame windows
+    PER BUCKET in parallel, aggregate one max per bucket (tiny), take
+    the exclusive prefix max across that B-row summary (the only
+    single-partition window, over ~64 rows), and broadcast it back.
+    global_excl = max(prefix, local_excl); global_incl = max(prefix,
+    local_incl) — exact because earlier buckets hold strictly smaller
+    dist.  Replaces the O(n²) anti-join with one bucket-keyed
+    exchange + linear scans; dominated points drop row-locally."""
+    pts = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.floor(F.col("s_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        F.col("s_nationkey").cast("bigint").alias("dist"),
+    )
+    lo, hi = pts.agg(F.min("dist"), F.max("dist")).first()
+    n_buckets = 64
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+    pts = pts.withColumn("_b", ((F.col("dist") - F.lit(lo)) / width).cast("int"))
+
+    w_excl = (
+        W.partitionBy("_b").orderBy("dist").rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_incl = (
+        W.partitionBy("_b").orderBy("dist").rangeBetween(W.unboundedPreceding, 0)
+    )
+    local = pts.withColumn(
+        "loc_excl", F.max("bal_cents").over(w_excl)
+    ).withColumn("loc_incl", F.max("bal_cents").over(w_incl))
+
+    summary = pts.groupBy("_b").agg(F.max("bal_cents").alias("bmax"))
+    wp = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    prefix = summary.select(
+        "_b", F.max("bmax").over(wp).alias("prefix_max")
+    )
+
+    j = local.join(F.broadcast(prefix), "_b")
+    best_closer = F.greatest(
+        F.coalesce("loc_excl", F.lit(-(1 << 62))),
+        F.coalesce("prefix_max", F.lit(-(1 << 62))),
+    )
+    best_here = F.greatest(
+        F.col("loc_incl"), F.coalesce("prefix_max", F.lit(-(1 << 62)))
+    )
+    return (
+        j.filter(
+            (F.col("bal_cents") == best_here)
+            & (F.col("bal_cents") > best_closer)
+        )
+        .select("s_suppkey", "bal_cents", "dist")
+    )

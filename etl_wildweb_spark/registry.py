@@ -172,6 +172,9 @@ PRIORITY_NEXT: list[str] = [
     "b76_snapshot_diff",
     "b77_interval_union",
     "b80_attribution",
+    "b78_null_safe_join",
+    "b85_grouped_mode",
+    "b87_skyline",
 ]
 
 

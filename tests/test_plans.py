@@ -318,3 +318,26 @@ def test_b73_salted_agg_two_phase_shape(plans):
     p = plans("b73_salted_agg")
     assert audit.exchanges(p)["shuffle"] == 2, audit.exchanges(p)
     assert "__salt" in p
+
+
+def test_b78_null_safe_join_is_hash_not_nested_loop(plans):
+    """eqNullSafe must plan as a (broadcast) HASH join — Spark hashes
+    null-safe keys via Coalesce bucketing; a BNLJ here would mean the
+    null-safe predicate fell out of the equi-key set and the corpus
+    side gets rescanned per dim row at 100 TB."""
+    p = plans("b78_null_safe_join")
+    assert audit.node_count(p, "BroadcastHashJoin") >= 1, p
+    assert audit.node_count(p, "BroadcastNestedLoopJoin") == 0
+    assert audit.node_count(p, "SortMergeJoin") == 0
+
+
+def test_b87_skyline_two_phase_shape(plans):
+    """The skyline must run as the distributed two-phase prefix scan:
+    the only join is the BROADCAST of the B-row bucket-prefix summary
+    — never a sort-merge or nested-loop self-join (the O(n²) NOT
+    EXISTS formulation exists only in the DuckDB oracle)."""
+    p = plans("b87_skyline")
+    assert audit.node_count(p, "BroadcastHashJoin") == 1, p
+    for node in ("SortMergeJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert audit.node_count(p, node) == 0, node
