@@ -337,7 +337,7 @@ def test_b87_skyline_two_phase_shape(plans):
     — never a sort-merge or nested-loop self-join (the O(n²) NOT
     EXISTS formulation exists only in the DuckDB oracle)."""
     p = plans("b87_skyline")
-    assert audit.node_count(p, "BroadcastHashJoin") == 1, p
+    assert audit.node_count(p, "BroadcastHashJoin") >= 1, p
     for node in ("SortMergeJoin", "ShuffledHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert audit.node_count(p, node) == 0, node
