@@ -254,7 +254,23 @@ def stream_incremental_agg(
     stream_scd1_snapshot."""
     import os as _os
 
-    spark = stream.sparkSession
+    return (
+        stream.writeStream.foreachBatch(
+            incremental_upsert(stream.sparkSession, keys, value_col, snap_dir)
+        )
+        .option("checkpointLocation", _os.path.join(snap_dir, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def incremental_upsert(
+    spark: SparkSession, keys: list[str], value_col: str, snap_dir: str
+):
+    """The foreachBatch merge closure behind stream_incremental_agg —
+    exposed so the crash-replay idempotence contract (re-delivering a
+    batch id is a no-op) can be tested by driving it directly."""
+    import os as _os
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         part = batch.groupBy(*keys).agg(
@@ -279,12 +295,7 @@ def stream_incremental_agg(
         )
         merged.write.mode("overwrite").parquet(cur)
 
-    return (
-        stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", _os.path.join(snap_dir, "_ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    return upsert
 
 
 def read_scd1_snapshot(spark: SparkSession, snap_dir: str) -> DataFrame:

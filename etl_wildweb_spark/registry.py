@@ -175,6 +175,8 @@ PRIORITY_NEXT: list[str] = [
     "b78_null_safe_join",
     "b85_grouped_mode",
     "b87_skyline",
+    "b79_bucketed_join",
+    "b83_checkpoint_recovery",
 ]
 
 

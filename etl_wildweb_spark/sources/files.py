@@ -216,3 +216,70 @@ def partitioned_events_scan(
             .alias("total"),
         )
     )
+
+
+@query(
+    "b79_bucketed_join",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def b79_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED big-big join, driver-visible: lineitem and orders are
+    persisted hash-bucketed on the join key (8 buckets), and the join
+    + aggregation runs over the bucketed relations — the write-time
+    shuffle elimination that carries repeated fact-fact joins at
+    100 TB.  The RESULT must equal the plain-parquet join (that is the
+    oracle); the exchange-free PLAN is asserted separately in
+    tests/test_bucketing.py (zero join-input shuffles bucketed, two
+    un-bucketed).  Broadcast is disabled inside the query so the
+    co-located sort-merge path — the one that matters at fact-fact
+    scale — is what actually executes.
+
+    The bucketed tables are written to a throwaway database per
+    invocation (the driver's session keeps its own warehouse); the
+    result is executor-materialized via localCheckpoint before the
+    database is dropped, so the returned frame outlives the layout."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..io import table, write_bucketed
+
+    db = f"bucketq_{uuid.uuid4().hex[:8]}"
+    loc = tempfile.mkdtemp(prefix=f"{db}_")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        li = write_bucketed(
+            table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+            f"{db}.lineitem_b",
+            ["l_orderkey"],
+            8,
+        )
+        o = write_bucketed(
+            table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+            f"{db}.orders_b",
+            ["o_orderkey"],
+            8,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_quantity").cast("bigint"))
+                .cast("bigint")
+                .alias("sum_qty"),
+            )
+        )
+        return j.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(loc, ignore_errors=True)

@@ -490,3 +490,74 @@ def b72_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+@query("b83_checkpoint_recovery")  # restart-from-checkpoint → rows-only
+def b83_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE RECOVERY across a query restart: the incremental
+    materialized view (b67's partial-agg merge) is driven over the
+    events corpus in TWO separate query lifetimes sharing one
+    checkpoint — half the source files exist for the first run, the
+    rest are added and a NEW query object resumes from the same
+    checkpoint.  The resumed query continues batch numbering from the
+    committed offsets, each merge reads its own predecessor snapshot
+    version, and the final snapshot must be bit-identical to the
+    one-shot batch aggregate — asserted in tests/test_streaming.py,
+    which also pins the crash-REPLAY case (re-running a batch id is
+    idempotent because v{B}→v{B+1} versioned writes never read their
+    own output).
+
+    This is the 100 TB operational story: a nightly ingest that dies
+    mid-run resumes without double-counting, because progress lives in
+    the checkpoint's committed offsets and the snapshot merge is
+    keyed to batch ids, not wall clock."""
+    import os as _os
+
+    from ..operators.merge import read_scd1_snapshot, stream_incremental_agg
+
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    chunk_dir = tempfile.mkdtemp(prefix="ckrec_src_")
+    snap_dir = tempfile.mkdtemp(prefix="ckrec_snap_")
+    hold_dir = tempfile.mkdtemp(prefix="ckrec_hold_")
+    try:
+        # phase 1: only the first half of the corpus exists
+        chunks = e.repartition(4)
+        chunks.write.mode("overwrite").parquet(chunk_dir)
+        files = sorted(
+            f for f in _os.listdir(chunk_dir) if f.endswith(".parquet")
+        )
+        held_back = files[2:]
+        for f in held_back:
+            _os.rename(
+                _os.path.join(chunk_dir, f), _os.path.join(hold_dir, f)
+            )
+        schema = spark.read.parquet(chunk_dir).schema
+
+        def start():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(chunk_dir)
+            )
+            return stream_incremental_agg(
+                stream, ["event_type"], "value", snap_dir
+            )
+
+        q1 = start()
+        q1.awaitTermination(300)  # availableNow: drains phase-1 files
+
+        # phase 2: the "crash" is over — restore the held-back files
+        # and resume a brand-new query from the same checkpoint
+        for f in held_back:
+            _os.rename(
+                _os.path.join(hold_dir, f), _os.path.join(chunk_dir, f)
+            )
+        q2 = start()
+        q2.awaitTermination(300)
+
+        out = read_scd1_snapshot(spark, snap_dir)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(snap_dir, ignore_errors=True)
+        shutil.rmtree(hold_dir, ignore_errors=True)

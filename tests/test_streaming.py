@@ -240,3 +240,55 @@ def test_stream_stream_left_outer_null_padding(spark, sf_dir):
         if ts < max_ts - dt.timedelta(hours=8)
     }
     assert closed <= got_nulls
+
+
+def test_checkpoint_recovery_equals_batch(spark, sf_dir):
+    """b83: two query lifetimes over one checkpoint (half the corpus,
+    restart, the rest) must produce the exact one-shot batch
+    aggregate — no loss, no double count."""
+    from etl_wildweb_spark.io import table
+    from etl_wildweb_spark.streaming.stateful import b83_checkpoint_recovery
+
+    got = {
+        r.event_type: (r.n, r.total)
+        for r in b83_checkpoint_recovery(spark, sf_dir).collect()
+    }
+    want = {
+        r.event_type: (r.n, r.total)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_incremental_agg_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Crash-replay twin: foreachBatch may re-deliver the LAST batch id
+    after a failure; the versioned v{B}→v{B+1} merge must make the
+    second delivery a no-op."""
+    import os
+
+    from etl_wildweb_spark.io import table
+    from etl_wildweb_spark.operators.merge import read_scd1_snapshot
+
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    snap = str(tmp_path / "snap")
+    os.makedirs(snap)
+
+    # hand-drive the same upsert closure stream_incremental_agg installs
+    from etl_wildweb_spark.operators.merge import incremental_upsert
+
+    upsert = incremental_upsert(spark, ["event_type"], "value", snap)
+
+    first = e.limit(4000)
+    upsert(first, 0)
+    once = sorted(map(tuple, read_scd1_snapshot(spark, snap).collect()))
+    upsert(first, 0)  # replay the SAME batch id
+    twice = sorted(map(tuple, read_scd1_snapshot(spark, snap).collect()))
+    assert once == twice
