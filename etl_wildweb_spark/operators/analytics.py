@@ -620,3 +620,117 @@ def b80_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+def pagerank_int(
+    edges: DataFrame, nodes: DataFrame, iters: int = 3
+) -> DataFrame:
+    """Fixed-iteration PageRank with INTEGER-EXACT arithmetic: ranks
+    are micro-scaled bigints (start 10⁶), each edge pushes
+    (rank·w) div out_w, and rank' = 150000 + (85·contrib) div 100 —
+    floor division everywhere, so the result is bit-identical across
+    engines and partitionings (no float-sum order sensitivity, the
+    same trick as b42/b43's scaled-integer scores).  Dangling nodes
+    keep the (1−d) floor; un-pointed-to nodes converge to it.
+
+    ``edges``: (src, dst, w) aggregated weights; ``nodes``: (node).
+    Scale: the per-iteration cost is one src-keyed join of edges
+    against the (node-sized) rank table — broadcast when nodes fit,
+    hash co-partitioned otherwise — and one dst-keyed partial
+    aggregate.  Edge weights aggregate ONCE before the loop; the
+    fact-scale joins never repeat."""
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ranks = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank * w) div ow").alias("push"),
+            )
+            .groupBy("node")
+            .agg(F.sum("push").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(150_000)
+                + F.expr("(85 * coalesce(contrib, 0)) div 100")
+            )
+            .cast("bigint")
+            .alias("rank"),
+        )
+    return ranks
+
+
+@query(
+    "b84_pagerank",
+    oracle="""
+    WITH edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+    r0 AS (SELECT n_nationkey AS node, CAST(1000000 AS BIGINT) AS rank
+           FROM nation),
+    r1 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT)
+               AS rank
+      FROM r0 n LEFT JOIN (
+        SELECT e.dst AS node, sum((r.rank * e.w) // o.ow) AS contrib
+        FROM edges e JOIN r0 r ON e.src = r.node
+        JOIN outw o ON e.src = o.src GROUP BY 1) c ON n.node = c.node),
+    r2 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT)
+               AS rank
+      FROM r0 n LEFT JOIN (
+        SELECT e.dst AS node, sum((r.rank * e.w) // o.ow) AS contrib
+        FROM edges e JOIN r1 r ON e.src = r.node
+        JOIN outw o ON e.src = o.src GROUP BY 1) c ON n.node = c.node),
+    r3 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT)
+               AS rank
+      FROM r0 n LEFT JOIN (
+        SELECT e.dst AS node, sum((r.rank * e.w) // o.ow) AS contrib
+        FROM edges e JOIN r2 r ON e.src = r.node
+        JOIN outw o ON e.src = o.src GROUP BY 1) c ON n.node = c.node)
+    SELECT node AS nationkey, rank AS pagerank FROM r3
+    """,
+)
+def b84_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK (3 iterations, damping 0.85) over the nation-level
+    trade graph: an edge src→dst weighted by how many lineitems flow
+    from customers of nation src to suppliers of nation dst.  The
+    edge aggregation is the only fact-scale work (the TPC-H Q7 join
+    shape, dims broadcast); the iteration then runs on the node-sized
+    graph.  Integer-exact throughout (see pagerank_int) — the oracle
+    unrolls the same three iterations as CTEs and must match to the
+    last micro-rank unit."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    nodes = n.select(F.col("n_nationkey").cast("bigint").alias("node"))
+    ranks = pagerank_int(edges, nodes, iters=3)
+    return ranks.select(
+        F.col("node").alias("nationkey"), F.col("rank").alias("pagerank")
+    )

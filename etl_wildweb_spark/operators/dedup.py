@@ -745,3 +745,89 @@ def b28_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_batch.join(corpus_digests, "digest", "left_anti").select(
         "doc_id", "source", "digest"
     )
+
+
+#: b82: every 5th doc plays the "newly arrived batch"; the rest are
+#: the already-indexed corpus.
+_NEARDUP_BATCH_MOD = 5
+
+
+@query(
+    "b82_incremental_neardup",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM documents),
+    corpus AS (SELECT * FROM sh WHERE doc_id % {_NEARDUP_BATCH_MOD} <> 0),
+    batch  AS (SELECT * FROM sh WHERE doc_id % {_NEARDUP_BATCH_MOD} = 0)
+    SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+           len(list_intersect(b.s, c.s))::DOUBLE
+               / len(list_distinct(list_concat(b.s, c.s))) AS jaccard
+    FROM batch b JOIN corpus c ON TRUE
+    WHERE len(list_intersect(b.s, c.s))::DOUBLE
+              / len(list_distinct(list_concat(b.s, c.s)))
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def b82_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup admission: a newly arrived batch (every
+    5th doc) is checked for Jaccard ≥ 0.8 neighbors against the
+    ALREADY-INDEXED corpus — the b28_incremental_dedup story lifted
+    from exact digests to MinHash+LSH.  Only batch×corpus pairs are
+    ever considered; corpus×corpus never re-compares, which is the
+    whole point of keeping a persistent band index: daily ingest
+    costs O(|batch| × collision rate), not O(|corpus|²).
+
+    Shape: signatures for both sides from the shared per-row pipeline
+    (zero shuffle), the batch's band keys BROADCAST into the corpus
+    band index (an equi-join probe — the corpus is never exchanged),
+    then exact-Jaccard verification on the candidate pairs only.  The
+    oracle is the brute-force batch×corpus scan; they agree because
+    banding recall at the threshold is 1-5e-8 (N_PERM note above)."""
+    d = table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % _NEARDUP_BATCH_MOD == 0
+    sigs = minhash_signatures(d).cache()
+
+    def banded(side: DataFrame, out: str) -> DataFrame:
+        band_cols = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[
+                            F.col(f"h{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ]
+                    ).alias("sig"),
+                )
+                for b in range(N_BANDS)
+            ]
+        )
+        return side.select(
+            F.col("doc_id").alias(out), F.explode(band_cols).alias("bk")
+        ).select(out, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+    batch_bands = banded(sigs.filter(is_batch), "batch_id")
+    corpus_bands = banded(sigs.filter(~is_batch), "corpus_id")
+    cands = (
+        corpus_bands.join(F.broadcast(batch_bands), ["band", "sig"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+
+    sh = with_shingles(lift_parallelism(d, "doc_id")).select("doc_id", "s")
+    return (
+        cands.join(
+            sh.withColumnRenamed("doc_id", "batch_id").withColumnRenamed("s", "sb"),
+            "batch_id",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "corpus_id").withColumnRenamed("s", "sc"),
+            "corpus_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sb", "sc")).cast("double")
+            / F.size(F.array_union("sb", "sc")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("batch_id", "corpus_id", "jaccard")
+    )

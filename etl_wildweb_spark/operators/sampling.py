@@ -165,3 +165,76 @@ def b53_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+#: b90: global document budget distributed across sources.
+_MIX_TARGET = 200
+
+
+@query(
+    "b90_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source),
+    weighted AS (
+      SELECT source, n,
+             CAST(floor(sqrt(n * 1000000.0)) AS BIGINT) AS w
+      FROM counts),
+    quota AS (
+      SELECT source, n, w,
+             ({_MIX_TARGET} * w) // (SELECT sum(w) FROM weighted) AS q
+      FROM weighted)
+    SELECT d.doc_id, d.source, q.q AS source_quota
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents) d
+    JOIN quota q ON d.source = q.source
+    WHERE d.rk <= q.q
+    """,
+)
+def b90_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED domain mixing (T = 0.5): each source's share
+    of a fixed document budget is proportional to count^0.5 — the
+    standard move for flattening a crawl-dominated corpus without
+    discarding small domains entirely (multilingual/LLM sampling's
+    p_s ∝ n_s^α with α = 1/2).  Counts go through an INTEGER
+    micro-scaled sqrt (floor(sqrt(n·10⁶))) so the weight, the budget
+    division (integer div), and therefore the selected set are
+    bit-identical on every engine — no float-sum order sensitivity
+    anywhere.  Selection within a source is md5-ordered (the b34
+    growth-stable pick).
+
+    Scale: one count aggregation, a source-cardinality quota table
+    that BROADCASTS back, and one per-source rank window — the same
+    top-k-per-group shape as b34_stratified_sample, map-side-pruned
+    to quota+ε per partition before the exchange."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    weighted = counts.withColumn(
+        "w", F.floor(F.sqrt(F.col("n") * F.lit(1_000_000.0))).cast("bigint")
+    )
+    total_w = weighted.agg(F.sum("w").alias("tw"))
+    quota = weighted.crossJoin(F.broadcast(total_w)).select(
+        "source",
+        F.expr(f"({_MIX_TARGET} * w) div tw").alias("source_quota"),
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string").cast("binary")),
+                F.col("doc_id"),
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("source_quota"))
+        .select("doc_id", "source", "source_quota")
+    )

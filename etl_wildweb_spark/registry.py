@@ -177,6 +177,9 @@ PRIORITY_NEXT: list[str] = [
     "b87_skyline",
     "b79_bucketed_join",
     "b83_checkpoint_recovery",
+    "b82_incremental_neardup",
+    "b90_temperature_mix",
+    "b84_pagerank",
 ]
 
 
