@@ -216,8 +216,13 @@ def b90_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = counts.withColumn(
         "w", F.floor(F.sqrt(F.col("n") * F.lit(1_000_000.0))).cast("bigint")
     )
-    total_w = weighted.agg(F.sum("w").alias("tw"))
-    quota = weighted.crossJoin(F.broadcast(total_w)).select(
+    # budget division over the SOURCE-cardinality weight table — the
+    # unpartitioned window runs on ≤|sources| rows, never on the corpus
+    # (and keeps the engine-wide no-nested-loop invariant: a 1-row
+    # crossJoin would plan as BroadcastNestedLoopJoin)
+    quota = weighted.withColumn(
+        "tw", F.sum("w").over(Window.partitionBy())
+    ).select(
         "source",
         F.expr(f"({_MIX_TARGET} * w) div tw").alias("source_quota"),
     )
