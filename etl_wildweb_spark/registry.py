@@ -180,6 +180,7 @@ PRIORITY_NEXT: list[str] = [
     "b82_incremental_neardup",
     "b90_temperature_mix",
     "b84_pagerank",
+    "b91_stream_http_source",
 ]
 
 

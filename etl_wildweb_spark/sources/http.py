@@ -259,3 +259,148 @@ def b33_http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
         )
     )
+
+
+# ------------------------------------------------ streaming poll source
+
+STREAM_SCHEMA = "center string, payload string, http_ok boolean, status int, poll int"
+
+
+class WildWebPollStreamReader:
+    """Streaming twin of the batch connector: the reference's A1
+    scheduled re-poll (task.ts:50 — cron → fetch the whole feed) as a
+    REAL Structured Streaming source via Spark 4's
+    SimpleDataSourceStreamReader.  The offset is the poll generation:
+    micro-batch k fetches every center once with poll=k, so the
+    checkpoint makes ingest exactly-once across restarts — replaying a
+    committed range (readBetweenOffsets) re-fetches the same
+    generations, and the deterministic fake transport makes the replay
+    bit-identical in tests.
+
+    ``maxPolls`` bounds the demo/test run; production leaves it at the
+    default -1 (poll forever, one generation per trigger interval —
+    the scheduled-Lambda cadence moved into the engine)."""
+
+    def __init__(self, options: dict) -> None:
+        self.centers = [c for c in options.get("centers", "").split(",") if c]
+        self.max_polls = int(options.get("maxPolls", -1))
+        self.transport = options.get("transport", "https")
+        self.endpoint = options.get("endpoint", DEFAULT_ENDPOINT)
+
+    def initialOffset(self) -> dict:
+        return {"poll": 0}
+
+    def _rows(self, poll: int):
+        fetch = TRANSPORTS[self.transport]
+        for center in self.centers:
+            try:
+                status, body = fetch(self.endpoint.format(center=center), center)
+            except Exception as e:
+                status, body = 0, f'{{"transport_error": {json.dumps(str(e))}}}'
+            yield (center, body, 200 <= status < 300, status, poll)
+
+    def read(self, start: dict):
+        p = start["poll"]
+        if self.max_polls >= 0 and p >= self.max_polls:
+            return iter([]), start
+        # a LIST iterator, not a generator: Spark's driver-side
+        # prefetch cache both next()s and copy.copy()s the returned
+        # iterator for replay — generators can't be copied and bare
+        # lists can't be next()ed
+        return iter(list(self._rows(p))), {"poll": p + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for p in range(start["poll"], end["poll"]):
+            yield from self._rows(p)
+
+    def commit(self, end: dict) -> None:
+        pass  # no source-side cleanup: polls are re-fetchable
+
+
+class WildWebStreamSource(DataSource):
+    """``spark.readStream.format("wildweb_stream")`` — poll-per-batch."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "wildweb_stream"
+
+    def schema(self) -> str:
+        return STREAM_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return WildWebPollStreamReader(self.options)
+
+
+def read_centers_stream(
+    spark: SparkSession,
+    centers: list[str],
+    *,
+    max_polls: int = -1,
+    transport: str = "https",
+    endpoint: str = DEFAULT_ENDPOINT,
+) -> DataFrame:
+    spark.dataSource.register(WildWebStreamSource)
+    return (
+        spark.readStream.format("wildweb_stream")
+        .option("centers", ",".join(centers))
+        .option("maxPolls", max_polls)
+        .option("transport", transport)
+        .option("endpoint", endpoint)
+        .load()
+    )
+
+
+@query("b91_stream_http_source")  # custom streaming connector → rows-only
+def b91_stream_http_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33/A1 streaming: three poll generations of the 12-center demo
+    feed through the custom streaming source into a memory sink.
+    Exactly-once arithmetic — 3 polls × 12 centers = 36 rows, every
+    (center, poll) pair exactly once — is asserted in
+    tests/test_transport.py along with offset-replay determinism.
+    Python streaming sources don't support Trigger.AvailableNow, so
+    the harness micro-batches until the poll budget drains (the
+    source returns empty batches past maxPolls) and then stops."""
+    out = run_polls_to_memory(
+        spark, _DEMO_CENTERS, max_polls=3, transport="fake"
+    )
+    return out.groupBy("poll", "http_ok").agg(
+        F.count(F.lit(1)).alias("n_centers")
+    )
+
+
+def run_polls_to_memory(
+    spark: SparkSession,
+    centers: list[str],
+    *,
+    max_polls: int,
+    transport: str = "fake",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Drive the poll stream into a memory sink until all ``max_polls``
+    generations have been committed, then stop and return the
+    materialized (executor-checkpointed) result."""
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    stream = read_centers_stream(
+        spark, centers, max_polls=max_polls, transport=transport
+    )
+    name = f"polls_{_uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", _tempfile.mkdtemp(prefix="pollck_"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    want = max_polls * len(centers)
+    deadline = time.time() + timeout_sec
+    try:
+        while time.time() < deadline:
+            if spark.table(name).count() >= want:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    return spark.table(name).localCheckpoint(eager=True)

@@ -16,6 +16,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from etl_wildweb_spark.sinks import https_post
 from etl_wildweb_spark.sources.http import https_transport, read_centers
 
@@ -123,3 +125,53 @@ def test_reader_https_transport_end_to_end(spark, server):
     assert not rows["NVSFC_ERR"]["http_ok"]
     assert rows["NVSFC_ERR"]["status"] == 500
     assert rows["NVSFC_ERR"]["attempts"] == 2
+
+
+def test_stream_poll_source_exactly_once(spark):
+    """b91: 3 polls × 12 centers, every (center, poll) pair exactly
+    once — the offset-per-generation contract."""
+    from etl_wildweb_spark.sources.http import (
+        _DEMO_CENTERS,
+        run_polls_to_memory,
+    )
+
+    out = run_polls_to_memory(
+        spark, _DEMO_CENTERS, max_polls=3, transport="fake"
+    )
+    assert out.count() == 3 * len(_DEMO_CENTERS)
+    assert out.select("center", "poll").distinct().count() == 3 * len(
+        _DEMO_CENTERS
+    )
+    # per-generation payloads are deterministic: poll k == poll 0
+    p0 = {
+        r.center: r.payload for r in out.filter(F.col("poll") == 0).collect()
+    }
+    for k in (1, 2):
+        pk = {
+            r.center: r.payload
+            for r in out.filter(F.col("poll") == k).collect()
+        }
+        assert pk == p0
+
+
+def test_stream_poll_replay_matches_read(spark):
+    """readBetweenOffsets (crash replay) must reproduce exactly what
+    read() emitted for the same offset range."""
+    from etl_wildweb_spark.sources.http import (
+        _DEMO_CENTERS,
+        WildWebPollStreamReader,
+    )
+
+    r = WildWebPollStreamReader(
+        {"centers": ",".join(_DEMO_CENTERS), "maxPolls": "3",
+         "transport": "fake"}
+    )
+    live1, o1 = r.read(r.initialOffset())
+    live2, o2 = r.read(o1)
+    live = list(live1) + list(live2)
+    replay = list(r.readBetweenOffsets({"poll": 0}, {"poll": 2}))
+    assert live == replay
+    assert o2 == {"poll": 2}
+    # past the budget: empty batch, offset pinned
+    empty, o3 = r.read({"poll": 3})
+    assert list(empty) == [] and o3 == {"poll": 3}
