@@ -1549,3 +1549,71 @@ def b87_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "bal_cents", "dist")
     )
+
+
+@query(
+    "b92_string_agg",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_custkey % 100 = 0
+    GROUP BY c_nationkey
+    """,
+)
+def b92_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg with a DETERMINISTIC element order —
+    collect_list alone is partition-order-dependent, which silently
+    breaks replica comparison and caching; sorting inside the
+    aggregate (sort_array ∘ collect_list ∘ array_join) pins the
+    output byte-for-byte to the oracle's ORDER BY string_agg.
+
+    Scale: one key shuffle; collect_list is the rare agg with no
+    map-side combine (the list must see every row), so the filter
+    keeps group payloads bounded — at 100 TB a listagg over unbounded
+    groups is a design error regardless of engine, and this operator
+    documents the bound instead of hiding it."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 100 == 0)
+    return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias(
+            "names"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "b93_window_distribution",
+    oracle="""
+    SELECT s_suppkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM supplier
+    WINDOW w AS (ORDER BY CAST(floor(s_acctbal * 100) AS BIGINT), s_suppkey)
+    """,
+)
+def b93_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 completeness: the DISTRIBUTION window functions —
+    percent_rank (=(rank−1)/(n−1)), cume_dist, ntile(4) — over a
+    total order made deterministic by the (integer-cents, key)
+    tie-break.  Both percent_rank and cume_dist are single IEEE
+    divisions of small integers, so cross-engine bit-equality holds
+    (no float accumulation anywhere).
+
+    Scale: a GLOBAL-order window like this is legitimate only on
+    bounded relations (a ranking report); the per-group variant
+    (partitionBy before orderBy) is the corpus-scale shape — b12
+    covers it.  Registered globally here precisely to pin the
+    distribution-function semantics, supplier-sized."""
+    s = table(spark, sf_dir, "supplier")
+    w = W.orderBy(
+        F.floor(F.col("s_acctbal") * 100).cast("bigint"), F.col("s_suppkey")
+    )
+    return s.select(
+        "s_suppkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )

@@ -181,6 +181,9 @@ PRIORITY_NEXT: list[str] = [
     "b90_temperature_mix",
     "b84_pagerank",
     "b91_stream_http_source",
+    "b92_string_agg",
+    "b93_window_distribution",
+    "b94_datasource_writer",
 ]
 
 

@@ -144,3 +144,159 @@ def a18_submit_sink(spark, sf_dir: str) -> DataFrame:
         F.sum("n_features").alias("n_features"),
         F.count(F.lit(1)).alias("n_chunks"),
     )
+
+
+# ------------------------------------------- custom DataSource writer
+
+class SubmitCommit:
+    """Per-task commit message: what this task delivered."""
+
+    def __init__(self, n_rows: int, n_chunks: int, n_failed_chunks: int) -> None:
+        self.n_rows = n_rows
+        self.n_chunks = n_chunks
+        self.n_failed_chunks = n_failed_chunks
+
+
+def _make_submit_writer_classes():
+    """Build the writer/datasource classes lazily so importing sinks.py
+    never requires pyspark.sql.datasource (kept import-gated like the
+    source side)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Commit(WriterCommitMessage, SubmitCommit):
+        pass
+
+    class WildWebSubmitWriter(DataSourceWriter):
+        """A18 as a REAL ``df.write.format("wildweb_sink")`` writer:
+        each executor task chunks its partition into FeatureCollection
+        POSTs (at-least-once, failures are data), returns a commit
+        message with its delivery counts, and the DRIVER-side
+        commit() — which Spark calls exactly once, only when every
+        task succeeded — writes the delivery manifest.  A failed job
+        calls abort() instead and leaves no manifest: the commit
+        protocol is what upgrades scattered POSTs into an auditable
+        all-tasks-delivered handshake."""
+
+        def __init__(self, options: dict) -> None:
+            self.chunk_size = int(options.get("chunkSize", 500))
+            self.path = options["path"]
+
+        def write(self, iterator):
+            n_rows = n_chunks = n_failed = 0
+            buf: list[dict] = []
+
+            def flush() -> None:
+                nonlocal n_chunks, n_failed
+                if not buf:
+                    return
+                fc = _json.dumps(
+                    {"type": "FeatureCollection",
+                     "features": [r for r in buf]}
+                )
+                status = fake_post(fc)
+                n_chunks += 1
+                if not 200 <= status < 300:
+                    n_failed += 1
+                buf.clear()
+
+            for row in iterator:
+                buf.append(row.asDict(recursive=True))
+                n_rows += 1
+                if len(buf) >= self.chunk_size:
+                    flush()
+            flush()
+            return _Commit(n_rows, n_chunks, n_failed)
+
+        def commit(self, messages) -> None:
+            msgs = list(messages)  # guard: may arrive as an iterator
+            manifest = {
+                "n_rows": sum(m.n_rows for m in msgs),
+                "n_chunks": sum(m.n_chunks for m in msgs),
+                "n_failed_chunks": sum(m.n_failed_chunks for m in msgs),
+                "n_tasks": len(msgs),
+            }
+            _os.makedirs(self.path, exist_ok=True)
+            with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+                f.write(_json.dumps(manifest))
+
+        def abort(self, messages) -> None:
+            # no manifest ⇒ downstream treats the wave as undelivered
+            pass
+
+    class WildWebSinkSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "wildweb_sink"
+
+        def writer(self, schema, overwrite: bool) -> WildWebSubmitWriter:
+            return WildWebSubmitWriter(self.options)
+
+    return WildWebSinkSource
+
+
+def write_submit(
+    features: DataFrame, manifest_dir: str, chunk_size: int = 500
+) -> dict:
+    """Deliver ``features`` through the custom sink and return the
+    committed manifest."""
+    import json as _json
+    import os as _os
+
+    spark = features.sparkSession
+    spark.dataSource.register(_make_submit_writer_classes())
+    (
+        features.write.format("wildweb_sink")
+        .option("chunkSize", chunk_size)
+        .option("path", manifest_dir)
+        .mode("append")
+        .save()
+    )
+    with open(_os.path.join(manifest_dir, "_MANIFEST.json")) as f:
+        return _json.loads(f.read())
+
+
+@query("b94_datasource_writer")  # commit-protocol sink → rows-only
+def b94_datasource_writer(spark, sf_dir: str) -> DataFrame:
+    """A18 through the Python DataSource WRITER API: the wildweb
+    feature wave delivered by ``df.write.format("wildweb_sink")`` with
+    a driver-side commit manifest (written exactly once, only after
+    every task's chunks were posted).  Manifest row counts must equal
+    the pipeline cardinality — asserted in tests/test_sinks.py."""
+    import tempfile
+
+    from .ingest.wildweb import (
+        _SYNTH_NOW,
+        _synth_incidents,
+        filter_time_range,
+        filter_valid_geo,
+        normalize_dates,
+        to_features,
+    )
+
+    incidents = _synth_incidents(spark, sf_dir)
+    in_window = filter_time_range(
+        incidents, "1 Week", F.lit(_SYNTH_NOW).cast("timestamp")
+    )
+    dated, _ = normalize_dates(in_window)
+    features = to_features(filter_valid_geo(dated))
+    manifest = write_submit(
+        features, tempfile.mkdtemp(prefix="submitsink_"), chunk_size=200
+    )
+    return spark.createDataFrame(
+        [
+            (
+                manifest["n_rows"],
+                manifest["n_chunks"],
+                manifest["n_failed_chunks"],
+                manifest["n_tasks"],
+            )
+        ],
+        "n_rows bigint, n_chunks bigint, n_failed_chunks bigint, n_tasks bigint",
+    )

@@ -64,3 +64,41 @@ def test_stream_submit_foreachbatch(spark, sf_dir):
     )
     q.awaitTermination(120)
     assert q.lastProgress is not None
+
+
+def test_datasource_writer_manifest_counts(spark, sf_dir, tmp_path):
+    """b94: the committed manifest's row total equals the delivered
+    DataFrame's cardinality and chunk math holds."""
+    import math
+
+    from etl_wildweb_spark.io import table
+    from etl_wildweb_spark.sinks import write_submit
+
+    feats = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .repartition(4)
+    )
+    n = feats.count()
+    manifest = write_submit(feats, str(tmp_path / "m"), chunk_size=300)
+    assert manifest["n_rows"] == n
+    assert manifest["n_tasks"] == 4
+    assert manifest["n_failed_chunks"] == 0
+    # each task chunks independently: total chunks between ceil(n/300)
+    # (perfect packing) and 4 partial tails
+    assert math.ceil(n / 300) <= manifest["n_chunks"] <= math.ceil(n / 300) + 4
+
+
+def test_datasource_writer_counts_failed_chunks(spark, tmp_path):
+    """Partial-delivery semantics survive the writer API: poison rows
+    fail their chunk (status row, not exception) and the commit still
+    lands with the failure counted."""
+    from etl_wildweb_spark.sinks import write_submit
+
+    df = spark.createDataFrame(
+        [("ok-1",), ("ok-2",), ("POISON",), ("ok-3",)], "payload string"
+    ).coalesce(1)
+    manifest = write_submit(df, str(tmp_path / "m2"), chunk_size=2)
+    assert manifest["n_rows"] == 4
+    assert manifest["n_failed_chunks"] >= 1
+    assert manifest["n_chunks"] >= 2
