@@ -224,3 +224,124 @@ def b62_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda ev, od: _merge_user_activity(ev, od), out_schema
         )
     )
+
+
+def _arrow_group_stats(table_in):
+    """applyInArrow worker: per-group count + integer-cents sum over a
+    pyarrow.Table — no pandas materialization at all (zero-copy
+    column math), the lowest-overhead Python hook Spark 4 offers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    vals = table_in.column("value")
+    cents = pc.floor(pc.multiply(pc.cast(vals, pa.float64()), 100.0))
+    return pa.table(
+        {
+            "event_type": [table_in.column("event_type")[0].as_py()],
+            "n": pa.array([table_in.num_rows], pa.int64()),
+            "value_cents": pa.array(
+                [int(pc.sum(pc.cast(cents, pa.int64())).as_py() or 0)],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+@query(
+    "b95_apply_in_arrow",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def b95_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25 completeness, Spark 4's applyInArrow: grouped custom logic
+    on RAW ARROW TABLES — one serialization layer less than
+    applyInPandas (no pandas Block consolidation, no object boxing),
+    which is the right hook when the Python side is itself columnar
+    (pyarrow.compute here, numpy/polars in general).  Exact
+    integer-cents arithmetic keeps the oracle bit-exact.
+
+    Scale: same single group-key exchange as any groupBy-apply; each
+    group must fit an Arrow batch (event_type cardinality is 5 —
+    bounded).  The GroupBy twin of the mapInArrow decode path."""
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    return e.groupBy("event_type").applyInArrow(
+        _arrow_group_stats,
+        schema="event_type string, n bigint, value_cents bigint",
+    )
+
+
+@udtf
+class TopTokens:
+    """Polymorphic UDTF (Spark 4 ``analyze``): output schema is decided
+    at ANALYSIS time from the literal k argument — top_tokens(text, 2)
+    resolves to columns (token_1, token_2); a different k re-shapes the
+    relation without code changes.  The dynamic-schema contract the
+    reference's TypeBox capabilities endpoint (task.ts:52-65) promises,
+    implemented engine-side."""
+
+    @staticmethod
+    def analyze(text, k):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import StringType, StructType
+
+        if not k.isConstantExpression:
+            raise Exception("k must be a literal")
+        n = int(k.value)
+        schema = StructType()
+        for i in range(n):
+            schema = schema.add(f"token_{i + 1}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, k: int):
+        toks = sorted(
+            {t for t in (text or "").split() if t},
+            key=lambda t: (-(text.split().count(t)), t),
+        )
+        row = [toks[i] if i < len(toks) else None for i in range(k)]
+        yield tuple(row)
+
+
+@query(
+    "b96_udtf_analyze",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.token,
+             count(*) AS cnt
+      FROM documents, unnest(string_split(text, ' ')) AS t(token)
+      WHERE doc_id < 50 AND t.token <> ''
+      GROUP BY doc_id, t.token),
+    ranked AS (
+      SELECT doc_id, token,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, token) AS rk
+      FROM toks)
+    SELECT d.doc_id,
+           max(CASE WHEN rk = 1 THEN token END) AS token_1,
+           max(CASE WHEN rk = 2 THEN token END) AS token_2
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 50) d
+    LEFT JOIN ranked ON ranked.doc_id = d.doc_id AND rk <= 2
+    GROUP BY d.doc_id
+    """,
+)
+def b96_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27 completeness: a UDTF whose schema comes from analyze() —
+    ``top_tokens(text, 2)`` emits (token_1, token_2), the 2 most
+    frequent tokens per document with deterministic (count desc,
+    token) tie-break.  The oracle replays the ranking relationally.
+
+    Scale: per-row generator UDTFs are the slowest Python shape (the
+    module docstring's policy note) — the query bounds its input to a
+    50-doc slice on purpose; corpus-scale top-k-per-doc is b31's
+    in-row JVM fold."""
+    spark.udtf.register("top_tokens", TopTokens)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("docs_b96")
+    return spark.sql(
+        "SELECT d.doc_id, t.token_1, t.token_2 "
+        "FROM docs_b96 d, LATERAL top_tokens(d.text, 2) t"
+    )

@@ -184,6 +184,8 @@ PRIORITY_NEXT: list[str] = [
     "b92_string_agg",
     "b93_window_distribution",
     "b94_datasource_writer",
+    "b95_apply_in_arrow",
+    "b96_udtf_analyze",
 ]
 
 
