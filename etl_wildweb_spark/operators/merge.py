@@ -639,3 +639,58 @@ def b76_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     v2 = b75_merge_full(spark, sf_dir)
     return snapshot_diff(o, v2, "o_orderkey")
+
+
+#: b98: the time-travel probe instant — mid-corpus (events span
+#: 2024-01-01..01-30), so roughly half the versions are open at it.
+_ASOF_T = "2024-01-15 00:00:00"
+
+
+@query(
+    "b98_asof_snapshot",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events),
+    seg AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS version
+      FROM flagged),
+    g AS (
+      SELECT user_id, version, min(event_type) AS event_type,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM seg GROUP BY 1, 2),
+    hist AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+             valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to
+      FROM g)
+    SELECT user_id, version, event_type, valid_from
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '{_ASOF_T}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_ASOF_T}')
+    """,
+)
+def b98_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the SCD-2 history: the state of every user AS
+    OF a fixed instant — the one interval per user whose
+    [valid_from, valid_to) contains T (exactly one row per user active
+    before T, zero after-T users; uniqueness asserted in
+    tests/test_merge.py).  This is the query shape a lakehouse's
+    ``VERSION AS OF`` answers from snapshot metadata; over plain
+    SCD-2 tables it is a half-open interval predicate.
+
+    Scale: builds on b41's history (user-keyed windows, one
+    exchange); the as-of filter itself is row-local and — on a
+    valid_from-partitioned layout — prunes every partition newer
+    than T at planning time (the b71 mechanism)."""
+    hist = b41_scd2_history(spark, sf_dir)
+    t = F.lit(_ASOF_T).cast("timestamp")
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "version", "event_type", "valid_from")

@@ -429,3 +429,75 @@ def b56_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").alias("q_min"),
         F.array_max("qv").alias("q_max"),
     )
+
+
+@query(
+    "b97_kmeans_update",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      WHERE vec_id < {N_CENTROIDS}),
+    sims AS (
+      SELECT e.vec_id, c.cid,
+             list_cosine_similarity(e.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]) AS cos_sim
+      FROM embeddings e CROSS JOIN c),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC, cid ASC) AS rn
+        FROM sims) WHERE rn = 1),
+    expl AS (
+      SELECT a.cid AS cluster_id, CAST(r.range AS INT) AS pos,
+             CAST(floor(CAST(e.embedding[CAST(r.range AS INT) + 1]
+                             AS DOUBLE) * 1000000) AS BIGINT) AS xs
+      FROM embeddings e
+      JOIN assign a ON e.vec_id = a.vec_id,
+           range(64) r)
+    SELECT cluster_id, pos,
+           CAST(sum(xs) // count(*) AS BIGINT) AS mean_micro,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM expl GROUP BY cluster_id, pos
+    """,
+)
+def b97_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means UPDATE step completing b40's assign: per-cluster
+    elementwise centroid means in integer MICRO units — floor(x·10⁶)
+    per element, bigint sums, integer division (Spark ``div`` and
+    DuckDB ``//`` both truncate toward zero, verified) — so one full
+    Lloyd iteration is cross-engine bit-exact end to end.  Output is
+    (cluster, dim) → mean_micro + member count, k×64 rows.
+
+    Scale: assignment is b40's broadcast-score-rollup (corpus never
+    shuffled); the update posexplodes to (cluster, dim) keys — a
+    shuffle of k·dim·P partial sums AFTER map-side combine, i.e.
+    centroid-table-sized, not corpus-sized.  Iterating Lloyd = loop
+    this plan with the previous round's means broadcast back in
+    (the b84_pagerank iterate-on-the-small-thing principle)."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = e.select("vec_id", "embedding").join(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cid", cosine("embedding", "ce").alias("cos_sim")
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cid", F.struct(F.col("cos_sim"), (-F.col("cid")).alias("nc"))
+        ).alias("cluster_id"),
+        F.first("embedding").alias("embedding"),
+    )
+    expl = assign.select(
+        "cluster_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "cluster_id",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("xs"),
+    )
+    return expl.groupBy("cluster_id", "pos").agg(
+        F.expr("sum(xs) div count(1)").cast("bigint").alias("mean_micro"),
+        F.count(F.lit(1)).alias("n_members"),
+    )

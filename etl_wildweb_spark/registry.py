@@ -186,6 +186,8 @@ PRIORITY_NEXT: list[str] = [
     "b94_datasource_writer",
     "b95_apply_in_arrow",
     "b96_udtf_analyze",
+    "b97_kmeans_update",
+    "b98_asof_snapshot",
 ]
 
 

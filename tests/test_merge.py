@@ -257,3 +257,20 @@ def test_snapshot_diff_roundtrips_change_batch(spark, sf_dir):
     assert by["changed"] == o.filter(
         (F.col("o_orderkey") % _UPD_MOD == 0) & (F.col("o_orderkey") % _DEL_MOD != 0)
     ).count()
+
+
+def test_asof_snapshot_one_row_per_active_user(spark, sf_dir):
+    """b98: AS OF returns exactly one interval per user active before
+    T, none for users whose history starts after T."""
+    from etl_wildweb_spark.operators.merge import _ASOF_T, b98_asof_snapshot
+
+    snap = b98_asof_snapshot(spark, sf_dir)
+    assert snap.count() == snap.select("user_id").distinct().count()
+    active = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts") <= F.lit(_ASOF_T).cast("timestamp"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert snap.count() == active
