@@ -188,6 +188,7 @@ PRIORITY_NEXT: list[str] = [
     "b96_udtf_analyze",
     "b97_kmeans_update",
     "b98_asof_snapshot",
+    "b99_zorder_layout",
 ]
 
 

@@ -283,3 +283,106 @@ def b79_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         shutil.rmtree(loc, ignore_errors=True)
+
+
+def zvalue(x, y, bits: int = 16):
+    """Morton/Z-order interleave of two pre-bucketized non-negative
+    ints (each < 2^bits) — built from shift/mask arithmetic only, so
+    it stays inside whole-stage codegen (no UDF)."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+            + (F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+@query("b99_zorder_layout")  # file-footer layout metrics → rows-only
+def b99_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER data clustering, measured where it actually pays: the
+    parquet ROW-GROUP STATS.  The events table is written twice — hash
+    layout vs sorted by the Morton interleave of (user_id, day) — and
+    the row-group (min,max) footers are read back with pyarrow.  The
+    z-sorted layout's per-row-group ranges must shrink on BOTH
+    dimensions simultaneously (asserted in tests/test_file_sources.py)
+    — that range shrinkage IS data skipping: a point/range predicate
+    on either column lets the reader drop every row group whose
+    min/max excludes it, before any decode.
+
+    At 100 TB this is the difference between 'scan everything' and
+    'touch 1/500 of the files' for multi-dimensional slices — the
+    single-column sort (b71's partition pruning) only helps its one
+    leading column; the z-curve spreads locality across both.
+
+    Emits one row per (layout, column): row-group count + average
+    normalized range width + the derived skip fraction for an
+    equality probe."""
+    import tempfile as _tempfile
+
+    from ..io import table
+
+    import pyarrow.parquet as _pq
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+    )
+    lo_u, hi_u, lo_d, hi_d = e.agg(
+        F.min("user_id"), F.max("user_id"), F.min("day"), F.max("day")
+    ).first()
+    scale_u = ((F.col("user_id") - lo_u) * 65535 / max(1, hi_u - lo_u)).cast(
+        "bigint"
+    )
+    scale_d = ((F.col("day") - lo_d) * 65535 / max(1, hi_d - lo_d)).cast(
+        "bigint"
+    )
+    ez = e.withColumn("z", zvalue(scale_u, scale_d))
+
+    out_plain = _tempfile.mkdtemp(prefix="layout_plain_")
+    out_z = _tempfile.mkdtemp(prefix="layout_z_")
+    e.repartition(16).write.mode("overwrite").parquet(out_plain)
+    (
+        ez.repartitionByRange(16, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(out_z)
+    )
+
+    def stats(path: str, layout: str) -> list[tuple]:
+        import glob as _glob
+
+        spans: dict[str, list[float]] = {"user_id": [], "day": []}
+        n_groups = 0
+        for f in _glob.glob(f"{path}/*.parquet"):
+            pf = _pq.ParquetFile(f)
+            idx = {c: i for i, c in enumerate(pf.schema_arrow.names)}
+            for g in range(pf.metadata.num_row_groups):
+                n_groups += 1
+                for col, full in (
+                    ("user_id", max(1, hi_u - lo_u)),
+                    ("day", max(1, hi_d - lo_d)),
+                ):
+                    st = pf.metadata.row_group(g).column(idx[col]).statistics
+                    spans[col].append((st.max - st.min) / full)
+        return [
+            (
+                layout,
+                col,
+                n_groups,
+                round(sum(v) / len(v), 4),
+                round(1.0 - sum(v) / len(v), 4),
+            )
+            for col, v in spans.items()
+        ]
+
+    rows = stats(out_plain, "hash") + stats(out_z, "zorder")
+    return spark.createDataFrame(
+        rows,
+        "layout string, column string, n_row_groups int, "
+        "avg_range_frac double, est_skip_frac double",
+    )

@@ -86,3 +86,17 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "lang" in plan
+
+
+def test_zorder_tightens_both_dimensions(spark, sf_dir):
+    """b99: the z-sorted layout must shrink average row-group range on
+    BOTH clustered columns vs the hash layout — multi-dimensional data
+    skipping, not just a leading-column sort."""
+    from etl_wildweb_spark.sources.files import b99_zorder_layout
+
+    rows = {
+        (r.layout, r.column): r.avg_range_frac
+        for r in b99_zorder_layout(spark, sf_dir).collect()
+    }
+    assert rows[("zorder", "user_id")] < rows[("hash", "user_id")] * 0.7
+    assert rows[("zorder", "day")] < rows[("hash", "day")] * 0.7
