@@ -72,6 +72,17 @@ BENCH_QUERIES = [
     "b69_line_dedup",
     "b73_salted_agg",
     "b74_rolling_features",
+    # round-3 session additions (heaviest per family; the tiny
+    # connector/layout demos stay in pytest where their runtime is
+    # fixture cost, not data-path throughput)
+    "b75_merge_full",
+    "b76_snapshot_diff",
+    "b77_interval_union",
+    "b80_attribution",
+    "b82_incremental_neardup",
+    "b84_pagerank",
+    "b87_skyline",
+    "b97_kmeans_update",
 ]
 
 
