@@ -50,4 +50,11 @@ def test_priority_oracle_coverage():
         "b66_stream_scd1",
         "b67_stream_incremental_agg",
         "b72_stateful_sessionize",
+        # round-3 session additions: restart/connector/sink/layout ops
+        # whose outputs are state-protocol or file-footer facts, not
+        # SQL relations (each carries its own pytest invariants)
+        "b83_checkpoint_recovery",
+        "b91_stream_http_source",
+        "b94_datasource_writer",
+        "b99_zorder_layout",
     }
