@@ -189,6 +189,7 @@ PRIORITY_NEXT: list[str] = [
     "b97_kmeans_update",
     "b98_asof_snapshot",
     "b99_zorder_layout",
+    "b100_compaction",
 ]
 
 

@@ -386,3 +386,46 @@ def b99_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "layout string, column string, n_row_groups int, "
         "avg_range_frac double, est_skip_frac double",
     )
+
+
+@query("b100_compaction")  # file-count layout op → rows-only
+def b100_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILES COMPACTION driver-visible: the events table is
+    deliberately shattered into 32 micro-files (the streaming-ingest
+    accretion pattern — the reference's per-center fetch loop,
+    task.ts:76, produces exactly this shape), then compacted with
+    io.compact_parquet into size-targeted files via coalesce (NO
+    shuffle — compaction must never pay an exchange).  Emits before/
+    after file counts + bytes and the row count, which must be
+    conserved (pinned in tests/test_compaction.py along with the
+    sizing arithmetic)."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..io import compact_parquet, table
+
+    src = _tempfile.mkdtemp(prefix="compact_src_")
+    dst = _tempfile.mkdtemp(prefix="compact_dst_")
+    try:
+        e = table(spark, sf_dir, "events")
+        e.repartition(32).write.mode("overwrite").parquet(src)
+
+        def layout(path: str) -> tuple[int, int]:
+            files = _glob.glob(f"{path}/*.parquet")
+            return len(files), sum(
+                __import__("os").path.getsize(f) for f in files
+            )
+
+        n_before, bytes_before = layout(src)
+        out = compact_parquet(spark, src, dst, target_mb=512)
+        n_rows = out.count()
+        n_after, bytes_after = layout(dst)
+        return spark.createDataFrame(
+            [(n_before, n_after, bytes_before, bytes_after, n_rows)],
+            "n_files_before int, n_files_after int, "
+            "bytes_before bigint, bytes_after bigint, n_rows bigint",
+        )
+    finally:
+        _shutil.rmtree(src, ignore_errors=True)
+        _shutil.rmtree(dst, ignore_errors=True)

@@ -23,3 +23,13 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, docs.collect()))
     b = sorted(map(tuple, out.collect()))
     assert a == b
+
+
+def test_b100_compaction_conserves_rows(spark, sf_dir):
+    from etl_wildweb_spark.io import table
+    from etl_wildweb_spark.sources.files import b100_compaction
+
+    r = b100_compaction(spark, sf_dir).first()
+    assert r.n_rows == table(spark, sf_dir, "events").count()
+    assert r.n_files_after < r.n_files_before
+    assert r.n_files_after >= 1

@@ -57,4 +57,5 @@ def test_priority_oracle_coverage():
         "b91_stream_http_source",
         "b94_datasource_writer",
         "b99_zorder_layout",
+        "b100_compaction",
     }
