@@ -1,0 +1,326 @@
+"""Statistical / pattern-mining operators: distribution entropy, Markov
+transition matrices, market-basket co-occurrence, integer-exact outlier
+detection, event-path n-grams, and time-weighted aggregation.
+
+These are the "data-profiling + behavioral-mining" layer a corpus engine
+gets asked for after dedup/quality (SURVEY.md §2 extension): entropy and
+outliers profile a corpus slice, transitions/paths/baskets mine ordered
+behavior, the time-weighted sum is the standard irregular-time-series
+reducer.  Reference parity: the reference connector (task.ts:106-147)
+only reshapes rows; these extend the engine surface the way B28-B31 do.
+
+Determinism across engines is the design constraint everywhere:
+- counts stay BIGINT,
+- money goes through integer cents (``round(x*100)`` — the doubles in
+  testdata are 2-dp money, so ``x*100`` lands ~1e-9 away from an
+  integer, never near ``.5``),
+- moment arithmetic (sums of squares) runs in DECIMAL(38,0) on Spark /
+  HUGEINT on DuckDB — exact, order-independent, and sized so even a
+  1e10-row group stays under 1e38 (see b104 docstring),
+- the only floats are per-ROW natural logs, immediately rounded to
+  integer micro-nats: a 1-ulp libm difference (~1e-11 relative) cannot
+  flip a round() at 1e-6 granularity unless the value sits exactly on a
+  .5 boundary, which irrational logs never do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import query
+
+D38 = "decimal(38,0)"
+
+
+@query(
+    "b101_group_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT source, lang, count(*) AS c
+      FROM documents GROUP BY 1, 2),
+    terms AS (
+      SELECT source, c,
+             CAST(round(1000000.0 * c * ln(c)) AS BIGINT) AS term_micro
+      FROM counts)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           CAST(round(1000000.0 * sum(c) * ln(sum(c))) AS BIGINT)
+             - CAST(sum(term_micro) AS BIGINT) AS n_h_micro
+    FROM terms GROUP BY source
+    """,
+)
+def b101_group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language distribution per source, as the
+    scaled integer N·H in micro-nats: N·H = N·ln N − Σ c·ln c.  Emitting
+    N·H instead of H keeps the output integer-exact — the division by N
+    (and a log2 change of base) is a downstream scalar.
+
+    Per-term logs are rounded to micro-nats BEFORE summation so the
+    cross-term addition is integer (order-independent); only the single
+    N·ln N term per group is a float, rounded once.
+
+    Scale: two cascaded hash aggregations — (source, lang) then source —
+    each with map-side partial combine; the second input is at most
+    |sources|×|langs| rows regardless of corpus size.  No windows, no
+    sorts, nothing proportional to document count past the first
+    partial aggregate."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    term = F.round(1e6 * F.col("c") * F.log(F.col("c"))).cast("bigint")
+    return (
+        counts.select("source", "c", term.alias("term_micro"))
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            (
+                F.round(1e6 * F.sum("c") * F.log(F.sum("c"))).cast("bigint")
+                - F.sum("term_micro").cast("bigint")
+            ).alias("n_h_micro"),
+        )
+    )
+
+
+@query(
+    "b102_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events),
+    trans AS (
+      SELECT src, dst, count(*) AS n FROM seq
+      WHERE dst IS NOT NULL GROUP BY 1, 2)
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           CAST((1000000 * n) // sum(n) OVER (PARTITION BY src)
+                AS BIGINT) AS p_ppm
+    FROM trans
+    """,
+)
+def b102_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    count of each (src → dst) consecutive event-type pair, plus the
+    row-normalized transition probability in integer ppm (floor
+    division — exact on both engines, no float ratio in the output).
+
+    Scale: one shuffle on user_id for the lead() window (per-user
+    streams are small — the window never materializes more than a
+    user's events per task), then a hash aggregation down to at most
+    |event_types|² rows; the normalizing window runs on that tiny
+    matrix.  This is the scalable shape for transition mining: the
+    expensive ordered pass is partitioned by the natural key and the
+    global step only touches the aggregated matrix."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    trans = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    return trans.select(
+        "src",
+        "dst",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("(1000000 * n) div sum(n) over (partition by src)")
+        .cast("bigint")
+        .alias("p_ppm"),
+    )
+
+
+@query(
+    "b103_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def b103_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (the frequent-itemset k=2 step): for
+    every unordered pair of parts co-occurring in an order, count the
+    orders containing both; keep pairs with support ≥ 2.
+
+    Scale: the classic per-basket pair expansion — distinct items per
+    order (one orderkey shuffle), then a SELF equi-join on l_orderkey,
+    so pair generation is per-basket local: a basket of k items emits
+    k(k-2)/2 pairs inside one task, never a global cross product
+    (TPC-H orders hold ≤7 lines).  The count aggregation shuffles pair
+    keys, whose cardinality the support threshold then collapses.  For
+    skewed mega-baskets the guard is a per-basket item cap upstream —
+    the join itself stays equi-keyed."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@query(
+    "b104_zscore_outliers",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    stats AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS s,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ssq
+      FROM cents GROUP BY 1)
+    SELECT c.o_orderkey, c.o_orderpriority, c.cents
+    FROM cents c JOIN stats st USING (o_orderpriority)
+    WHERE 4 * (st.n * c.cents - st.s) * (st.n * c.cents - st.s)
+          > 9 * (st.n * st.ssq - st.s * st.s)
+    """,
+)
+def b104_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact 1.5-sigma outlier detection on order totals per
+    priority class: flag x where (x − μ)² > (3/2)²σ², evaluated entirely
+    in integer arithmetic by clearing every denominator —
+    4·(n·x − s)² > 9·(n·ssq − s²) — so Spark and the oracle agree
+    bit-for-bit with zero float comparisons at the decision boundary.
+    (k=1.5 because TPC-H order totals are uniform on [~1k, 500k]: a
+    uniform's maximum deviation is √3·σ ≈ 1.73σ, so a 2σ test is empty
+    by construction; 1.5σ flags the real ~13% tail.)
+
+    Sizing: money in cents ≤ 1e8; a 1e10-row group gives n·x ≤ 1e18 and
+    s ≤ 1e18, so 4·(n·x − s)² ≤ ~4e36, and 9·(n·ssq − s²) ≤ ~1e37 with
+    ssq ≤ 1e26 — both inside DECIMAL(38,0) / HUGEINT.  Groups beyond
+    ~1e10 rows need a two-level (partition-then-merge) moment variant —
+    documented, not hit at any TPC-H scale factor.
+
+    Scale: one hash aggregation to a 5-row stats table, broadcast back
+    onto the fact scan — the detection pass is a broadcast join + per-row
+    integer predicate, no second shuffle of the fact table."""
+    o = table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    stats = cents.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum("cents").cast(D38).alias("s"),
+        F.sum(F.col("cents").cast(D38) * F.col("cents")).cast(D38).alias("ssq"),
+    )
+    j = cents.join(F.broadcast(stats), "o_orderpriority")
+    dev = F.col("n") * F.col("cents") - F.col("s")
+    rhs = 9 * (F.col("n") * F.col("ssq") - F.col("s") * F.col("s"))
+    return j.filter(4 * dev * dev > rhs).select(
+        "o_orderkey", "o_orderpriority", "cents"
+    )
+
+
+@query(
+    "b105_event_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT p2 || '>' || p1 || '>' || event_type AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def b105_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path analysis: frequency of every length-3
+    consecutive event-type path per user stream (the n-gram view of
+    b102's bigram matrix; b52 matches ONE fixed pattern, this counts
+    ALL patterns).
+
+    Scale: same shape as b102 — one user_id-partitioned window pass,
+    then a hash aggregation whose output is ≤ |event_types|³ rows.  The
+    path string is built per-row in codegen; no arrays materialize."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    return seq.groupBy(
+        F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@query(
+    "b106_time_weighted_sum",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, value,
+             epoch_us(lead(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS gap_us
+      FROM events),
+    held AS (
+      SELECT event_type,
+             CAST(round(value * 1000000) AS BIGINT) AS v_micro, gap_us
+      FROM seq WHERE gap_us IS NOT NULL)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_held,
+           CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+           CAST(sum(CAST(v_micro AS HUGEINT) * gap_us) AS VARCHAR)
+             AS vt_micro_us
+    FROM held GROUP BY event_type
+    """,
+)
+def b106_time_weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted aggregation over an irregular series: each event's
+    value is held until the user's next event; per event type we emit
+    Σ value·holding_time exactly (micro-value × micro-seconds, summed
+    in DECIMAL(38,0) and emitted as a STRING so the 128-bit integer
+    crosses engines losslessly — the time-weighted MEAN is the
+    downstream division by sum_gap_us).
+
+    Scale: the gap computation is the one user_id-partitioned window
+    pass; the weighted sum is a hash aggregation with map-side partial
+    combine in decimal — order-independent, so partial/final split
+    cannot change the result.  Output is |event_types| rows."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    held = seq.select(
+        "event_type",
+        F.round(F.col("value") * 1e6).cast("bigint").alias("v_micro"),
+        "gap_us",
+    )
+    return held.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_held"),
+        F.sum("gap_us").cast("bigint").alias("sum_gap_us"),
+        F.sum(F.col("v_micro").cast(D38) * F.col("gap_us"))
+        .cast(D38)
+        .cast("string")
+        .alias("vt_micro_us"),
+    )

@@ -190,6 +190,12 @@ PRIORITY_NEXT: list[str] = [
     "b98_asof_snapshot",
     "b99_zorder_layout",
     "b100_compaction",
+    "b101_group_entropy",
+    "b102_markov_transitions",
+    "b103_basket_pairs",
+    "b104_zscore_outliers",
+    "b105_event_paths",
+    "b106_time_weighted_sum",
 ]
 
 
@@ -215,6 +221,7 @@ def load_all() -> None:
         corpus,
         dedup,
         merge,
+        mining,
         multimodal,
         packing,
         quality,

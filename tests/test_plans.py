@@ -218,6 +218,12 @@ _SHUFFLE_BUDGET = {
     "b51_resample_ffill": 2,     # daily agg + user window (grid joins broadcast)
     "b48_retention": 3,          # firsts + join + cohort agg
     "b47_funnel": 6,             # 3 stage aggs + stage joins (dims broadcast)
+    "b101_group_entropy": 2,     # (source,lang) agg + source agg
+    "b102_markov_transitions": 3,  # user window + pair agg + src-normalize
+    "b103_basket_pairs": 3,      # distinct + basket self-join + pair agg
+    "b104_zscore_outliers": 1,   # stats agg only; detection is broadcast
+    "b105_event_paths": 2,       # user window + path agg
+    "b106_time_weighted_sum": 2,  # user window + type agg
 }
 
 
@@ -234,10 +240,12 @@ def test_shuffle_budget_not_exceeded(plans, name):
 # Queries allowed to plan a nested-loop/cartesian join:
 # - b07_join_range: the NAIVE range join, kept as the didactic contrast
 #   to its banded scale path.
-# - b30_*: exhaustive scoring against a CONSTANT-SIZE broadcast side
-#   (query set / centroid table / hyperplane set) — the cross product is
-#   the operator's definition and its fan-out is bounded by that small
-#   constant, not by data volume; the data-sized sides never pair up.
+# - b30_*/b40/b97: exhaustive scoring against a CONSTANT-SIZE broadcast
+#   side (query set / centroid table / hyperplane set) — the cross
+#   product is the operator's definition and its fan-out is bounded by
+#   that small constant, not by data volume; the data-sized sides never
+#   pair up.  b97 is b40's assign step plus the centroid-sized update
+#   rollup, so it inherits the same bound.
 _NESTED_LOOP_OK = {
     "b07_join_range",
     "b30_cosine_topk",
@@ -246,6 +254,7 @@ _NESTED_LOOP_OK = {
     "b30_ann_ivf_observed",
     "b30_ann_lsh_observed",
     "b40_centroid_assign",
+    "b97_kmeans_update",
 }
 
 # Streaming / connector / side-effecting queries execute eagerly or
