@@ -324,3 +324,45 @@ def b106_time_weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("vt_micro_us"),
     )
+
+
+@query(
+    "b107_sliding_distinct",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    contrib AS (
+      SELECT DISTINCT user_id, d + CAST(r.range AS INT) AS win_day
+      FROM ud, range(7) r)
+    SELECT win_day, CAST(count(*) AS BIGINT) AS n_users_7d
+    FROM contrib GROUP BY win_day
+    """,
+)
+def b107_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct users per day — the sliding
+    COUNT(DISTINCT) that window frames cannot express (distinct is not
+    decomposable over overlapping frames).  The scalable identity:
+    a user active on day d contributes to the windows ending on
+    d..d+6, so distinct (user, day) pairs EXPLODE 7× into
+    (user, window_end) contributions, dedup, and count — turning an
+    O(days × window) re-scan into two hash aggregations plus a
+    constant-factor flatMap.
+
+    Scale: the explode factor equals the window length (bounded,
+    chosen), never the data; both distincts are hash aggs with
+    map-side combine on (user, day)-grain keys — far smaller than raw
+    events.  A 30-day window costs 30×, still linear; the re-scan
+    formulation costs windows × full-scan.  No windows, no sorts, no
+    per-day loops."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "d",
+    ).select("user_id", F.date_add("d", F.col("off")).alias("win_day"))
+    return (
+        contrib.distinct()
+        .groupBy("win_day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_7d"))
+    )

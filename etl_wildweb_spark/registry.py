@@ -196,6 +196,8 @@ PRIORITY_NEXT: list[str] = [
     "b104_zscore_outliers",
     "b105_event_paths",
     "b106_time_weighted_sum",
+    "b107_sliding_distinct",
+    "b108_dynamic_overwrite",
 ]
 
 

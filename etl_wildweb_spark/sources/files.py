@@ -429,3 +429,69 @@ def b100_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _shutil.rmtree(src, ignore_errors=True)
         _shutil.rmtree(dst, ignore_errors=True)
+
+
+@query(
+    "b108_dynamic_overwrite",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(ts AS DATE) AS day, value FROM events),
+    bounds AS (SELECT min(day) AS d0 FROM days)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN day <= (SELECT d0 FROM bounds) + 1
+                         THEN 2 * CAST(round(value * 1000000) AS BIGINT)
+                         ELSE CAST(round(value * 1000000) AS BIGINT)
+                    END) AS BIGINT) AS sum_v_micro
+    FROM days GROUP BY day
+    """,
+)
+def b108_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the data-lake maintenance primitive
+    between append and full rewrite: a restated batch replaces ONLY the
+    partitions it touches.  Events land day-partitioned; a correction
+    batch for the first two days (values doubled) is written with
+    ``partitionOverwriteMode=dynamic``, then the whole table is read
+    back and aggregated per day.  The oracle recomputes the expected
+    post-correction state from the ORIGINAL table — a hash match proves
+    both that the two restated days changed AND that every other
+    partition survived untouched (a static overwrite would have deleted
+    them; an append would have doubled them).
+
+    Scale: the rewrite cost is proportional to the RESTATED days, not
+    the table — the daily backfill pattern at 100 TB.  The written
+    value column is integer micro-units so the round-trip is bit-exact.
+
+    Reference parity: the reference re-polls a rolling incident window
+    and re-submits it wholesale (task.ts:66-86 pollInterval +
+    IncidentRange) — partition overwrite is that same "replace the
+    recent window" semantics, expressed at the storage layer."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..io import table
+
+    out = _tempfile.mkdtemp(prefix="dyn_ow_")
+    try:
+        e = table(spark, sf_dir, "events").select(
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
+        )
+        e.write.mode("overwrite").partitionBy("day").parquet(out)
+
+        d0 = e.agg(F.min("day")).collect()[0][0]  # scalar bound, driver-side
+        restate = e.filter(F.col("day") <= F.date_add(F.lit(d0), 1)).select(
+            (F.col("v_micro") * 2).alias("v_micro"), "day"
+        )
+        restate.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("day").parquet(out)
+
+        back = spark.read.parquet(out)
+        res = back.groupBy("day").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v_micro").cast("bigint").alias("sum_v_micro"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(out, ignore_errors=True)

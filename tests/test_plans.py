@@ -224,6 +224,7 @@ _SHUFFLE_BUDGET = {
     "b104_zscore_outliers": 1,   # stats agg only; detection is broadcast
     "b105_event_paths": 2,       # user window + path agg
     "b106_time_weighted_sum": 2,  # user window + type agg
+    "b107_sliding_distinct": 3,  # (user,day) distinct + contrib distinct + day agg
 }
 
 
