@@ -366,3 +366,70 @@ def b107_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("win_day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_7d"))
     )
+
+
+#: Misra-Gries counter capacity for b109 — bounds executor memory; any
+#: token with global share > 1/(MG_CAP+1) of one partition's stream is
+#: guaranteed to survive that partition's summary.
+MG_CAP = 400
+
+
+@query(
+    "b109_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT t.token FROM documents,
+             unnest(string_split(text, ' ')) AS t(token))
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM toks GROUP BY token
+    HAVING 29 * count(*) > (SELECT count(*) FROM toks)
+    """,
+)
+def b109_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (frequency > 1/29 of the token stream) via the
+    sketch-then-verify pattern: a bounded-memory Misra-Gries pass per
+    partition produces a candidate SUPERSET (pigeonhole: a global
+    heavy hitter must exceed the threshold share in at least one
+    partition, and MG with k counters never evicts an item above a
+    1/(k+1) partition share), then exact counts are computed for the
+    candidates only and the threshold is applied EXACTLY — so the
+    output is the true heavy-hitter set with true counts, independent
+    of which extra candidates the sketch happened to retain.  The
+    integer cross-product test (29·n > N) keeps the boundary
+    float-free on both engines.
+
+    Scale: the sketch pass is one narrow mapInPandas with O(k) state
+    per task — no token-domain shuffle; the verify pass broadcasts the
+    candidate set (≤ k × partitions rows, bounded by CHOSEN constants)
+    into the token stream, so the only shuffle is the candidate-sized
+    count aggregation.  The full-vocabulary groupBy lives only in the
+    oracle.  The eviction guarantee is pinned on planted skewed data
+    in tests/test_llmops.py."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "documents")
+    toks = e.select(F.explode(F.split("text", " ")).alias("token"))
+
+    def mg_partial(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > MG_CAP:
+                # batched MG decrement: subtract the (CAP+1)-th largest
+                # count from everyone; ≥ CAP+1 counters shrink together,
+                # so total undercount per survivor ≤ n_partition/(CAP+1)
+                cut = sorted(counters.values(), reverse=True)[MG_CAP]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c > cut
+                }
+        yield pd.DataFrame({"token": list(counters)})
+
+    cands = toks.mapInPandas(mg_partial, "token string").distinct()
+    total = toks.count()  # driver-side scalar bound, like b108's d0
+    return (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(29 * F.col("n") > F.lit(total))
+    )

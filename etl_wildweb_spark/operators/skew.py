@@ -1,4 +1,4 @@
-"""Manual skew mitigation: salted joins.
+"""Manual join hardening: salted joins and Bloom prefilters.
 
 AQE's runtime skew-join split (on in session defaults) is the first
 line of defense; salting is the explicit fallback for the cases AQE
@@ -136,4 +136,114 @@ def b73_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         "total",
         F.col("max_user").cast("bigint").alias("max_user"),
+    )
+
+
+#: Bloom bit-array size for b110 (2^16 bits = 1024 64-bit words).  At a
+#: real dim cardinality (|keys| ≪ m/10) the false-positive rate with two
+#: probes is ~(|keys|·2/m)² — choose m per deployment; the STRUCTURE is
+#: what scales, not this test constant.
+BLOOM_BITS = 1 << 16
+
+
+def _bloom_probe(key: F.Column, seed: int) -> F.Column:
+    """Bit position for (key, seed): pmod(xxhash64(seed, key), m)."""
+    return F.pmod(F.xxhash64(F.lit(seed), key), F.lit(BLOOM_BITS))
+
+
+@query(
+    "b110_bloom_prefilter_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem
+    WHERE l_suppkey IN (
+      SELECT s_suppkey FROM supplier JOIN nation
+        ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3')
+    GROUP BY l_returnflag
+    """,
+)
+def b110_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with an explicit Bloom prefilter — the runtime-filter
+    pattern made visible: the dim keys (suppliers of one nation) are
+    folded into a 2-probe Bloom bitmap stored as (word_idx, bits) ROWS,
+    the fact side tests membership via two broadcast EQUI-joins on
+    word index (never a nested loop — the bitmap is a table, not a
+    scalar), and survivors flow into the exact semi-join whose result
+    the oracle checks.  Bloom false positives cannot leak: the exact
+    join runs after, so the prefilter changes COST only, never rows —
+    which is why a plain semi-join oracle hash-matches.
+
+    Scale: at 100 TB the dim key set may be too large to broadcast for
+    the exact join (it becomes a shuffle), but the Bloom bitmap stays
+    broadcastable BY CONSTRUCTION — its size is the chosen m/64 words
+    regardless of key count — and prunes the fact rows entering that
+    shuffle by the non-member fraction.  This is what Spark's AQE
+    runtime filters inject implicitly; owning the plan makes the
+    mechanism testable (word-join shape asserted in tests/test_plans.py).
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    n3 = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    dim = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n3), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+
+    # build: dim keys → 2 bit positions each → OR-fold into 64-bit words
+    words = (
+        dim.select(
+            F.explode(
+                F.array(
+                    _bloom_probe(F.col("s_suppkey"), 1),
+                    _bloom_probe(F.col("s_suppkey"), 2),
+                )
+            ).alias("pos")
+        )
+        .select(
+            F.expr("pos div 64").alias("widx"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+    # probe: each fact row must find BOTH its probe bits set
+    probed = li
+    for seed in (1, 2):
+        pos = _bloom_probe(F.col("l_suppkey"), seed)
+        w = words.withColumnRenamed("widx", f"w{seed}").withColumnRenamed(
+            "bits", f"bits{seed}"
+        )
+        probed = (
+            probed.withColumn(f"p{seed}", pos)
+            .join(
+                F.broadcast(w),
+                F.expr(f"p{seed} div 64") == F.col(f"w{seed}"),
+            )
+            .filter(
+                F.expr(
+                    f"shiftright(bits{seed}, cast(p{seed} % 64 as int)) & 1L"
+                )
+                == 1
+            )
+            .drop(f"p{seed}", f"w{seed}", f"bits{seed}")
+        )
+
+    # exact semi-join removes Bloom false positives
+    exact = probed.join(F.broadcast(dim), probed.l_suppkey == dim.s_suppkey, "left_semi")
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
     )

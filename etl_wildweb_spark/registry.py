@@ -198,6 +198,8 @@ PRIORITY_NEXT: list[str] = [
     "b106_time_weighted_sum",
     "b107_sliding_distinct",
     "b108_dynamic_overwrite",
+    "b109_heavy_hitters",
+    "b110_bloom_prefilter_join",
 ]
 
 

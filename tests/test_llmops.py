@@ -303,3 +303,51 @@ def test_ann_observed_recall_metric(spark, sf_dir):
         got = obs.get
         assert got["n_ann_rows"] == n_rows
         assert got["recall_at_10"] >= 0.4, (kind, got)
+
+
+# ------------------------------------------------ b109 Misra-Gries
+
+
+def test_misra_gries_superset_guarantee_under_eviction(spark):
+    """The b109 sketch pass must retain every true heavy hitter even
+    when the counter capacity forces evictions: a planted stream with
+    600 distinct rare tokens (≫ MG_CAP=400) plus 3 hot tokens at ~10%
+    each must still surface all 3 — the pigeonhole/undercount bound
+    the operator's exactness rests on."""
+    import random
+
+    from etl_wildweb_spark.operators import mining
+
+    rng = random.Random(7)
+    stream = []
+    for i in range(600):
+        stream += [f"rare{i}"] * rng.randint(1, 3)
+    for hot in ("hotA", "hotB", "hotC"):
+        stream += [hot] * 130  # ~10% each of ~1300 rare tokens
+    rng.shuffle(stream)
+    docs = spark.createDataFrame(
+        [(i, " ".join(stream[i::8])) for i in range(8)],
+        "doc_id long, text string",
+    )
+
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    # run the same partial-summary pass the operator uses
+    import pandas as pd
+
+    def mg(batches):
+        counters = {}
+        for pdf in batches:
+            for tok, c in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > mining.MG_CAP:
+                cut = sorted(counters.values(), reverse=True)[mining.MG_CAP]
+                counters = {t: v - cut for t, v in counters.items() if v > cut}
+        yield pd.DataFrame({"token": list(counters)})
+
+    cands = {
+        r.token
+        for r in toks.repartition(2).mapInPandas(mg, "token string").collect()
+    }
+    assert {"hotA", "hotB", "hotC"} <= cands
+    # and eviction actually happened (candidates ≪ distinct tokens)
+    assert len(cands) < 603

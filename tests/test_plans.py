@@ -225,6 +225,7 @@ _SHUFFLE_BUDGET = {
     "b105_event_paths": 2,       # user window + path agg
     "b106_time_weighted_sum": 2,  # user window + type agg
     "b107_sliding_distinct": 3,  # (user,day) distinct + contrib distinct + day agg
+    "b110_bloom_prefilter_join": 2,  # bitmap-word build + final agg; probes broadcast
 }
 
 
