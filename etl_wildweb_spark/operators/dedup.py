@@ -318,11 +318,11 @@ def b29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash never threatens exactness (the same superset-then-verify
     argument as the prefix filter itself)."""
     d = lift_parallelism(table(spark, sf_dir, "documents"), "doc_id")
-    # the posting list feeds three consumers (df counts, set sizes, the
-    # prefix index) — materialize it once, like the MinHash signatures
+    # ONE shingle pass feeds both the posting list (df counts, set
+    # sizes, prefix index) and the exact-verify sets below
+    sh = with_shingles(d).select("doc_id", "s").cache()
     g = (
-        with_shingles(d)
-        .select("doc_id", F.explode("s").alias("gram"))
+        sh.select("doc_id", F.explode("s").alias("gram"))
         .select("doc_id", F.xxhash64("gram").alias("gh"))
         .cache()
     )
@@ -353,8 +353,8 @@ def b29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # the exact verify joins the string shingle sets twice (a/b side) --
-    # materialize once instead of recomputing the shingle pipeline per side
-    sets = with_shingles(d).select("doc_id", "s").cache()
+    # the shared cached shingle frame serves both
+    sets = sh
     return (
         cands.join(sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a")
         .join(sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")), "id_b")
@@ -472,10 +472,16 @@ def connected_components(
     doubles per iteration and Catalyst re-analysis goes quadratic (the
     standard iterative-DataFrame trap)."""
     spark = edges.sparkSession
-    und = edges.selectExpr(f"{src} AS u", f"{dst} AS v").unionAll(
-        edges.selectExpr(f"{dst} AS u", f"{src} AS v")
+    # Materialize the incoming edge list ONCE before the direction-
+    # doubling union — both union branches read the same lineage, and
+    # the upstream pair generation (PPJoin candidates for
+    # b29_dup_clusters) is the expensive part; without this checkpoint
+    # it executes twice (measured ~3.5 s saved at sf0.1), the same fix
+    # connected_components_bigstar already carries.
+    raw = edges.selectExpr(f"{src} AS u", f"{dst} AS v").localCheckpoint(
+        eager=True
     )
-    und = und.localCheckpoint(eager=True)
+    und = raw.unionAll(raw.selectExpr("v AS u", "u AS v"))
     # The dup graph is orders of magnitude smaller than the corpus that
     # produced it, so a corpus-sized partition count is pure scheduling
     # overhead here (measured 28 s → 3 s at sf0.01 under a 200-partition
