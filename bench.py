@@ -83,6 +83,13 @@ BENCH_QUERIES = [
     "b84_pagerank",
     "b87_skyline",
     "b97_kmeans_update",
+    # mining / prefilter families (this session)
+    "b102_markov_transitions",
+    "b103_basket_pairs",
+    "b104_zscore_outliers",
+    "b107_sliding_distinct",
+    "b109_heavy_hitters",
+    "b110_bloom_prefilter_join",
 ]
 
 
