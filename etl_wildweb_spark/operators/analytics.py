@@ -734,3 +734,71 @@ def b84_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("nationkey"), F.col("rank").alias("pagerank")
     )
+
+
+@query(
+    "b112_cohort_ltv",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY 1),
+    rev AS (
+      SELECT c.cohort_week,
+             date_diff('day', c.cohort_week,
+                       date_trunc('week', e.ts)) // 7 AS week_k,
+             sum(CAST(round(e.value * 1000000) AS BIGINT)) AS v_micro
+      FROM events e JOIN cohorts c USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2)
+    SELECT cohort_week, CAST(week_k AS INTEGER) AS week_k,
+           CAST(v_micro AS BIGINT) AS week_rev_micro,
+           CAST(sum(v_micro) OVER (PARTITION BY cohort_week
+                                   ORDER BY week_k) AS BIGINT)
+             AS cum_rev_micro
+    FROM rev
+    """,
+)
+def b112_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: purchase revenue per (first-seen-week
+    cohort × age week), plus the running cumulative — the LTV curve
+    behind b48's retention triangle.  Revenue stays integer micro-units
+    end to end; the cumulative is a window sum over the already-
+    aggregated cohort matrix, never over raw events.
+
+    Scale: identical shape to b48 (per-user first-seen shuffle, then a
+    user-keyed join that reuses the partitioning, then a cohort-sized
+    aggregate); the added running-sum window partitions by cohort over
+    the tiny (cohorts × weeks) matrix — no corpus-scale window, no
+    global sort."""
+    e = table(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_k"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias(
+                "v_micro"
+            )
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cohort_week").orderBy("week_k")
+    return rev.select(
+        "cohort_week",
+        "week_k",
+        F.col("v_micro").cast("bigint").alias("week_rev_micro"),
+        F.sum("v_micro").over(w).cast("bigint").alias("cum_rev_micro"),
+    )

@@ -200,6 +200,8 @@ PRIORITY_NEXT: list[str] = [
     "b108_dynamic_overwrite",
     "b109_heavy_hitters",
     "b110_bloom_prefilter_join",
+    "b111_stream_topk",
+    "b112_cohort_ltv",
 ]
 
 

@@ -181,3 +181,46 @@ def b24_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type"
     )
     return run_to_memory(dedup, mode="append")
+
+
+@query(
+    "b111_stream_topk",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT window_start, event_type, CAST(n AS BIGINT) AS n,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+                                       ORDER BY n DESC, event_type) AS rk
+          FROM c)
+    WHERE rk <= 3
+    """,
+)
+def b111_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k — the streaming-dashboard staple: hourly event-
+    type counts, top 3 per window with a deterministic tie-break.
+    Ranking is NOT allowed inside a streaming aggregation, so the
+    operator is structured the only way that works in both modes: the
+    incrementalizable window COUNT runs first (streamable —
+    tests/test_streaming.py runs exactly that half under availableNow
+    and pins it to this batch plan), and the rank runs downstream over
+    the window-sized count table (in production, per micro-batch via
+    foreachBatch or over the sink table).
+
+    Scale: the count is the only corpus-sized stage (one shuffle with
+    map-side combine); the rank's window partitions by window_start
+    over ≤ |windows|×|event_types| rows."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    )
+    return counts.withColumn("rk", rk).filter(F.col("rk") <= 3)

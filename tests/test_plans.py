@@ -226,6 +226,8 @@ _SHUFFLE_BUDGET = {
     "b106_time_weighted_sum": 2,  # user window + type agg
     "b107_sliding_distinct": 3,  # (user,day) distinct + contrib distinct + day agg
     "b110_bloom_prefilter_join": 2,  # bitmap-word build + final agg; probes broadcast
+    "b111_stream_topk": 2,       # window count + matrix-sized rank window
+    "b112_cohort_ltv": 3,        # first-seen agg + cohort agg + matrix cumsum
 }
 
 

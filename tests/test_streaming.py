@@ -292,3 +292,31 @@ def test_incremental_agg_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     upsert(first, 0)  # replay the SAME batch id
     twice = sorted(map(tuple, read_scd1_snapshot(spark, snap).collect()))
     assert once == twice
+
+
+def test_stream_topk_count_half_equals_batch(spark, sf_dir):
+    """b111's streamable half (hourly counts) under availableNow must
+    equal the batch counts feeding the rank — so ranking the streamed
+    sink reproduces the registered query exactly."""
+    s = sw.events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    sunk = sw.run_to_memory(agg, mode="complete")
+
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    )
+    got = {
+        tuple(r)
+        for r in sunk.withColumn("rk", rk).filter(F.col("rk") <= 3).collect()
+    }
+    want = {
+        tuple(r)
+        for r in registry.QUERIES["b111_stream_topk"](spark, sf_dir).collect()
+    }
+    assert got == want
