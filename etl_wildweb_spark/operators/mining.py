@@ -433,3 +433,99 @@ def b109_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .filter(29 * F.col("n") > F.lit(total))
     )
+
+
+@query(
+    "b113_pareto_coverage",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY 1),
+    ranked AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum_cents,
+             sum(cents) OVER () AS total_cents,
+             row_number() OVER (ORDER BY cents DESC, l_partkey) AS rk
+      FROM rev)
+    SELECT l_partkey, CAST(cents AS BIGINT) AS cents,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked
+    WHERE (cum_cents - cents) * 5 < total_cents * 4
+    """,
+)
+def b113_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto analysis: the smallest prefix of parts (by descending
+    revenue) that covers 80% of total revenue — "which SKUs are the
+    business".  A part is in the prefix iff the cumulative revenue
+    BEFORE it is still under the 80% line, tested as integer
+    cross-multiplication (5·cum_before < 4·total) so the boundary is
+    float-free; the deterministic (cents DESC, partkey) order makes the
+    prefix itself reproducible.
+
+    Scale: revenue rollup is one partkey shuffle with map-side combine;
+    the ranking then runs over the PART-cardinality rollup, not the
+    fact table.  A single-direction global window on |parts| rows is
+    the bounded-report shape (like b93); when even the rollup is too
+    large for one partition, the b87-style range-bucketed prefix sum
+    with a broadcast bucket-offset table drops in unchanged."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy(F.col("cents").desc(), "l_partkey")
+    ranked = rev.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(w).alias("cum_cents"),
+        F.sum("cents").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_cents"),
+        F.row_number().over(w).alias("rk"),
+    )
+    return ranked.filter(
+        (F.col("cum_cents") - F.col("cents")) * 5 < F.col("total_cents") * 4
+    ).select(
+        "l_partkey",
+        F.col("cents").cast("bigint").alias("cents"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
+@query(
+    "b114_activity_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+           CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def b114_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap (events + distinct users per
+    cell) — the usage-pattern profile every analytics surface draws.
+    Week-day numbering is pinned to ISO (1=Monday) explicitly on both
+    engines, because the engines' defaults disagree (Spark dayofweek
+    is 1=Sunday, DuckDB dow is 0=Sunday) — calendar semantics are an
+    interface contract, not a default to inherit.
+
+    Scale: one hash aggregation to a fixed 7×24-cell grid; the distinct
+    user count per cell is Spark's partial-distinct aggregate (two-level
+    hash, map-side dedup before the shuffle).  Output size is constant
+    regardless of corpus."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.weekday("ts") + 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )

@@ -202,6 +202,8 @@ PRIORITY_NEXT: list[str] = [
     "b110_bloom_prefilter_join",
     "b111_stream_topk",
     "b112_cohort_ltv",
+    "b113_pareto_coverage",
+    "b114_activity_heatmap",
 ]
 
 

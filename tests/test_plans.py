@@ -228,6 +228,8 @@ _SHUFFLE_BUDGET = {
     "b110_bloom_prefilter_join": 2,  # bitmap-word build + final agg; probes broadcast
     "b111_stream_topk": 2,       # window count + matrix-sized rank window
     "b112_cohort_ltv": 3,        # first-seen agg + cohort agg + matrix cumsum
+    "b113_pareto_coverage": 2,   # partkey rollup + rollup-sized rank window
+    "b114_activity_heatmap": 2,  # two-level partial-distinct grid agg
 }
 
 
