@@ -802,3 +802,56 @@ def b112_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_micro").cast("bigint").alias("week_rev_micro"),
         F.sum("v_micro").over(w).cast("bigint").alias("cum_rev_micro"),
     )
+
+
+@query(
+    "b116_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    per AS (
+      SELECT user_id, sid, min(ts) AS session_start, count(*) AS n
+      FROM sess GROUP BY 1, 2)
+    SELECT CAST(session_start AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces
+    FROM per GROUP BY 1
+    """,
+)
+def b116_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized bounce metrics: sessions close after 30 minutes of
+    inactivity (Spark's built-in ``session_window``; the oracle rebuilds
+    the identical islands with a gap-flag running sum), then per
+    session-start day we count sessions and single-event sessions —
+    bounce RATE is the downstream division, so outputs stay integer.
+
+    Scale: session_window is a user-keyed stateful aggregation — one
+    shuffle, no global ordering; the day rollup then aggregates the
+    session-cardinality table.  The same expression streams under a
+    watermark (B22 pins that equivalence)."""
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("session_start"))
+    return (
+        per.groupBy(F.to_date("session_start").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+        )
+    )

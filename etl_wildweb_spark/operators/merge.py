@@ -694,3 +694,86 @@ def b98_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("user_id", "version", "event_type", "valid_from")
+
+
+@query(
+    "b117_scd3_current",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events),
+    seg AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS version
+      FROM flagged),
+    g AS (
+      SELECT user_id, version, min(event_type) AS event_type,
+             min(ts) AS valid_from
+      FROM seg GROUP BY 1, 2),
+    hist AS (
+      SELECT user_id, version, event_type, valid_from,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY version)
+               AS prev_event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY version DESC)
+               AS rn
+      FROM g)
+    SELECT user_id, event_type AS current_value,
+           prev_event_type AS previous_value, valid_from AS changed_at,
+           CAST(version AS BIGINT) AS n_changes
+    FROM hist WHERE rn = 1
+    """,
+)
+def b117_scd3_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 3 — current value + one level of history as COLUMNS
+    (current_value, previous_value, changed_at), completing the SCD
+    family next to the type-1 merge (b38) and type-2 history (b41).
+    Built by collapsing the attribute run history (b41's construction)
+    and keeping each key's latest version with its lag — type 3 is a
+    projection of type 2, and building it that way keeps the three
+    variants consistent by construction.
+
+    Scale: identical user_id-partitioned window shape as b41 (shared
+    sort, no global window); the final latest-row pick is a per-key
+    row_number over the version-cardinality history, not the event
+    log."""
+    e = table(spark, sf_dir, "events")
+    ew = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(ew).eqNullSafe(F.col("event_type")), 0
+        )
+        .otherwise(1)
+        .alias("chg"),
+    )
+    seg = flagged.withColumn(
+        "version", F.sum("chg").over(ew.rowsBetween(W.unboundedPreceding, 0))
+    )
+    g = seg.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+    )
+    vw = W.partitionBy("user_id").orderBy("version")
+    hist = g.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        F.lag("event_type").over(vw).alias("prev_event_type"),
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy(F.col("version").desc()))
+        .alias("rn"),
+    )
+    return hist.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("event_type").alias("current_value"),
+        F.col("prev_event_type").alias("previous_value"),
+        F.col("valid_from").alias("changed_at"),
+        F.col("version").cast("bigint").alias("n_changes"),
+    )

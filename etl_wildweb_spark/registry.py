@@ -204,6 +204,9 @@ PRIORITY_NEXT: list[str] = [
     "b112_cohort_ltv",
     "b113_pareto_coverage",
     "b114_activity_heatmap",
+    "b115_schema_evolution",
+    "b116_bounce_rate",
+    "b117_scd3_current",
 ]
 
 

@@ -495,3 +495,59 @@ def b108_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "b115_schema_evolution",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_source,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def b115_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read — the ingest reality that files written
+    before a column existed must stay queryable next to files written
+    after: even-doc_id documents land WITHOUT the ``source`` column
+    (the "old producer"), odd ones with it, and a single
+    ``mergeSchema`` read unions the file schemas, null-filling the
+    missing column.  The aggregate counts non-null ``source`` per
+    lang, so the oracle (which derives the same split from the
+    original table) proves both that old files still read AND that the
+    late column arrives exactly where it should.
+
+    Scale: schema merge is a FOOTER-level planning step (one schema
+    union across file footers, no data pass); the data scan itself
+    stays columnar with pushdown.  The never-do-this alternative —
+    rewriting history to add a column — is a full-table rewrite.
+    Related: tests/test_io_evolution.py pins default-backfill and
+    late-column filter semantics on the same mechanism."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..io import table
+
+    out = _tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        d = table(spark, sf_dir, "documents")
+        d.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", "n_chars"
+        ).write.mode("overwrite").parquet(out + "/v1")
+        d.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "n_chars", "source"
+        ).write.mode("overwrite").parquet(out + "/v2")
+
+        back = spark.read.option("mergeSchema", "true").parquet(
+            out + "/v1", out + "/v2"
+        )
+        res = back.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("source").cast("bigint").alias("n_with_source"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(out, ignore_errors=True)

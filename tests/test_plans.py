@@ -230,6 +230,8 @@ _SHUFFLE_BUDGET = {
     "b112_cohort_ltv": 3,        # first-seen agg + cohort agg + matrix cumsum
     "b113_pareto_coverage": 2,   # partkey rollup + rollup-sized rank window
     "b114_activity_heatmap": 2,  # two-level partial-distinct grid agg
+    "b116_bounce_rate": 2,       # user session agg + day rollup
+    "b117_scd3_current": 1,      # one user-keyed sort shared by all windows
 }
 
 
