@@ -855,3 +855,100 @@ def b116_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_bounces"),
         )
     )
+
+
+@query(
+    "b119_clamped_balance",
+    oracle="""
+    WITH tx AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 1000000) AS BIGINT)
+                  ELSE -CAST(round(value * 1000000) AS BIGINT) END AS delta
+      FROM events WHERE event_type IN ('purchase', 'error')),
+    sums AS (
+      SELECT user_id, ts, event_id,
+             sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS p
+      FROM tx),
+    pre AS (
+      SELECT user_id, p,
+             min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prevmin,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM sums)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_tx,
+           CAST(sum(CASE WHEN p < least(0, coalesce(prevmin, 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamps,
+           CAST(max(CASE WHEN rn_last = 1
+                         THEN p - least(0, least(coalesce(prevmin, 0), p))
+                    END) AS BIGINT) AS final_bal_micro
+    FROM pre GROUP BY user_id
+    """,
+)
+def b119_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped-at-zero running balance (credits = purchases, debits =
+    errors; an account that cannot go negative) — an apparently
+    SEQUENTIAL recurrence, bal_i = max(0, bal_{i-1} + d_i), that a
+    naive port executes as a per-user Python fold.  The engine instead
+    uses the prefix-minimum identity: bal_n = P_n − min(0, min_{j≤n}
+    P_j) where P is the plain prefix sum, and each clamp event is
+    exactly a strict new running minimum below zero — so the whole
+    recurrence collapses into TWO stacked window passes sharing one
+    user-keyed sort, fully JVM-side, bit-exact in integer micro-units.
+
+    Scale: no applyInPandas, no per-user iteration — the same
+    window-over-window shape as b41/b117, shuffle-parallel by user.
+    This identity is the general template for max/min-clamped
+    recurrences (inventory floors, capped meters, drawdown)."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 1_000_000).cast("bigint")
+    tx = e.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", v).otherwise(-v).alias(
+            "delta"
+        ),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wp = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    sums = tx.select(
+        "user_id", "ts", "event_id", F.sum("delta").over(w).alias("p")
+    )
+    pre = sums.select(
+        "user_id",
+        "p",
+        F.min("p").over(wp).alias("prevmin"),
+        F.row_number()
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        )
+        .alias("rn_last"),
+    )
+    prev0 = F.least(F.lit(0), F.coalesce("prevmin", F.lit(0)))
+    return pre.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tx"),
+        F.sum(F.when(F.col("p") < prev0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clamps"),
+        F.max(
+            F.when(
+                F.col("rn_last") == 1,
+                F.col("p") - F.least(prev0, F.col("p")),
+            )
+        )
+        .cast("bigint")
+        .alias("final_bal_micro"),
+    )

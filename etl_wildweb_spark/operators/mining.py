@@ -529,3 +529,56 @@ def b114_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+@query(
+    "b118_longest_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    isl AS (
+      SELECT user_id, d,
+             CASE WHEN d - lag(d) OVER (PARTITION BY user_id ORDER BY d)
+                       = 1 THEN 0 ELSE 1 END AS brk
+      FROM days),
+    grp AS (
+      SELECT user_id, d,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM isl),
+    runs AS (
+      SELECT user_id, g, count(*) AS len FROM grp GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+)
+def b118_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of CONSECUTIVE active days per user (plus streak
+    count) — the engagement metric behind every "7-day streak" badge,
+    and the canonical gaps-and-islands instance: break flags via lag,
+    island ids via running sum, run lengths via groupBy.
+
+    Scale: the (user, day) distinct is the only corpus-sized stage;
+    every window partitions by user over day-cardinality rows, sharing
+    one sort.  DATE arithmetic (d - lag = 1) keeps the break test
+    integer on both engines."""
+    e = table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        "d",
+        F.when(F.datediff("d", F.lag("d").over(w)) == 1, 0)
+        .otherwise(1)
+        .alias("brk"),
+    )
+    grp = isl.withColumn(
+        "g", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = grp.groupBy("user_id", "g").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )

@@ -207,6 +207,8 @@ PRIORITY_NEXT: list[str] = [
     "b115_schema_evolution",
     "b116_bounce_rate",
     "b117_scd3_current",
+    "b118_longest_streak",
+    "b119_clamped_balance",
 ]
 
 

@@ -131,3 +131,47 @@ def test_hll_rollup_within_tolerance_of_exact(spark, sf_dir):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_clamped_balance_identity_vs_sequential_fold(spark, sf_dir):
+    """b119's prefix-min window identity must equal the literal
+    recurrence bal_i = max(0, bal_{i-1} + delta_i) replayed in Python
+    per user — the proof the de-sequentialization is exact."""
+    from etl_wildweb_spark import registry
+    from etl_wildweb_spark.io import table
+    import pyspark.sql.functions as F
+
+    registry.load_all()
+    got = {
+        r.user_id: (r.n_tx, r.n_clamps, r.final_bal_micro)
+        for r in registry.QUERIES["b119_clamped_balance"](spark, sf_dir).collect()
+    }
+
+    e = table(spark, sf_dir, "events")
+    rows = (
+        e.filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 1_000_000).cast("bigint").alias("v"),
+            (F.col("event_type") == "purchase").alias("credit"),
+        )
+        .collect()
+    )
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    want = {}
+    for uid, rs in per_user.items():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        bal, clamps = 0, 0
+        for r in rs:
+            delta = r.v if r.credit else -r.v
+            if bal + delta < 0:
+                clamps += 1
+                bal = 0
+            else:
+                bal = bal + delta
+        want[uid] = (len(rs), clamps, bal)
+    assert got == want

@@ -232,6 +232,8 @@ _SHUFFLE_BUDGET = {
     "b114_activity_heatmap": 2,  # two-level partial-distinct grid agg
     "b116_bounce_rate": 2,       # user session agg + day rollup
     "b117_scd3_current": 1,      # one user-keyed sort shared by all windows
+    "b118_longest_streak": 2,    # (user,day) distinct + island windows/aggs
+    "b119_clamped_balance": 1,   # one user-keyed sort: prefix sums + final agg
 }
 
 
