@@ -315,7 +315,14 @@ def _time_sliced_stream(
     nondeterministically.  The funnel state machine no longer NEEDS
     in-order replay (candidate retention handles any order); the
     explicit ordering keeps the replay itself deterministic, and lets
-    tests force an out-of-order replay on purpose."""
+    tests force an out-of-order replay on purpose.
+
+    The per-slice ``coalesce(1)`` is part of this HARNESS's contract —
+    one file per slice ⇒ one micro-batch per slice, which is the unit
+    the replay-order knob permutes.  It is not a backfill pattern: a
+    production restatement writes slices partition-parallel (b108's
+    dynamic partition overwrite is that path) and lets the source's
+    own trigger batching group files."""
     import os
 
     from pyspark.sql import functions as F
