@@ -868,3 +868,49 @@ def b82_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("batch_id", "corpus_id", "jaccard")
     )
+
+
+@query(
+    "b120_record_linkage",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey + 10000000 AS dirty_id, c_name || 'X' AS dirty_name
+      FROM customer WHERE c_custkey % 10 = 0)
+    SELECT d.dirty_id, c.c_custkey AS matched_custkey,
+           CAST(levenshtein(d.dirty_name, c.c_name) AS INTEGER) AS dist
+    FROM dirty d JOIN customer c
+      ON substr(d.dirty_name, 1, 16) = substr(c.c_name, 1, 16)
+    WHERE levenshtein(d.dirty_name, c.c_name) <= 1
+    """,
+)
+def b120_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source record linkage — the two-TABLE counterpart of the
+    in-corpus edit-distance dedup (b29): a "dirty registry" (every 10th
+    customer name with a trailing character corrupted in, derived
+    deterministically so the oracle can rebuild it) is matched back to
+    the clean customer table by BLOCK-then-VERIFY: equi-join on a
+    16-char name-prefix block, then exact Levenshtein ≤ 1.  The
+    corrupted record sits at distance 1 from its original but ≥ 2 from
+    every block sibling, so the match is unique without a ranking pass.
+
+    Scale: blocking converts the O(n·m) all-pairs comparison into
+    Σ(per-block products) — an equi-join whose fan-out the block-key
+    granularity controls (the recall/cost dial of every linkage
+    system); Levenshtein runs only on candidates.  Same
+    candidates-then-verify architecture as LSH (b29) and Bloom (b110):
+    the approximate structure prunes, an exact predicate decides."""
+    c = table(spark, sf_dir, "customer")
+    dirty = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("dirty_id"),
+        F.concat(F.col("c_name"), F.lit("X")).alias("dirty_name"),
+    )
+    cand = dirty.join(
+        c.select("c_custkey", "c_name"),
+        F.substring("dirty_name", 1, 16) == F.substring("c_name", 1, 16),
+    )
+    dist = F.levenshtein("dirty_name", "c_name")
+    return cand.filter(dist <= 1).select(
+        "dirty_id",
+        F.col("c_custkey").alias("matched_custkey"),
+        dist.cast("int").alias("dist"),
+    )

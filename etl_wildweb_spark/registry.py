@@ -209,6 +209,7 @@ PRIORITY_NEXT: list[str] = [
     "b117_scd3_current",
     "b118_longest_streak",
     "b119_clamped_balance",
+    "b120_record_linkage",
 ]
 
 

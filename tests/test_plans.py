@@ -234,6 +234,7 @@ _SHUFFLE_BUDGET = {
     "b117_scd3_current": 1,      # one user-keyed sort shared by all windows
     "b118_longest_streak": 2,    # (user,day) distinct + island windows/aggs
     "b119_clamped_balance": 1,   # one user-keyed sort: prefix sums + final agg
+    "b120_record_linkage": 0,    # block equi-join broadcasts at test scale
 }
 
 
