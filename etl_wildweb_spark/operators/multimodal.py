@@ -320,3 +320,74 @@ def b32_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no"),
     )
+
+
+PPM_RESIZE_SCHEMA = (
+    "doc_id bigint, src_w int, src_h int, dst_w int, dst_h int, "
+    "out_ppm binary, sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def ppm_resize_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """REAL resize: parse the P6 raster, nearest-neighbor downsample to
+    half resolution (floor-index map, the textbook NN kernel), and
+    re-encode a spec-conformant P6 stream — genuine pixel math with no
+    codec library, deterministically replayable byte-for-byte."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "src_w", "src_h", "dst_w", "dst_h",
+            "out_ppm", "sum_r", "sum_g", "sum_b",
+        )}
+        for doc_id, buf in zip(pdf["doc_id"], pdf["ppm"]):
+            w, h, raster = parse_ppm(bytes(buf))
+            dw, dh = max(1, w // 2), max(1, h // 2)
+            ys = (np.arange(dh) * h) // dh
+            xs = (np.arange(dw) * w) // dw
+            out = raster[ys][:, xs]
+            sums = out.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            rows["doc_id"].append(doc_id)
+            rows["src_w"].append(w)
+            rows["src_h"].append(h)
+            rows["dst_w"].append(dw)
+            rows["dst_h"].append(dh)
+            rows["out_ppm"].append(
+                f"P6\n{dw} {dh}\n255\n".encode() + out.tobytes()
+            )
+            rows["sum_r"].append(int(sums[0]))
+            rows["sum_g"].append(int(sums[1]))
+            rows["sum_b"].append(int(sums[2]))
+        yield pd.DataFrame(
+            {
+                "doc_id": rows["doc_id"],
+                "src_w": pd.array(rows["src_w"], dtype="int32"),
+                "src_h": pd.array(rows["src_h"], dtype="int32"),
+                "dst_w": pd.array(rows["dst_w"], dtype="int32"),
+                "dst_h": pd.array(rows["dst_h"], dtype="int32"),
+                "out_ppm": rows["out_ppm"],
+                "sum_r": pd.array(rows["sum_r"], dtype="int64"),
+                "sum_g": pd.array(rows["sum_g"], dtype="int64"),
+                "sum_b": pd.array(rows["sum_b"], dtype="int64"),
+            }
+        )
+
+
+@query("b32_ppm_resize")  # real pixel resize; fixture bytes → rows-only
+def b32_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32 resize for REAL (upgrading b32_fake_resize's declared stub):
+    P6 parse → nearest-neighbor half-resolution downsample → P6
+    re-encode, all pure numpy inside mapInPandas.  Emits the resized
+    bytes (bounded at ~1/4 the input raster by construction) plus the
+    output-channel sums; tests/test_llmops.py replays the kernel in
+    pure Python and asserts the emitted bytes match EXACTLY.
+
+    Scale: same narrow binary-column pipeline as b32_ppm_decode — no
+    shuffle, Arrow-batched, per-row cost proportional to pixel count;
+    the only change production needs is swapping the fixture encoder
+    for the crawl's image bytes."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    blobs = d.mapInPandas(make_ppm_batches, schema=PPM_SCHEMA)
+    return blobs.mapInPandas(ppm_resize_batches, schema=PPM_RESIZE_SCHEMA)

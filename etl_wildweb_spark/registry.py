@@ -210,6 +210,7 @@ PRIORITY_NEXT: list[str] = [
     "b118_longest_streak",
     "b119_clamped_balance",
     "b120_record_linkage",
+    "b32_ppm_resize",
 ]
 
 

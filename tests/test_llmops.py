@@ -351,3 +351,39 @@ def test_misra_gries_superset_guarantee_under_eviction(spark):
     assert {"hotA", "hotB", "hotC"} <= cands
     # and eviction actually happened (candidates ≪ distinct tokens)
     assert len(cands) < 603
+
+
+def test_ppm_resize_byte_exact(spark, sf_dir):
+    """b32_ppm_resize emits REAL resized P6 bytes: a pure-Python replay
+    of the same nearest-neighbor kernel must reproduce the Spark
+    output's bytes EXACTLY, for every document — and the resized bytes
+    must re-parse as valid P6 at the claimed dimensions."""
+    import numpy as np
+
+    from etl_wildweb_spark.io import table
+    from etl_wildweb_spark.operators.multimodal import (
+        make_ppm_bytes,
+        parse_ppm,
+    )
+    from etl_wildweb_spark.registry import QUERIES
+
+    out = {
+        r.doc_id: r for r in QUERIES["b32_ppm_resize"](spark, sf_dir).collect()
+    }
+    docs = {r.doc_id: r.text for r in table(spark, sf_dir, "documents").collect()}
+    assert set(out) == set(docs)
+    for doc_id, text in docs.items():
+        w, h, raster = parse_ppm(make_ppm_bytes(doc_id, text))
+        dw, dh = max(1, w // 2), max(1, h // 2)
+        ys = (np.arange(dh) * h) // dh
+        xs = (np.arange(dw) * w) // dw
+        want = raster[ys][:, xs]
+        want_bytes = f"P6\n{dw} {dh}\n255\n".encode() + want.tobytes()
+        r = out[doc_id]
+        assert (r.src_w, r.src_h, r.dst_w, r.dst_h) == (w, h, dw, dh)
+        assert bytes(r.out_ppm) == want_bytes
+        # round-trip: the emitted bytes are themselves valid P6
+        w2, h2, back = parse_ppm(bytes(r.out_ppm))
+        assert (w2, h2) == (dw, dh)
+        sums = back.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)

@@ -43,6 +43,7 @@ def test_priority_oracle_coverage():
         "b30_ann_ivf_observed",
         "b32_fake_resize",
         "b32_ppm_decode",
+        "b32_ppm_resize",
         "b33_http_ingest",
         "b58_stream_funnel",
         "b60_hll_mergeable_rollup",
