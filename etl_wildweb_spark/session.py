@@ -19,6 +19,11 @@ from pyspark.sql import SparkSession
 # create ourselves.
 RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
+    # ANSI is this build's default and every oracle-backed query is
+    # verified under it; pin it so a hostile non-ANSI driver session
+    # cannot flip arithmetic overflow from fail-loudly to silent NULL
+    # (the round-2 merge.py:188 corruption class).
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
