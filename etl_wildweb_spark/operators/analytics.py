@@ -952,3 +952,102 @@ def b119_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("final_bal_micro"),
     )
+
+
+@query(
+    "b121_linear_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             sum(CAST(round(value * 1000000) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds),
+    marked AS (
+      SELECT g.user_id, g.day, d.v,
+             max(CASE WHEN d.v IS NOT NULL THEN g.day END)
+               OVER (PARTITION BY g.user_id ORDER BY g.day
+                     ROWS UNBOUNDED PRECEDING) AS p_day,
+             min(CASE WHEN d.v IS NOT NULL THEN g.day END)
+               OVER (PARTITION BY g.user_id ORDER BY g.day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS n_day
+      FROM grid g LEFT JOIN daily d
+        ON g.user_id = d.user_id AND g.day = d.day),
+    j AS (
+      SELECT m.user_id, m.day, m.v IS NOT NULL AS observed,
+             m.p_day, m.n_day, p.v AS p_v, n.v AS n_v
+      FROM marked m
+      JOIN daily p ON m.user_id = p.user_id AND m.p_day = p.day
+      JOIN daily n ON m.user_id = n.user_id AND m.n_day = n.day)
+    SELECT user_id, day, observed,
+           CAST(CASE WHEN n_day = p_day THEN p_v
+                ELSE p_v + (num - (((num % den) + den) % den)) // den END
+                AS BIGINT) AS v_interp_micro
+    FROM (SELECT *,
+                 (n_v - p_v) * date_diff('day', p_day, day) AS num,
+                 date_diff('day', p_day, n_day) AS den
+          FROM j)
+    """,
+)
+def b121_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR interpolation — b51's forward-fill sibling for
+    signals where a straight line beats a step: densify each user's
+    daily value sum onto their [first, last] grid, then fill silent
+    days with p + ((n−p)·Δ) // span in integer micro-units.  FLOOR
+    division is pinned explicitly on both engines: Spark ``div`` and
+    DuckDB ``//`` BOTH truncate toward zero (differing from floor on
+    negative slopes), so each side computes floor as
+    (num − nonneg_mod(num, den)) div den — pure integer, exact, and
+    identical regardless of slope sign.
+
+    Scale: grid explode is span-sized; the bracket days come from the
+    same prefix/suffix running aggregates as b51, and the two value
+    lookups are user-keyed equi-joins reusing one partitioning — no
+    per-gap search, no global window."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("v"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    wb = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wf = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        0, W.unboundedFollowing
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    marked = (
+        grid.join(daily, ["user_id", "day"], "left")
+        .withColumn("p_day", F.max(obs_day).over(wb))
+        .withColumn("n_day", F.min(obs_day).over(wf))
+    )
+    p = daily.select("user_id", F.col("day").alias("p_day"), F.col("v").alias("p_v"))
+    n = daily.select("user_id", F.col("day").alias("n_day"), F.col("v").alias("n_v"))
+    j = marked.join(p, ["user_id", "p_day"]).join(n, ["user_id", "n_day"])
+    floor_div = F.expr(
+        "(( (n_v - p_v) * datediff(day, p_day) ) "
+        " - pmod((n_v - p_v) * datediff(day, p_day), datediff(n_day, p_day)))"
+        " div datediff(n_day, p_day)"
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.col("v").isNotNull().alias("observed"),
+        F.when(F.col("n_day") == F.col("p_day"), F.col("p_v"))
+        .otherwise(F.col("p_v") + floor_div)
+        .cast("bigint")
+        .alias("v_interp_micro"),
+    )

@@ -211,6 +211,7 @@ PRIORITY_NEXT: list[str] = [
     "b119_clamped_balance",
     "b120_record_linkage",
     "b32_ppm_resize",
+    "b121_linear_interpolate",
 ]
 
 

@@ -235,6 +235,7 @@ _SHUFFLE_BUDGET = {
     "b118_longest_streak": 2,    # (user,day) distinct + island windows/aggs
     "b119_clamped_balance": 1,   # one user-keyed sort: prefix sums + final agg
     "b120_record_linkage": 0,    # block equi-join broadcasts at test scale
+    "b121_linear_interpolate": 3,  # daily agg + grid windows + bracket joins
 }
 
 
