@@ -582,3 +582,57 @@ def b118_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak"),
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
     )
+
+
+@query(
+    "b122_weekly_movers",
+    oracle="""
+    WITH wk AS (
+      SELECT l_partkey,
+             CAST(date_trunc('week', l_shipdate) AS TIMESTAMP) AS week,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY 1, 2),
+    d AS (
+      SELECT l_partkey, week, cents,
+             cents - lag(cents) OVER
+               (PARTITION BY l_partkey ORDER BY week) AS delta
+      FROM wk)
+    SELECT l_partkey, week, CAST(cents AS BIGINT) AS cents,
+           CAST(delta AS BIGINT) AS delta
+    FROM d WHERE delta IS NOT NULL
+    ORDER BY abs(delta) DESC, l_partkey, week
+    LIMIT 20
+    """,
+)
+def b122_weekly_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period movers: the 20 largest week-to-week revenue
+    swings per part (vs the part's previous ACTIVE week — sparse series
+    compare observed periods, the calendar-adjacent variant composes
+    with b121's grid).  Deterministic ordering (|Δ|, partkey, week)
+    pins the LIMIT; revenue stays integer cents.
+
+    Scale: the rollup is one (part, week) shuffle with map-side
+    combine; the lag window runs per part over its weeks; the global
+    top-20 is Spark's TakeOrdered — per-partition heaps + a 20-row
+    driver merge, never a full sort."""
+    li = table(spark, sf_dir, "lineitem")
+    wk = li.groupBy(
+        "l_partkey", F.date_trunc("week", "l_shipdate").alias("week")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("week")
+    d = wk.withColumn("delta", F.col("cents") - F.lag("cents").over(w))
+    return (
+        d.filter(F.col("delta").isNotNull())
+        .select(
+            "l_partkey",
+            "week",
+            F.col("cents").cast("bigint").alias("cents"),
+            F.col("delta").cast("bigint").alias("delta"),
+        )
+        .orderBy(F.abs("delta").desc(), "l_partkey", "week")
+        .limit(20)
+    )

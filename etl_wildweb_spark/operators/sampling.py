@@ -243,3 +243,41 @@ def b90_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("source_quota"))
         .select("doc_id", "source", "source_quota")
     )
+
+
+@query(
+    "b124_group_sample_k",
+    oracle="""
+    SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                             doc_id) AS rk
+          FROM documents)
+    WHERE rk <= 5
+    """,
+)
+def b124_group_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k-per-group deterministic sampling (here 5 docs per
+    language): rank each group by a content-hash order and keep the
+    first k — the fixed-size complement of b34's fixed-RATE hash
+    sampling, for evaluation sets and per-stratum spot checks where
+    "exactly k" is the contract.  Hash order makes the pick
+    reproducible across engines and runs but uncorrelated with any
+    natural column order; doc_id tiebreaks pin md5 collisions.
+
+    Scale: one shuffle on the group key; the rank window sees each
+    group once.  For heavy-hitter groups at extreme scale the
+    refinement is pre-filtering with an approximate per-group hash
+    threshold (keep ≈2k by hash range, then rank exactly) so no task
+    sorts a giant group — the b14 top-k-per-group note applies
+    verbatim."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    )

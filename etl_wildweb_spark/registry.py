@@ -212,6 +212,8 @@ PRIORITY_NEXT: list[str] = [
     "b120_record_linkage",
     "b32_ppm_resize",
     "b121_linear_interpolate",
+    "b122_weekly_movers",
+    "b124_group_sample_k",
 ]
 
 

@@ -236,6 +236,8 @@ _SHUFFLE_BUDGET = {
     "b119_clamped_balance": 1,   # one user-keyed sort: prefix sums + final agg
     "b120_record_linkage": 0,    # block equi-join broadcasts at test scale
     "b121_linear_interpolate": 3,  # daily agg + grid windows + bracket joins
+    "b122_weekly_movers": 2,     # (part,week) rollup + per-part lag window
+    "b124_group_sample_k": 1,    # one group-key shuffle for the rank window
 }
 
 
