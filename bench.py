@@ -90,6 +90,11 @@ BENCH_QUERIES = [
     "b107_sliding_distinct",
     "b109_heavy_hitters",
     "b110_bloom_prefilter_join",
+    # analytics / time-series families (this session)
+    "b112_cohort_ltv",
+    "b116_bounce_rate",
+    "b119_clamped_balance",
+    "b121_linear_interpolate",
 ]
 
 
