@@ -636,3 +636,52 @@ def b122_weekly_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs("delta").desc(), "l_partkey", "week")
         .limit(20)
     )
+
+
+@query(
+    "b125_seasonal_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, isodow(ts) AS dow,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    base AS (
+      SELECT dow, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(c) AS HUGEINT) AS s,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ssq
+      FROM daily GROUP BY 1)
+    SELECT d.day, CAST(d.dow AS INTEGER) AS dow, d.c AS n_events
+    FROM daily d JOIN base b USING (dow)
+    WHERE (b.n * d.c - b.s) * (b.n * d.c - b.s)
+          > (b.n * b.ssq - b.s * b.s)
+    """,
+)
+def b125_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted volume anomaly: each day's event count is
+    compared against ITS OWN WEEKDAY's baseline (Mondays vs the Monday
+    distribution), flagging |c − μ_dow| > σ_dow — the adjustment that
+    stops weekly rhythm from drowning real anomalies.  Same cleared-
+    denominator integer-moment test as b104 ((n·c − s)² > n·ssq − s²,
+    all DECIMAL(38,0)/HUGEINT), so the decision boundary is float-free
+    on both engines.
+
+    Scale: the daily rollup is the only corpus-sized aggregation; the
+    weekday baseline is a 7-row table broadcast back onto the
+    day-cardinality rollup.  Generalizes to any seasonal key (hour,
+    month) by swapping the group expression."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"),
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    base = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum("c").cast(D38).alias("s"),
+        F.sum(F.col("c").cast(D38) * F.col("c")).cast(D38).alias("ssq"),
+    )
+    j = daily.join(F.broadcast(base), "dow")
+    dev = F.col("n") * F.col("c") - F.col("s")
+    var_term = F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    return j.filter(dev * dev > var_term).select(
+        "day", F.col("dow").cast("int").alias("dow"), F.col("c").alias("n_events")
+    )

@@ -214,6 +214,7 @@ PRIORITY_NEXT: list[str] = [
     "b121_linear_interpolate",
     "b122_weekly_movers",
     "b124_group_sample_k",
+    "b125_seasonal_anomaly",
 ]
 
 

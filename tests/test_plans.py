@@ -238,6 +238,7 @@ _SHUFFLE_BUDGET = {
     "b121_linear_interpolate": 3,  # daily agg + grid windows + bracket joins
     "b122_weekly_movers": 2,     # (part,week) rollup + per-part lag window
     "b124_group_sample_k": 1,    # one group-key shuffle for the rank window
+    "b125_seasonal_anomaly": 2,  # daily rollup + 7-row baseline (broadcast back)
 }
 
 
