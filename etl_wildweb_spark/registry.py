@@ -215,6 +215,7 @@ PRIORITY_NEXT: list[str] = [
     "b122_weekly_movers",
     "b124_group_sample_k",
     "b125_seasonal_anomaly",
+    "b126_state_timeout_eviction",
 ]
 
 

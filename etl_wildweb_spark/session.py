@@ -44,6 +44,18 @@ def prepare(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not settable on this build — proceed with defaults
+    # Size shuffle partitions to the session's actual parallelism.  A
+    # driver session left at the 200 default makes every stateful
+    # streaming micro-batch pay 200 state-store tasks on a handful of
+    # cores (observed: 3.5× a 420 s budget for a 6-batch run on
+    # local[4]); AQE coalesces batch exchanges either way, and
+    # streaming state partitioning is fixed at first batch — so pin it
+    # BEFORE any query starts.
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(8, cores)))
+    except Exception:
+        pass
     return spark
 
 

@@ -10,8 +10,10 @@ an explicit state handle, exactly-once maintained by the state store.
 (RocksDB provider in production — heap state OOMs at billions of
 keys).  Input splits into micro-batches; each task sees only its
 key-partition's rows, so state size per executor is bounded by key
-cardinality ÷ shuffle partitions.  Use timeouts (here: none — the
-demo accumulates forever) to evict idle keys in unbounded-key domains.
+cardinality ÷ shuffle partitions.  Use timeouts to evict idle keys in
+unbounded-key domains — b24_custom_stateful accumulates forever (the
+bounded-key demo), b126_state_timeout_eviction below is the
+timeout-driven eviction pattern itself.
 """
 
 from __future__ import annotations
@@ -568,3 +570,181 @@ def b83_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(chunk_dir, ignore_errors=True)
         shutil.rmtree(snap_dir, ignore_errors=True)
         shutil.rmtree(hold_dir, ignore_errors=True)
+
+
+# ------------------------------------------- timeout-driven eviction
+
+EVICT_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, first_us bigint, last_us bigint"
+)
+EVICT_STATE_SCHEMA = "n bigint, first_us bigint, last_us bigint"
+
+
+def quiet_key_sessions(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user activity runs finalized by PROCESSING-TIME TIMEOUT: a
+    key accumulates (count, first_us, last_us) while batches keep
+    bringing it data; the first batch in which it is silent fires the
+    timeout, emits the finished run, and REMOVES the state — the idle-
+    key eviction pattern that keeps unbounded key domains from growing
+    state forever (the stateful.py header's declared gap, now
+    load-bearing)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, first_us, last_us = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array([user_id], dtype="int64"),
+                "n_events": pd.array([n], dtype="int64"),
+                "first_us": pd.array([first_us], dtype="int64"),
+                "last_us": pd.array([last_us], dtype="int64"),
+            }
+        )
+        return
+    if state.exists:
+        n, first_us, last_us = state.get
+    else:
+        n, first_us, last_us = 0, None, None
+    for pdf in pdfs:
+        us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        n += len(pdf)
+        lo, hi = int(us.min()), int(us.max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+    state.update((n, first_us, last_us))
+    # any real inter-batch gap exceeds 1 ms of processing time, so the
+    # NEXT batch without data for this key fires the timeout
+    state.setTimeoutDuration(1)
+
+
+#: b126's batch-membership rule: user u has data in batch i iff
+#: (u + i) % 3 != 0 — every user is ABSENT in some mid-stream batch
+#: (two runs for u%3∈{1,2}, one for u%3==0), so timeout-driven
+#: eviction genuinely fires mid-stream, not only at end-of-stream.
+N_EVICT_BATCHES = 4
+
+
+def evict_member(user_id: int, batch: int) -> bool:
+    return (user_id + batch) % 3 != 0
+
+
+def _membership_chunk_stream(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, str]:
+    """Stage one file per batch where batch i holds the FULL event set
+    of every member user (evict_member rule) — known run structure for
+    every key.  File mtimes strictly increase in batch order (the
+    _time_sliced_stream mtime-pinning trick) so FileStreamSource's
+    (modTime, path) order — and therefore the run decomposition — is
+    reproducible."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    chunk_dir = tempfile.mkdtemp(prefix="events_evict_")
+    e = table(spark, sf_dir, "events").select("user_id", "ts")
+    base = 1_000_000_000
+    for i in range(N_EVICT_BATCHES):
+        sub = e.filter((F.col("user_id") + i) % 3 != 0)
+        # one file per batch: the staging-harness contract (see
+        # _time_sliced_stream) — one file ⇒ one micro-batch
+        sdir = os.path.join(chunk_dir, f"b{i}")
+        sub.coalesce(1).write.parquet(sdir)
+        t = base + i * 60
+        for f in os.listdir(sdir):
+            os.utime(os.path.join(sdir, f), (t, t))
+    schema = e.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    return stream, chunk_dir
+
+
+def _run_until_quiescent(
+    stream_df: DataFrame, timeout_sec: int = 420
+) -> DataFrame:
+    """Harness for ProcessingTimeTimeout streams: Trigger.AvailableNow
+    never terminates one on its own — after the data is exhausted the
+    engine keeps scheduling empty batches as long as any processing-
+    time wakeup could fire (observed: 300+ empty state-store versions).
+    All pending timeouts fire in the FIRST empty batch (every key's
+    1 ms horizon has long passed), so the sink is complete and stable
+    once ≥2 zero-input batches have committed; poll for that state,
+    then stop the query and return the table.  Raises if quiescence is
+    not reached inside ``timeout_sec`` — never returns a partial
+    table silently."""
+    import time
+    import uuid as _uuid
+
+    name = f"mem_{_uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    spark = stream_df.sparkSession
+    deadline = time.time() + timeout_sec
+    try:
+        while time.time() < deadline:
+            if not q.isActive:  # terminated on its own — done
+                return spark.table(name)
+            empty_batches = sum(
+                1
+                for p in q.recentProgress
+                if p is not None and getattr(p, "numInputRows", 0) == 0
+            )
+            if empty_batches >= 2:
+                return spark.table(name)
+            time.sleep(0.5)
+        raise TimeoutError(
+            f"ProcessingTimeTimeout stream {name} not quiescent after "
+            f"{timeout_sec}s; refusing to return a partial table"
+        )
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+@query("b126_state_timeout_eviction")  # timeout semantics → rows-only
+def b126_state_timeout_eviction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Idle-key EVICTION via GroupStateTimeout.ProcessingTimeTimeout:
+    users accumulate per-run stats across micro-batches and are
+    emitted+evicted by the first batch in which they are silent.
+    Output rows are finished activity runs — one per (user, maximal
+    run of consecutive batches with data under the evict_member rule);
+    trailing runs are finalized by the no-data cleanup batch
+    Trigger.AvailableNow executes before terminating.
+    tests/test_streaming.py recomputes the run decomposition from the
+    membership rule and proves the emitted multiset equals it exactly
+    — including the MID-STREAM evictions, not just end-of-stream.
+
+    Scale: this is THE pattern for unbounded key domains (session keys,
+    request ids): without timeouts state grows monotonically; with
+    them, state size tracks the number of concurrently-active keys.
+    State store partitioning/provider notes in the module header
+    apply."""
+    stream, chunk_dir = _membership_chunk_stream(spark, sf_dir)
+    try:
+        runs = stream.groupBy("user_id").applyInPandasWithState(
+            quiet_key_sessions,
+            EVICT_OUT_SCHEMA,
+            EVICT_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+        out = _run_until_quiescent(runs)
+        # materialize before the staging dir disappears
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)

@@ -51,11 +51,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_memory(
-    stream_df: DataFrame, mode: str = "append", timeout_sec: int = 120
+    stream_df: DataFrame, mode: str = "append", timeout_sec: int = 420
 ) -> DataFrame:
     """Execute a streaming plan with Trigger.AvailableNow into a memory
     sink and return the materialized result (bounded test/dev harness;
-    production sinks are kafka/delta/foreachBatch)."""
+    production sinks are kafka/delta/foreachBatch).
+
+    FAILS LOUDLY if the stream has not terminated inside
+    ``timeout_sec``: awaitTermination(timeout) returns False on expiry
+    with the query still running, and silently reading the memory table
+    at that point hands the caller a PARTIAL result — observed under a
+    hostile 200-shuffle-partition driver session, where a state-heavy
+    run overran the old 120 s budget and the harness returned 100 of
+    250 rows as if complete."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.format("memory")
@@ -65,7 +73,13 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name} still running after {timeout_sec}s; "
+            "refusing to return a partial memory-sink table"
+        )
     spark = stream_df.sparkSession
     return spark.table(name)
 

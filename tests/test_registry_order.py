@@ -59,4 +59,5 @@ def test_priority_oracle_coverage():
         "b94_datasource_writer",
         "b99_zorder_layout",
         "b100_compaction",
+        "b126_state_timeout_eviction",
     }

@@ -320,3 +320,49 @@ def test_stream_topk_count_half_equals_batch(spark, sf_dir):
         for r in registry.QUERIES["b111_stream_topk"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_state_timeout_eviction_equals_run_decomposition(spark, sf_dir):
+    """b126: the emitted multiset must equal the run decomposition of
+    the evict_member membership rule — every maximal run of consecutive
+    batches with data yields exactly one (n, first_us, last_us) row
+    (mid-stream runs via ProcessingTimeTimeout, the trailing run via
+    AvailableNow's cleanup batch).  Each batch carries a member user's
+    FULL event set, so a run of length L emits L×n_events(u) with the
+    user's global min/max microseconds."""
+    from etl_wildweb_spark.streaming import stateful as st
+
+    got = sorted(
+        (r.user_id, r.n_events, r.first_us, r.last_us)
+        for r in registry.QUERIES["b126_state_timeout_eviction"](
+            spark, sf_dir
+        ).collect()
+    )
+
+    per_user = {
+        r.user_id: (r.n, r.lo, r.hi)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        )
+        .collect()
+    }
+    want = []
+    for u, (n, lo, hi) in per_user.items():
+        present = [
+            i for i in range(st.N_EVICT_BATCHES) if st.evict_member(u, i)
+        ]
+        runs, cur = [], [present[0]]
+        for i in present[1:]:
+            if i == cur[-1] + 1:
+                cur.append(i)
+            else:
+                runs.append(cur)
+                cur = [i]
+        runs.append(cur)
+        for run in runs:
+            want.append((u, len(run) * n, lo, hi))
+    assert got == sorted(want)
