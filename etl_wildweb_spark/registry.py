@@ -216,6 +216,7 @@ PRIORITY_NEXT: list[str] = [
     "b124_group_sample_k",
     "b125_seasonal_anomaly",
     "b126_state_timeout_eviction",
+    "b127_federated_union",
 ]
 
 

@@ -551,3 +551,74 @@ def b115_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "b127_federated_union",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
+    FROM documents GROUP BY lang
+    """,
+)
+def b127_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-federated query: one logical table served by THREE
+    physical formats — a third of the documents stays parquet, a third
+    round-trips through CSV, a third through JSONL — unioned by NAME
+    into a single aggregation.  The oracle runs on the original table,
+    so a hash match proves both text-format round-trips lossless AND
+    the three-source union complete and duplicate-free (n_ids would
+    catch either).  This is the ingest-tier reality the reference's
+    single-feed connector grows into: heterogeneous drops, one query.
+
+    Scale: each source scans independently with its own reader
+    (parquet columnar+pushdown; CSV/JSONL schema-explicit per the
+    module policy — never inferred); unionByName is a plan-level
+    concatenation, not a shuffle.  The aggregate shuffles once, after
+    partial combine, regardless of source count."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..io import table
+
+    out = _tempfile.mkdtemp(prefix="federated_")
+    try:
+        d = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "n_chars"
+        )
+        part = F.col("doc_id") % 3
+        d.filter(part == 1).write.mode("overwrite").option(
+            "header", "true"
+        ).csv(out + "/csv")
+        d.filter(part == 2).write.mode("overwrite").json(out + "/jsonl")
+
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", d.schema["text"].dataType),
+                StructField("lang", d.schema["lang"].dataType),
+                StructField("n_chars", LongType()),
+            ]
+        )
+        csv_part = (
+            spark.read.schema(schema)
+            .option("header", "true")
+            .csv(out + "/csv")
+        )
+        json_part = spark.read.schema(schema).json(out + "/jsonl")
+        all_docs = (
+            d.filter(part == 0)
+            .unionByName(csv_part)
+            .unionByName(json_part)
+        )
+        res = all_docs.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_ids"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(out, ignore_errors=True)
