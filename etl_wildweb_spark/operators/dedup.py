@@ -914,3 +914,76 @@ def b120_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("matched_custkey"),
         dist.cast("int").alias("dist"),
     )
+
+
+@query(
+    "b128_slice_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT lang, DISTINCT_g AS gh FROM (
+        SELECT lang, unnest(list_distinct({SQL_SHINGLES})) AS DISTINCT_g
+        FROM documents)
+      GROUP BY 1, 2),
+    sizes AS (SELECT lang, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.gh = b.gh AND a.lang < b.lang
+      GROUP BY 1, 2)
+    SELECT lang_a, lang_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union,
+           CAST((1000000 * n_inter) // (sa.n + sb.n - n_inter)
+                AS BIGINT) AS jaccard_ppm
+    FROM inter
+    JOIN sizes sa ON sa.lang = lang_a
+    JOIN sizes sb ON sb.lang = lang_b
+    """,
+)
+def b128_slice_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-slice overlap matrix: pairwise shingle-set Jaccard between
+    language slices — the drift/contamination dashboard number for
+    "how much do these two data sources share?", computed at the SLICE
+    level where b29 works at the document level.  Outputs exact
+    integer intersection/union counts plus a floor-division ppm ratio.
+
+    Scale: the (slice, shingle) distinct is the corpus-sized stage
+    (hash agg, map-side combined); the intersection self-join keys on
+    the shingle hash, so fan-out per gram is the number of slices
+    containing it (≤ |slices|, a small constant) — never documents².
+    Output is |slices|² rows.  For thousands of slices the refinement
+    is MinHash per slice (b29's signatures aggregated per slice), a
+    constant-size sketch per slice — documented path, same pipeline."""
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        with_shingles(lift_parallelism(d, "doc_id"))
+        .select("lang", F.explode("s").alias("g"))
+        .select("lang", F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("nb"))
+    j = inter.join(F.broadcast(sa), "lang_a").join(F.broadcast(sb), "lang_b")
+    union = F.col("na") + F.col("nb") - F.col("n_inter")
+    return j.select(
+        "lang_a",
+        "lang_b",
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        union.cast("bigint").alias("n_union"),
+        F.expr("(1000000 * n_inter) div (na + nb - n_inter)")
+        .cast("bigint")
+        .alias("jaccard_ppm"),
+    )

@@ -217,6 +217,7 @@ PRIORITY_NEXT: list[str] = [
     "b125_seasonal_anomaly",
     "b126_state_timeout_eviction",
     "b127_federated_union",
+    "b128_slice_overlap",
 ]
 
 
