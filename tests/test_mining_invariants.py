@@ -1,0 +1,102 @@
+"""Structural invariants for the mining/analytics session operators —
+mathematical properties that must hold on ANY corpus, complementing the
+DuckDB differential (which pins values on THIS corpus).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_wildweb_spark import registry
+from etl_wildweb_spark.io import table
+
+registry.load_all()
+
+
+def test_entropy_bounds(spark, sf_dir):
+    """0 ≤ N·H ≤ N·ln(n_langs)·1e6 (+1 µnat slack per rounded term)."""
+    rows = registry.QUERIES["b101_group_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_h_micro >= -r.n_langs  # rounding slack only
+        upper = r.n_docs * math.log(max(r.n_langs, 1)) * 1e6
+        assert r.n_h_micro <= upper + r.n_langs + 1
+
+
+def test_markov_rows_normalize(spark, sf_dir):
+    """Each source row's ppm probabilities floor-sum to ≤ 1e6 and are
+    within |dst| of it (floor division loses < 1 ppm per cell)."""
+    rows = registry.QUERIES["b102_markov_transitions"](spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r.p_ppm)
+    assert by_src
+    for src, ppms in by_src.items():
+        assert 1_000_000 - len(ppms) <= sum(ppms) <= 1_000_000, src
+
+
+def test_basket_pairs_canonical_and_supported(spark, sf_dir):
+    rows = registry.QUERIES["b103_basket_pairs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.n_orders >= 2
+
+
+def test_sliding_distinct_dominates_daily(spark, sf_dir):
+    """The trailing-7-day distinct for a window day is ≥ the single-day
+    distinct of every day inside that window."""
+    win = {
+        r.win_day: r.n_users_7d
+        for r in registry.QUERIES["b107_sliding_distinct"](spark, sf_dir).collect()
+    }
+    daily = {
+        r.d: r.n
+        for r in table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert win and daily
+    for d, n in daily.items():
+        assert win[d] >= n  # window ending on d contains day d
+
+
+def test_clamped_balance_nonnegative(spark, sf_dir):
+    rows = registry.QUERIES["b119_clamped_balance"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.final_bal_micro >= 0
+        assert 0 <= r.n_clamps <= r.n_tx
+
+
+def test_pareto_prefix_is_minimal_cover(spark, sf_dir):
+    """The b113 prefix covers ≥ 80% of revenue, and dropping its last
+    (lowest-revenue) member drops coverage below 80%."""
+    rows = registry.QUERIES["b113_pareto_coverage"](spark, sf_dir).collect()
+    assert rows
+    li = table(spark, sf_dir, "lineitem")
+    total = (
+        li.select(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("t")
+        ).collect()[0].t
+    )
+    covered = sum(r.cents for r in rows)
+    last = min(rows, key=lambda r: (r.cents, -r.l_partkey))
+    assert 5 * covered >= 4 * total
+    assert 5 * (covered - last.cents) < 4 * total
+
+
+def test_slice_overlap_symmetric_bounds(spark, sf_dir):
+    rows = registry.QUERIES["b128_slice_overlap"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.lang_a < r.lang_b
+        assert 0 <= r.n_inter <= r.n_union
+        assert 0 <= r.jaccard_ppm <= 1_000_000
