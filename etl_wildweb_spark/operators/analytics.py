@@ -1051,3 +1051,72 @@ def b121_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v_interp_micro"),
     )
+
+
+@query(
+    "b129_hierarchy_closure",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT DISTINCT user_id FROM events),
+    walk(u, cur, d) AS (
+      SELECT user_id, user_id, 0 FROM nodes
+      UNION ALL
+      SELECT u, (cur - 1) // 3, d + 1 FROM walk WHERE cur > 0)
+    SELECT u AS user_id, CAST(max(d) AS INTEGER) AS depth
+    FROM walk GROUP BY u
+    """,
+)
+def b129_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-hierarchy closure WITHOUT a recursive CTE (Spark has
+    none): each user hangs in a reporting tree via parent(u) =
+    (u−1) div 3 (root 0), and the operator resolves every node's depth
+    by POINTER DOUBLING — each round joins the jump table to itself so
+    every node's known ancestor leaps twice as far:
+    jump[u] ← jump[jump[u]], d ← d + d[jump], with the root a
+    fixpoint.  Convergence in ⌈log₂(depth)⌉ rounds, NOT depth rounds —
+    the same principle as b29_cc_bigstar, applied to directed
+    hierarchy traversal (org charts, BOM explosions, category trees).
+    The oracle walks the identical tree with DuckDB's WITH RECURSIVE.
+
+    Scale: the jump table is node-sized (never edges × depth); each
+    round is one self equi-join + no window; localCheckpoint per round
+    caps lineage exactly as in connected_components.  A 20-deep
+    hierarchy needs 5 rounds; a million-deep pathological chain, 20."""
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf_dir, "events")
+    nodes = e.select("user_id").distinct()
+    jump = nodes.select(F.col("user_id").alias("u")).select(
+        "u",
+        F.when(F.col("u") > 0, F.expr("(u - 1) div 3"))
+        .otherwise(F.col("u"))
+        .alias("anc"),
+        F.when(F.col("u") > 0, F.lit(1)).otherwise(F.lit(0)).alias("d"),
+    )
+    jump = jump.localCheckpoint(eager=True)
+    for _ in range(8):  # 2^8 leaps ≫ any depth this id-space can hold
+        look = jump.select(
+            F.col("u").alias("a_u"),
+            F.col("anc").alias("a_anc"),
+            F.col("d").alias("a_d"),
+        )
+        nxt = (
+            jump.join(look, jump.anc == look.a_u)
+            .select(
+                "u",
+                F.col("a_anc").alias("anc"),
+                (F.col("d") + F.col("a_d")).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint when every pointer rests on the root (anc == 0 ∧
+        # its own jump adds 0) — one tiny aggregate per round
+        if nxt.agg(F.sum("d").alias("s")).collect()[0].s == jump.agg(
+            F.sum("d")
+        ).collect()[0][0]:
+            jump = nxt
+            break
+        jump = nxt
+    return jump.select("u", "d").selectExpr(
+        "u AS user_id", "CAST(d AS INT) AS depth"
+    )

@@ -218,6 +218,7 @@ PRIORITY_NEXT: list[str] = [
     "b126_state_timeout_eviction",
     "b127_federated_union",
     "b128_slice_overlap",
+    "b129_hierarchy_closure",
 ]
 
 
