@@ -239,6 +239,8 @@ _SHUFFLE_BUDGET = {
     "b122_weekly_movers": 2,     # (part,week) rollup + per-part lag window
     "b124_group_sample_k": 1,    # one group-key shuffle for the rank window
     "b125_seasonal_anomaly": 2,  # daily rollup + 7-row baseline (broadcast back)
+    "b128_slice_overlap": 4,     # slice-gram distinct + intersect join + aggs
+    "b129_hierarchy_closure": 0,  # jump table pre-checkpointed; rounds reuse it
 }
 
 
@@ -274,8 +276,10 @@ _NESTED_LOOP_OK = {
 
 # Streaming / connector / side-effecting queries execute eagerly or
 # need a streaming planner — excluded from the static batch-plan sweep.
+# b126 is the ProcessingTimeTimeout eviction stream: plan_of would run
+# the full multi-batch streaming query just to explain its memory sink.
 _PLAN_SWEEP_SKIP_PREFIXES = (
-    "b21_", "b22_", "b23_", "b24_", "b33_", "a18_", "b58_",
+    "b21_", "b22_", "b23_", "b24_", "b33_", "a18_", "b58_", "b126_",
 )
 
 
