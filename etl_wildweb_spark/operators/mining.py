@@ -685,3 +685,73 @@ def b125_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(dev * dev > var_term).select(
         "day", F.col("dow").cast("int").alias("dow"), F.col("c").alias("n_events")
     )
+
+
+@query(
+    "b130_token_drift",
+    oracle="""
+    WITH toks AS (
+      SELECT CASE WHEN substr(md5(source), 1, 1) < '8'
+                  THEN 'a' ELSE 'b' END AS slice,
+             t.token
+      FROM documents, unnest(string_split(text, ' ')) AS t(token)),
+    counts AS (
+      SELECT token,
+             sum(CASE WHEN slice = 'a' THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN slice = 'b' THEN 1 ELSE 0 END) AS n_b
+      FROM toks GROUP BY token),
+    tot AS (
+      SELECT *, sum(n_a) OVER () AS ta, sum(n_b) OVER () AS tb
+      FROM counts)
+    SELECT token, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST((1000000 * n_a) // ta AS BIGINT) AS ppm_a,
+           CAST((1000000 * n_b) // tb AS BIGINT) AS ppm_b,
+           CAST((1000000 * n_a) // ta - (1000000 * n_b) // tb AS BIGINT)
+             AS delta_ppm
+    FROM tot
+    """,
+)
+def b130_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus halves — the
+    vocabulary-level complement of b128's set-level overlap: per token,
+    its frequency share (floor-division ppm) in slice A vs slice B and
+    the signed delta.  Slices are an md5-prefix split of the SOURCE
+    key, so the partition is deterministic on both engines and
+    indifferent to source naming or regeneration.  This is the "did
+    the crawl shift under me" audit between two ingest periods or
+    mixtures.
+
+    Scale: one corpus-sized token explode into a hash aggregation with
+    map-side combine; the share windows run over the vocabulary-sized
+    count table.  Positive n_a with zero n_b (and vice versa) falls out
+    of the conditional aggregation — no outer join needed."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.when(F.substring(F.md5("source"), 1, 1) < "8", "a")
+        .otherwise("b")
+        .alias("slice"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("slice") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("slice") == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = counts.select(
+        "*",
+        F.sum("n_a").over(w).alias("ta"),
+        F.sum("n_b").over(w).alias("tb"),
+    )
+    return tot.select(
+        "token",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.expr("(1000000 * n_a) div ta").cast("bigint").alias("ppm_a"),
+        F.expr("(1000000 * n_b) div tb").cast("bigint").alias("ppm_b"),
+        (
+            F.expr("(1000000 * n_a) div ta")
+            - F.expr("(1000000 * n_b) div tb")
+        )
+        .cast("bigint")
+        .alias("delta_ppm"),
+    )

@@ -219,6 +219,7 @@ PRIORITY_NEXT: list[str] = [
     "b127_federated_union",
     "b128_slice_overlap",
     "b129_hierarchy_closure",
+    "b130_token_drift",
 ]
 
 
