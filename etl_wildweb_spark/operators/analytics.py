@@ -1073,14 +1073,23 @@ def b129_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     by POINTER DOUBLING — each round joins the jump table to itself so
     every node's known ancestor leaps twice as far:
     jump[u] ← jump[jump[u]], d ← d + d[jump], with the root a
-    fixpoint.  Convergence in ⌈log₂(depth)⌉ rounds, NOT depth rounds —
-    the same principle as b29_cc_bigstar, applied to directed
-    hierarchy traversal (org charts, BOM explosions, category trees).
-    The oracle walks the identical tree with DuckDB's WITH RECURSIVE.
+    fixpoint.  The doubling join is a LEFT join with a computed-parent
+    fallback: when a node's current ancestor is itself an observed
+    node, we leap through its jump entry (distance doubles); when the
+    chain passes through an id with no events (sparse id domains), we
+    advance that pointer one parent step by the pure formula instead —
+    correct for ANY id domain, not just dense 0..N.  On dense ids
+    every round leaps, giving ⌈log₂(depth)⌉ rounds — the same
+    principle as b29_cc_bigstar, applied to directed hierarchy
+    traversal (org charts, BOM explosions, category trees); in the
+    worst sparse case (no intermediate id observed) rounds degrade
+    gracefully toward O(depth) while staying exact.  The oracle walks
+    the identical tree with DuckDB's WITH RECURSIVE, which is
+    id-domain-agnostic by construction.
 
     Scale: the jump table is node-sized (never edges × depth); each
     round is one self equi-join + no window; localCheckpoint per round
-    caps lineage exactly as in connected_components.  A 20-deep
+    caps lineage exactly as in connected_components.  A 20-deep dense
     hierarchy needs 5 rounds; a million-deep pathological chain, 20."""
     from pyspark.sql import functions as F
 
@@ -1094,29 +1103,38 @@ def b129_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("u") > 0, F.lit(1)).otherwise(F.lit(0)).alias("d"),
     )
     jump = jump.localCheckpoint(eager=True)
-    for _ in range(8):  # 2^8 leaps ≫ any depth this id-space can hold
+    prev_sum = None
+    for _ in range(64):  # dense ids break out in ~log₂(depth) rounds
         look = jump.select(
             F.col("u").alias("a_u"),
             F.col("anc").alias("a_anc"),
             F.col("d").alias("a_d"),
         )
+        # one computed parent step — the sparse-id fallback when anc
+        # has no jump entry (ADVICE r3: an inner join here silently
+        # dropped users whose chain passes through unobserved ids)
+        one_step = F.when(
+            F.col("anc") > 0, F.expr("(anc - 1) div 3")
+        ).otherwise(F.col("anc"))
+        one_step_d = F.when(F.col("anc") > 0, F.lit(1)).otherwise(F.lit(0))
         nxt = (
-            jump.join(look, jump.anc == look.a_u)
+            jump.join(look, jump.anc == look.a_u, "left")
             .select(
                 "u",
-                F.col("a_anc").alias("anc"),
-                (F.col("d") + F.col("a_d")).alias("d"),
+                F.coalesce(F.col("a_anc"), one_step).alias("anc"),
+                (F.col("d") + F.coalesce(F.col("a_d"), one_step_d)).alias(
+                    "d"
+                ),
             )
             .localCheckpoint(eager=True)
         )
         # fixpoint when every pointer rests on the root (anc == 0 ∧
-        # its own jump adds 0) — one tiny aggregate per round
-        if nxt.agg(F.sum("d").alias("s")).collect()[0].s == jump.agg(
-            F.sum("d")
-        ).collect()[0][0]:
-            jump = nxt
-            break
+        # its own step adds 0) — one tiny aggregate per round
+        cur_sum = nxt.agg(F.sum("d").alias("s")).collect()[0].s
         jump = nxt
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     return jump.select("u", "d").selectExpr(
         "u AS user_id", "CAST(d AS INT) AS depth"
     )

@@ -152,7 +152,7 @@ def b103_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the classic per-basket pair expansion — distinct items per
     order (one orderkey shuffle), then a SELF equi-join on l_orderkey,
     so pair generation is per-basket local: a basket of k items emits
-    k(k-2)/2 pairs inside one task, never a global cross product
+    k(k-1)/2 pairs inside one task, never a global cross product
     (TPC-H orders hold ≤7 lines).  The count aggregation shuffles pair
     keys, whose cardinality the support threshold then collapses.  For
     skewed mega-baskets the guard is a per-basket item cap upstream —

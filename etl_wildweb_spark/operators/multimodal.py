@@ -240,9 +240,10 @@ def b32_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(ppm_decode_batches, schema=PPM_DECODE_SCHEMA)
 
 
-@query("b32_fake_decode")  # binary → features via mapInPandas; rows-only
 def b32_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B32: the decode/feature-extract operator shape — mapInPandas over
+    """TEST FIXTURE (retired from the registry, VERDICT r3 item 3 —
+    superseded by b32_ppm_decode's real pixel decode): the
+    decode/feature-extract operator shape — mapInPandas over
     (doc_id, blob) with Arrow batching.  Blob column pruned at the scan
     when untouched; only this operator pays for the bytes."""
     d = with_blob_columns(table(spark, sf_dir, "documents"))
@@ -288,9 +289,10 @@ def fake_resize_batches(
         )
 
 
-@query("b32_fake_resize")  # binary → bounded binary via mapInPandas; rows-only
 def b32_fake_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B32: the resize/thumbnail operator shape — mapInPandas over the
+    """TEST FIXTURE (retired from the registry, VERDICT r3 item 3 —
+    superseded by b32_ppm_resize's real pixel resize): the
+    resize/thumbnail operator shape — mapInPandas over the
     blob column with a bounded-size output contract (every input maps
     to ≤ RESIZE_TARGET bytes).  Same pruning/batching story as decode;
     at 100 TB this is the step that shrinks a crawl's media payload

@@ -89,74 +89,13 @@ def capabilities(
 
 #: Explicit verification-priority order.  The driver's correctness
 #: harness checks the FIRST 50 entries of ``__spark_entry__.queries()``
-#: (dict insertion order) per round.  Rounds 1+2 verified everything
-#: registered through round 2's PRIORITY window (CORRECTNESS_r01 +
-#: CORRECTNESS_r02: 50/50 green each).  Round 3's window = the 41
-#: queries that have never had a driver row (round 2's PRIORITY_NEXT
-#: block + the 4 rows-only stragglers a18/b30_ann_lsh/b30_ann_ivf/b33)
-#: plus 9 load-bearing re-checks on this round's regenerated testdata.
+#: (dict insertion order) per round.  Rounds 1–3 verified every window
+#: 50/50 green (CORRECTNESS_r01–r03, 0 failures).  Round 4's window =
+#: the first 50 of round 3's PRIORITY_NEXT backlog, in its listed
+#: order, per VERDICT r3 item 1 — all 63 backlog queries already pass
+#: tests/test_oracle.py's sf0.01 DuckDB differential, so this is a
+#: pure verification-window rotation with no code risk.
 PRIORITY: list[str] = [
-    # -- 37 round-2 additions, never driver-checked --
-    "b31_repetition_filters",
-    "b31_pii_scan",
-    "b37_contamination",
-    "b38_merge_upsert",
-    "b40_centroid_assign",
-    "b28_incremental_dedup",
-    "b30_ann_lsh_observed",
-    "b30_ann_ivf_observed",
-    "b20_variant_funcs",
-    "b39_doc_chunk",
-    "b41_scd2_history",
-    "b42_bigram_lm",
-    "b43_tfidf_rank",
-    "b45_quality_deciles",
-    "b46_dataset_card",
-    "b29_cc_bigstar",
-    "b47_funnel",
-    "b48_retention",
-    "b49_quality_checks",
-    "b11_unpivot",
-    "b18_width_bucket",
-    "b50_grouped_median",
-    "b51_resample_ffill",
-    "b52_sequence_match",
-    "b53_train_val_test",
-    "b11_grouping_id",
-    "b55_lateral_topk",
-    "b56_embedding_quantize",
-    "b32_fake_resize",
-    "b57_table_fingerprint",
-    "b58_stream_funnel",
-    "b59_salted_join",
-    "b60_hll_mergeable_rollup",
-    "b62_cogroup_merge",
-    "b63_quantile_bands",
-    "b64_stream_stream_left_outer",
-    "b65_map_hof",
-    # -- 4 rows-only stragglers, never driver-checked --
-    "a18_submit_sink",
-    "b30_ann_lsh",
-    "b30_ann_ivf",
-    "b33_http_ingest",
-    # -- 9 load-bearing re-checks on this round's regenerated data --
-    "tpch_q1",
-    "tpch_q9",
-    "b09_agg_q1",
-    "wildweb_pipeline",
-    "b28_exact_dedup",
-    "b29_minhash_near_dedup",
-    "b30_cosine_topk",
-    "b21_tumbling_window",
-    "flagship_revenue_by_nation",
-]
-
-#: Queries added AFTER the current round's 50-entry verification window
-#: was locked.  They register immediately after PRIORITY (so a wider
-#: driver window picks them up for free) and are the rotation
-#: candidates for the next round's PRIORITY once the current window
-#: comes back green.
-PRIORITY_NEXT: list[str] = [
     "b32_ppm_decode",
     "b38_merge_upsert_broadcast",
     "b66_stream_scd1",
@@ -207,6 +146,13 @@ PRIORITY_NEXT: list[str] = [
     "b115_schema_evolution",
     "b116_bounce_rate",
     "b117_scd3_current",
+]
+
+#: The rotation candidates for the next round's PRIORITY: the 13
+#: backlog queries that overflowed round 4's 50-slot window, plus any
+#: additions made this round (kept to a handful — VERDICT r3 item 2
+#: freezes new families until the never-verified backlog clears).
+PRIORITY_NEXT: list[str] = [
     "b118_longest_streak",
     "b119_clamped_balance",
     "b120_record_linkage",

@@ -558,6 +558,7 @@ def b115_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
     FROM documents GROUP BY lang
     """,
@@ -566,11 +567,18 @@ def b127_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format-federated query: one logical table served by THREE
     physical formats — a third of the documents stays parquet, a third
     round-trips through CSV, a third through JSONL — unioned by NAME
-    into a single aggregation.  The oracle runs on the original table,
-    so a hash match proves both text-format round-trips lossless AND
-    the three-source union complete and duplicate-free (n_ids would
-    catch either).  This is the ingest-tier reality the reference's
-    single-feed connector grows into: heterogeneous drops, one query.
+    into a single aggregation.  The oracle runs on the original table;
+    a hash match proves the three-source union complete and
+    duplicate-free (n_ids catches loss or double-reads) and pins
+    id/lang/n_chars fidelity PLUS the round-tripped text itself via
+    ``sum_text_len`` — recomputed from the text column AFTER the
+    CSV/JSONL legs, so a trimmed or escape-mangled text leg breaks the
+    hash (ADVICE r3: n_chars alone was the stored column, not the
+    round-tripped bytes).  The CSV writer/reader explicitly disable
+    whitespace trimming (Spark's writer trims by default), keeping the
+    leg lossless even for padded text.  This is the ingest-tier
+    reality the reference's single-feed connector grows into:
+    heterogeneous drops, one query.
 
     Scale: each source scans independently with its own reader
     (parquet columnar+pushdown; CSV/JSONL schema-explicit per the
@@ -592,6 +600,8 @@ def b127_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = F.col("doc_id") % 3
         d.filter(part == 1).write.mode("overwrite").option(
             "header", "true"
+        ).option("ignoreLeadingWhiteSpace", "false").option(
+            "ignoreTrailingWhiteSpace", "false"
         ).csv(out + "/csv")
         d.filter(part == 2).write.mode("overwrite").json(out + "/jsonl")
 
@@ -606,6 +616,8 @@ def b127_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         csv_part = (
             spark.read.schema(schema)
             .option("header", "true")
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
             .csv(out + "/csv")
         )
         json_part = spark.read.schema(schema).json(out + "/jsonl")
@@ -617,6 +629,7 @@ def b127_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = all_docs.groupBy("lang").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
             F.countDistinct("doc_id").cast("bigint").alias("n_ids"),
         )
         return res.localCheckpoint(eager=True)

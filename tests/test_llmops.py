@@ -196,9 +196,9 @@ def test_langid_on_multilingual_fixtures(spark):
 
 
 def test_fake_decode_deterministic(spark, sf_dir):
-    from etl_wildweb_spark.registry import QUERIES
+    from etl_wildweb_spark.operators.multimodal import b32_fake_decode
 
-    out = {r.doc_id: r for r in QUERIES["b32_fake_decode"](spark, sf_dir).collect()}
+    out = {r.doc_id: r for r in b32_fake_decode(spark, sf_dir).collect()}
     from etl_wildweb_spark.io import table
 
     docs = {r.doc_id: r.text for r in table(spark, sf_dir, "documents").collect()}

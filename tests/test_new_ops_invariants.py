@@ -96,7 +96,10 @@ def test_grouped_median_matches_bruteforce(spark, sf_dir):
 def test_fake_resize_exact_and_bounded(spark, sf_dir):
     """The resize stub's Spark-side output matches a pure-Python replay
     byte-for-byte and respects the bounded-output contract."""
-    from etl_wildweb_spark.operators.multimodal import RESIZE_TARGET
+    from etl_wildweb_spark.operators.multimodal import (
+        RESIZE_TARGET,
+        b32_fake_resize,
+    )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
     want = {}
@@ -105,7 +108,7 @@ def test_fake_resize_exact_and_bounded(spark, sf_dir):
         step = max(1, len(b) // RESIZE_TARGET)
         rz = b[::step][:RESIZE_TARGET] if len(b) else b"\x00"
         want[r.doc_id] = (len(rz), sum(rz), rz[0], rz[-1])
-    out = registry.QUERIES["b32_fake_resize"](spark, sf_dir).collect()
+    out = b32_fake_resize(spark, sf_dir).collect()
     got = {r.doc_id: (r.out_len, r.out_sum, r.out_first, r.out_last) for r in out}
     assert got == want
     assert all(v[0] <= RESIZE_TARGET for v in got.values())
@@ -175,3 +178,34 @@ def test_clamped_balance_identity_vs_sequential_fold(spark, sf_dir):
                 bal = bal + delta
         want[uid] = (len(rs), clamps, bal)
     assert got == want
+
+
+def test_hierarchy_closure_sparse_id_domain(spark, tmp_path):
+    """b129 on a SPARSE id domain — every observed user's parent chain
+    passes through ids with no events (ADVICE r3: the old inner-join
+    doubling silently dropped such users).  Expected depths come from a
+    Python replay of parent(u) = (u-1) div 3."""
+    from etl_wildweb_spark.registry import QUERIES, load_all
+
+    load_all()
+    # 40 → 13 → 4 → 1 → 0 (depth 4); 364 → 121 → 40 → ... (depth 6);
+    # 1093 → 364 → ... (depth 7).  None of the intermediates observed.
+    observed = [40, 364, 1093, 2]
+    spark.createDataFrame(
+        [(u,) for u in observed], "user_id long"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    def depth(u: int) -> int:
+        d = 0
+        while u > 0:
+            u = (u - 1) // 3
+            d += 1
+        return d
+
+    got = {
+        r.user_id: r.depth
+        for r in QUERIES["b129_hierarchy_closure"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {u: depth(u) for u in observed}

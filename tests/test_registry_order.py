@@ -34,26 +34,15 @@ def test_priority_oracle_coverage():
         if n not in registry.ORACLES
     }
     assert rows_only == {
-        # round-3 window: ANN (approximate), streaming-state, and
-        # side-effecting connector/sink ops — declared, nothing else
-        "a18_submit_sink",
-        "b30_ann_lsh",
-        "b30_ann_ivf",
-        "b30_ann_lsh_observed",
-        "b30_ann_ivf_observed",
-        "b32_fake_resize",
+        # round-4 window (the round-3 backlog): real-pixel multimodal,
+        # streaming-state, and side-effecting connector/sink/layout ops
+        # whose outputs are state-protocol or file-footer facts, not
+        # SQL relations (each carries its own pytest invariants)
         "b32_ppm_decode",
         "b32_ppm_resize",
-        "b33_http_ingest",
-        "b58_stream_funnel",
-        "b60_hll_mergeable_rollup",
-        "b64_stream_stream_left_outer",
         "b66_stream_scd1",
         "b67_stream_incremental_agg",
         "b72_stateful_sessionize",
-        # round-3 session additions: restart/connector/sink/layout ops
-        # whose outputs are state-protocol or file-footer facts, not
-        # SQL relations (each carries its own pytest invariants)
         "b83_checkpoint_recovery",
         "b91_stream_http_source",
         "b94_datasource_writer",
