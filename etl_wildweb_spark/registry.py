@@ -166,6 +166,9 @@ PRIORITY_NEXT: list[str] = [
     "b128_slice_overlap",
     "b129_hierarchy_closure",
     "b130_token_drift",
+    # round-4's sole addition (registration freeze, VERDICT r3 item 2):
+    # general DAG reachability with exact path counts
+    "b131_dag_path_count",
 ]
 
 

@@ -241,6 +241,7 @@ _SHUFFLE_BUDGET = {
     "b125_seasonal_anomaly": 2,  # daily rollup + 7-row baseline (broadcast back)
     "b128_slice_overlap": 4,     # slice-gram distinct + intersect join + aggs
     "b129_hierarchy_closure": 0,  # jump table pre-checkpointed; rounds reuse it
+    "b131_dag_path_count": 1,    # final nodes⋈pc join; rounds pre-checkpointed
 }
 
 

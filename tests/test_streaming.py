@@ -117,7 +117,13 @@ def test_transform_with_state_matches_batch_and_legacy(spark, sf_dir):
     )
 
     if not tws_available():
-        pytest.skip("google.protobuf unavailable: TWS state server cannot start")
+        pytest.skip(
+            "b24_transform_with_state NOT EXECUTED: google.protobuf is "
+            "absent in this container (re-probed round 4: `import google` "
+            "→ ModuleNotFoundError), so the TWS state server cannot "
+            "start; the legacy applyInPandasWithState path "
+            "(b24_custom_stateful) is the executed-and-verified one"
+        )
 
     got = {
         r["user_id"]: (r["n_events"], r["total_value"], r["max_value"])
