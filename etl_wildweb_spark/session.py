@@ -37,8 +37,93 @@ RUNTIME_CONFS = {
 }
 
 
+#: Attribute set on a SparkContext once the package zip has shipped.
+_SHIPPED_ATTR = "_etl_wildweb_pyfile_shipped"
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package's source to the Python workers via addPyFile.
+
+    cloudpickle serializes mapInPandas/applyInPandas functions, UDTFs,
+    and Python DataSource classes BY REFERENCE (module path + name), so
+    every worker must be able to ``import etl_wildweb_spark`` — true
+    under pytest (cwd = repo) but NOT guaranteed for an externally-built
+    driver session running from another cwd with no PYTHONPATH.  A
+    zip of the package on the session's file server makes the import
+    work everywhere; this is also exactly the cluster deploy story
+    (same call ships the code to 1000 executors — no image bake
+    needed).  Idempotent per SparkContext; a few ms once per process."""
+    sc = spark.sparkContext
+    if getattr(sc, _SHIPPED_ATTR, False):
+        return
+    try:
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"etl_wildweb_spark_pkg_{os.getpid()}.zip"
+        )
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        arc = os.path.join(
+                            "etl_wildweb_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, arc)
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # no writable tmp / restricted context — workers must
+        # already see the package (the pytest/local path)
+    setattr(sc, _SHIPPED_ATTR, True)
+
+
+#: Modules whose classes cross into Spark's PLANNER-side Python workers
+#: (streaming source runner, DataSource writer init) — those workers do
+#: NOT get the addPyFile sys.path, so these must pickle by value.
+_BY_VALUE_MODULES = (
+    "etl_wildweb_spark.sources.http",
+    "etl_wildweb_spark.sinks",
+)
+
+
+def _register_pickle_by_value() -> None:
+    """Serialize the Python-DataSource modules BY VALUE in cloudpickle.
+
+    addPyFile covers ordinary task workers, but Spark 4's Python
+    *streaming source runner* (python_streaming_source_runner.py) and
+    the DataSource *writer-init* worker are planner-side processes that
+    unpickle the DataSource class WITHOUT the shipped pyFiles on
+    sys.path — a by-reference pickle dies there with
+    ModuleNotFoundError when the driver session was built outside the
+    repo (no cwd/PYTHONPATH help).  Registering exactly the
+    DataSource-defining modules with pyspark's vendored cloudpickle
+    makes those classes self-contained.  Deliberately NOT the whole
+    package: by-value registration means any closure that captures a
+    module OBJECT drags the full module dict into the pickle, and an
+    unpicklable global anywhere in it (an RLock, a logger handler)
+    would break unrelated operators.  Idempotent."""
+    try:
+        import importlib as _importlib
+
+        from pyspark import cloudpickle as _cp
+
+        for name in _BY_VALUE_MODULES:
+            try:
+                _cp.register_pickle_by_value(_importlib.import_module(name))
+            except Exception:
+                pass
+    except Exception:
+        pass  # vendored cloudpickle without the API — fall back to
+        # by-reference + addPyFile
+
+
 def prepare(spark: SparkSession) -> SparkSession:
     """Assert runtime confs on an externally-provided session (driver's)."""
+    _ship_package(spark)
+    _register_pickle_by_value()
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
