@@ -387,3 +387,54 @@ def test_ppm_resize_byte_exact(spark, sf_dir):
         assert (w2, h2) == (dw, dh)
         sums = back.reshape(-1, 3).sum(axis=0, dtype=np.int64)
         assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)
+
+def test_repetition_arrow_path_equals_catalyst_twin(spark, sf_dir):
+    """The Arrow-batched repetition statistics must be IEEE-identical
+    (pre-rounding) to the original Catalyst sequence/transform/aggregate
+    fold (`_word_grams`/`_top_run`) on the full corpus — the proof that
+    the 15-25x mapInPandas speedup changed the execution path, not the
+    semantics."""
+    from etl_wildweb_spark.io import table
+    from etl_wildweb_spark.operators.text import (
+        _top_run,
+        _word_grams,
+        repetition_batches,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    n_nonspace = F.length(F.replace("text", F.lit(" "), F.lit("")))
+    top2 = _top_run(F.array_sort(_word_grams(toks, n_words, 2)))
+    g5 = _word_grams(toks, n_words, 5)
+    n5, d5 = F.size(g5), F.size(F.array_distinct(g5))
+    catalyst = {
+        r.doc_id: (r.a, r.b, r.c)
+        for r in d.select(
+            "doc_id",
+            (F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_words)
+            .alias("a"),
+            F.coalesce(
+                (
+                    top2["best"]
+                    * F.length(F.replace(top2["bestg"], F.lit(" "), F.lit("")))
+                ).cast("double")
+                / n_nonspace,
+                F.lit(0.0),
+            ).alias("b"),
+            F.when(n5 > 0, F.lit(1.0) - d5.cast("double") / n5)
+            .otherwise(0.0)
+            .alias("c"),
+        ).collect()
+    }
+    arrow = {
+        r.doc_id: (r.raw_dup_word, r.raw_top2, r.raw_dup5)
+        for r in d.select("doc_id", "text")
+        .mapInPandas(
+            repetition_batches,
+            schema="doc_id bigint, raw_dup_word double, "
+            "raw_top2 double, raw_dup5 double",
+        )
+        .collect()
+    }
+    assert arrow == catalyst  # exact double equality, no tolerance
