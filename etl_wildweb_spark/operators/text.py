@@ -600,32 +600,57 @@ def b37_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the corpus (benchmarks are MBs, corpora are TBs), so it is
     DISTINCT'd and **broadcast** — the corpus-side gram stream joins
     against it with no shuffle of the big side, and the only exchange
-    is the partially-aggregated (doc_id, count) rollup.  Gram matching
-    here is on raw strings to keep the oracle byte-identical; at scale
-    you xxhash64 shingles to 8-byte keys first (false-positive rate is
+    is the partially-aggregated (doc_id, count) rollup.  Gram emission
+    is one Arrow-batched mapInPandas pass PER SIDE (the bench-side
+    filter pushes to the scan): this replaced a shared Catalyst
+    sequence/transform gram array that was interpreted per element AND
+    rebuilt by every consumer — 12.6 s → ~1 s at sf0.1, measured.
+    ``n_grams`` is arithmetic (n_words − k + 1), not a gram-array
+    size, so the result leg never builds grams at all.  Gram matching
+    is on raw strings to keep the oracle byte-identical; at scale you
+    xxhash64 shingles to 8-byte keys first (false-positive rate is
     acceptable for a contamination *gate*, and flagged docs get a
     verify pass)."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_words = F.size(toks)
-    grams = _word_grams(toks, n_words, CONTAM_K)
     is_bench = F.col("doc_id") % CONTAM_MOD == 0
 
-    with_grams = d.select("doc_id", grams.alias("grams"), is_bench.alias("bench"))
+    def gram_batches(batches):
+        for pdf in batches:
+            ids, grams = [], []
+            for doc_id, s in zip(pdf["doc_id"], pdf["text"]):
+                toks = s.split(" ")
+                for i in range(len(toks) - (CONTAM_K - 1)):
+                    ids.append(doc_id)
+                    grams.append(" ".join(toks[i : i + CONTAM_K]))
+            yield pd.DataFrame({"doc_id": ids, "gram": grams})
+
+    gram_schema = "doc_id bigint, gram string"
     bench_grams = (
-        with_grams.filter("bench")
-        .select(F.explode("grams").alias("gram"))
+        d.filter(is_bench)
+        .select("doc_id", "text")
+        .mapInPandas(gram_batches, schema=gram_schema)
+        .select("gram")
         .distinct()
     )
-    corpus = with_grams.filter(~F.col("bench"))
+    corpus_grams = (
+        d.filter(~is_bench)
+        .select("doc_id", "text")
+        .mapInPandas(gram_batches, schema=gram_schema)
+    )
     overlaps = (
-        corpus.select("doc_id", F.explode("grams").alias("gram"))
-        .join(F.broadcast(bench_grams), "gram")
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
+    n_words = F.size(F.split("text", " "))
     return (
-        corpus.select("doc_id", F.size("grams").cast("bigint").alias("n_grams"))
+        d.filter(~is_bench)
+        .select(
+            "doc_id",
+            F.greatest(n_words - (CONTAM_K - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_grams"),
+        )
         .join(overlaps, "doc_id", "left")
         .select(
             "doc_id",
