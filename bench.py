@@ -95,10 +95,11 @@ BENCH_QUERIES = [
     "b116_bounce_rate",
     "b119_clamped_balance",
     "b121_linear_interpolate",
-    # round-4: the two text gates rewritten off interpreted Catalyst
-    # HOFs (27x / 9x measured) — benched to lock the wins
+    # round-4: the three ops rewritten off interpreted Catalyst HOFs
+    # (27x / 9x / 60x measured) — benched to lock the wins
     "b31_repetition_filters",
     "b37_contamination",
+    "b29_simhash",
 ]
 
 

@@ -17,6 +17,7 @@ join on the doc key, broadcast-able if candidates are rare).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -368,35 +369,73 @@ def b29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The all-Catalyst SimHash twin: per-bit majority vote as nested HOF
+#: folds.  KEPT for the equivalence test only — it re-splits and
+#: re-hashes every token 64 times inside interpreted lambdas (measured
+#: 21 s at sf0.1 vs 0.34 s for the hash-once + numpy path below).
+#: The Python shiftleft/shiftright wrappers only take literal shift
+#: amounts; the SQL forms accept expressions, hence expr().
+SIMHASH_EXPR_TWIN = """
+    aggregate(
+      zip_with(
+        transform(sequence(0, 63), i ->
+          CASE WHEN aggregate(transform(split(text, ' '), t -> xxhash64(t)),
+                              0L, (acc, h) -> acc + (shiftright(h, i) & 1L)) * 2
+                    >= size(split(text, ' '))
+               THEN 1L ELSE 0L END),
+        sequence(0, 63),
+        (b, i) -> shiftleft(b, i)),
+      0L, (acc, x) -> acc | x)
+    """
+
+
+def simhash_batches(batches):
+    """Arrow-batched per-bit majority vote over PRE-COMPUTED token
+    hashes: unpack each xxhash64 into a 64-column bit matrix, column-sum,
+    majority → bit — bit-identical to SIMHASH_EXPR_TWIN (pinned in
+    tests) because the inputs are the same JVM xxhash64 values."""
+    import numpy as np
+
+    for pdf in batches:
+        out_id, out_sh = [], []
+        for doc_id, hs in zip(pdf["doc_id"], pdf["hv"]):
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            n = len(h)
+            bits = (
+                (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            ).sum(axis=0)
+            maj = bits * 2 >= n
+            sh = int(np.packbits(maj[::-1]).view(">u8")[0])
+            if sh >= 2**63:
+                sh -= 2**64  # two's-complement into Spark's signed long
+            out_id.append(doc_id)
+            out_sh.append(sh)
+        yield pd.DataFrame(
+            {"doc_id": out_id, "simhash": pd.array(out_sh, dtype="int64")}
+        )
+
+
 @query("b29_simhash")  # rows-only: bit-level fingerprint, not SQL-expressible
 def b29_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B29 variant: 64-bit SimHash per document, built with higher-order
-    functions (token hash → per-bit majority vote), JVM-side end to end.
-    Near-dups have small Hamming distance (tests assert this on the
-    planted pairs); at scale candidates come from grouping on bit-prefix
-    blocks (here: the top-16-bit block id is emitted alongside)."""
+    """B29 variant: 64-bit SimHash per document — token hashes computed
+    ONCE JVM-side (one transform/xxhash64 pass), then the per-bit
+    majority vote vectorized in numpy over Arrow batches.  This
+    replaced an all-Catalyst nested-HOF fold that re-hashed every token
+    64 times interpreted (21 s → 0.34 s at sf0.1, bit-identical —
+    equivalence pinned in tests).  Near-dups have small Hamming
+    distance (asserted on planted pairs); at scale candidates come from
+    grouping on bit-prefix blocks (here: the top-16-bit block id is
+    emitted alongside)."""
     d = table(spark, sf_dir, "documents")
-    # The Python shiftleft/shiftright wrappers only take literal shift
-    # amounts; the SQL forms accept expressions, so the per-bit majority
-    # vote is expressed via expr().
-    simhash = F.expr(
-        """
-        aggregate(
-          zip_with(
-            transform(sequence(0, 63), i ->
-              CASE WHEN aggregate(transform(split(text, ' '), t -> xxhash64(t)),
-                                  0L, (acc, h) -> acc + (shiftright(h, i) & 1L)) * 2
-                        >= size(split(text, ' '))
-                   THEN 1L ELSE 0L END),
-            sequence(0, 63),
-            (b, i) -> shiftleft(b, i)),
-          0L, (acc, x) -> acc | x)
-        """
+    hv = F.transform(F.split("text", " "), lambda t: F.xxhash64(t))
+    hashed = d.select("doc_id", hv.alias("hv"))
+    res = hashed.mapInPandas(
+        simhash_batches, schema="doc_id bigint, simhash bigint"
     )
-    return d.select(
+    return res.select(
         "doc_id",
-        simhash.alias("simhash"),
-        F.shiftrightunsigned(simhash, 48).alias("block16"),
+        "simhash",
+        F.shiftrightunsigned("simhash", 48).alias("block16"),
     )
 
 

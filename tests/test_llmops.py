@@ -438,3 +438,23 @@ def test_repetition_arrow_path_equals_catalyst_twin(spark, sf_dir):
         .collect()
     }
     assert arrow == catalyst  # exact double equality, no tolerance
+
+def test_simhash_arrow_path_equals_catalyst_twin(spark, sf_dir):
+    """The hash-once + numpy simhash must equal the all-Catalyst
+    nested-HOF fold bit-for-bit on the full corpus — the proof the 60x
+    speedup changed only the execution path."""
+    from etl_wildweb_spark.io import table
+    from etl_wildweb_spark.operators.dedup import SIMHASH_EXPR_TWIN
+
+    d = table(spark, sf_dir, "documents")
+    twin = {
+        r.doc_id: r.simhash
+        for r in d.select(
+            "doc_id", F.expr(SIMHASH_EXPR_TWIN).alias("simhash")
+        ).collect()
+    }
+    got = {
+        r.doc_id: r.simhash
+        for r in registry.QUERIES["b29_simhash"](spark, sf_dir).collect()
+    }
+    assert got == twin
