@@ -452,7 +452,16 @@ def b29_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b29_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B29 variant: embedding-cosine near-dup with label blocking (the
     blocked join is the scale pattern — candidates only within a block,
-    never the full cross product)."""
+    never the full cross product).
+
+    Blocking-key contract (measured, SCALE.md round-4 probe): the
+    within-block self-join is quadratic IN BLOCK SIZE, so the key's
+    cardinality must grow with the corpus — exactly as LSH bucket
+    counts and IVF cell counts do.  A fixed key (like this demo's
+    label) saturates: 16x corpus with fixed labels → 256x pairs.  At
+    real scale block on b30's hyperplane-LSH bucket id or IVF cell, or
+    route near-dup through b29_minhash/b30_ann_*; label stays here
+    because the DuckDB oracle pins exactness within it."""
     from ..functions.vector import cosine
 
     e = table(spark, sf_dir, "embeddings")
