@@ -99,17 +99,19 @@ def b42_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     combines to vocabulary² (bounded far below corpus size); the
     prefix window is partitioned BY w1 — vocabulary-wide parallelism,
     never a global window; the final top-100 is a TakeOrdered, not a
-    global sort."""
+    global sort.  Bigram pairs come from arrays_zip of two shifted
+    slices — a plain collection expression, NOT a lambda HOF: the
+    previous transform+element_at build was interpreted per element
+    and measured 12× slower on the same data (SCALE.md round-4)."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.size(toks)
-    bigrams = F.transform(
-        F.slice(toks, F.lit(1), n - 1),
-        lambda t, i: F.struct(
-            t.alias("w1"), F.element_at(toks, i + F.lit(2)).alias("w2")
-        ),
+    bigrams = F.arrays_zip(
+        F.slice(toks, F.lit(1), n - 1), F.slice(toks, F.lit(2), n - 1)
     )
-    bg = d.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    bg = d.select(F.explode(bigrams).alias("b")).select(
+        F.col("b.0").alias("w1"), F.col("b.1").alias("w2")
+    )
     cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     prefix = W.partitionBy("w1")
     return (
