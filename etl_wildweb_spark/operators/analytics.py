@@ -411,8 +411,8 @@ def b48_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_id, ts,
            CAST(count(*) OVER w AS BIGINT) AS n_24h,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
-                AS DECIMAL(38,6)) AS sum_24h
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w
+                AS BIGINT) AS sum_24h_micro
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
@@ -430,7 +430,10 @@ def b74_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames need a numeric sort key; the oracle's RANGE BETWEEN
     INTERVAL is the same frame over the raw timestamp.  Range frames
     are tie-safe (peers enter the frame together), so no event_id
-    tiebreak is needed for determinism.
+    tiebreak is needed for determinism.  The rolling sum is integer
+    micro-units (round(value*1e6) per row, BIGINT window sum) — exact
+    and hash-stable; the DECIMAL(38,6) form was value-correct but
+    came back float64 through DuckDB's pandas path (round-4 red).
 
     Scale: one (user_id)-hash exchange + per-partition sort shared by
     both features; the frame advances with two pointers over the
@@ -450,10 +453,10 @@ def b74_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_24h"),
-        F.sum(F.col("value").cast("decimal(18,6)"))
+        F.sum(F.round(F.col("value") * 1_000_000).cast("bigint"))
         .over(w)
-        .cast("decimal(38,6)")
-        .alias("sum_24h"),
+        .cast("bigint")
+        .alias("sum_24h_micro"),
     )
 
 

@@ -181,8 +181,12 @@ _MIX_TARGET = 200
              CAST(floor(sqrt(n * 1000000.0)) AS BIGINT) AS w
       FROM counts),
     quota AS (
+      -- CAST to BIGINT: DuckDB's sum(BIGINT) is HUGEINT, and HUGEINT
+      -- division results coerce to float64 through the pandas path,
+      -- which broke the round-4 value hash despite identical values.
       SELECT source, n, w,
-             ({_MIX_TARGET} * w) // (SELECT sum(w) FROM weighted) AS q
+             CAST(({_MIX_TARGET} * w) // (SELECT sum(w) FROM weighted)
+                  AS BIGINT) AS q
       FROM weighted)
     SELECT d.doc_id, d.source, q.q AS source_quota
     FROM (

@@ -107,7 +107,8 @@ def salted_agg(
     "b73_salted_agg",
     oracle="""
     SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS total_micro,
            CAST(max(user_id) AS BIGINT) AS max_user
     FROM events GROUP BY event_type
     """,
@@ -118,15 +119,16 @@ def b73_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape where one reducer per key melts).  Oracle = the plain
     one-shot aggregate; equality proves the salt decomposition is
     invisible in the result, and tests/test_plans.py asserts the
-    two-exchange shape with the first keyed on (event_type, salt)."""
+    two-exchange shape with the first keyed on (event_type, salt).
+    The value sum is integer micro-units (round(value*1e6) per row,
+    BIGINT sum) — exact, associative across salt partials, and
+    hash-stable (DECIMAL(38,6) came back float64 through DuckDB's
+    pandas path and broke the round-4 value hash)."""
     e = table(spark, sf_dir, "events")
+    micro = F.round(F.col("value") * 1_000_000).cast("bigint")
     aggs = [
         (F.count(F.lit(1)), F.sum, "n"),
-        (
-            F.sum(F.col("value").cast("decimal(18,6)")),
-            lambda c: F.sum(c).cast("decimal(38,6)"),
-            "total",
-        ),
+        (F.sum(micro), lambda c: F.sum(c).cast("bigint"), "total_micro"),
         (F.max("user_id"), F.max, "max_user"),
     ]
     out = salted_agg(e.select("event_type", "value", "user_id"),
@@ -134,7 +136,7 @@ def b73_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),
-        "total",
+        "total_micro",
         F.col("max_user").cast("bigint").alias("max_user"),
     )
 

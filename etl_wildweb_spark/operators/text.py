@@ -362,11 +362,12 @@ def repetition_batches(batches):
                 bn = max(c.values())
                 bg = min(g for g, v in c.items() if v == bn)
                 num = bn * (len(bg) - bg.count(" "))
-                t2.append(
-                    num / nonspace
-                    if nonspace
-                    else (float("nan") if num == 0 else float("inf"))
-                )
+                # nonspace == 0 (all-space text) → 0.0, matching the
+                # replaced Catalyst twin: Spark's non-ANSI Divide yields
+                # NULL on /0 and the pipeline coalesced that to 0.0.
+                # IEEE inf/nan here would silently diverge from the
+                # documented equivalence if such a doc ever appears.
+                t2.append(num / nonspace if nonspace else 0.0)
             else:
                 t2.append(0.0)
             if n >= 5:

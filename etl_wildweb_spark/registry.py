@@ -89,70 +89,20 @@ def capabilities(
 
 #: Explicit verification-priority order.  The driver's correctness
 #: harness checks the FIRST 50 entries of ``__spark_entry__.queries()``
-#: (dict insertion order) per round.  Rounds 1–3 verified every window
-#: 50/50 green (CORRECTNESS_r01–r03, 0 failures).  Round 4's window =
-#: the first 50 of round 3's PRIORITY_NEXT backlog, in its listed
-#: order, per VERDICT r3 item 1 — all 63 backlog queries already pass
-#: tests/test_oracle.py's sf0.01 DuckDB differential, so this is a
-#: pure verification-window rotation with no code risk.
+#: (dict insertion order) per round.  Round 5's window, per VERDICT r4
+#: item 3: the four round-4 hash-red queries first (fixed this round —
+#: integer micro-unit / BIGINT outputs on both sides, see VERDICT r4
+#: "What's wrong"), then the 14 queries that have never been in a
+#: driver window (round 4's PRIORITY_NEXT), then 32 of the oldest
+#: round-1 greens for re-confirmation.  After this round every
+#: registered query has been driver-checked at least once.
 PRIORITY: list[str] = [
-    "b32_ppm_decode",
-    "b38_merge_upsert_broadcast",
-    "b66_stream_scd1",
-    "b67_stream_incremental_agg",
-    "b68_cep_kleene",
-    "b69_line_dedup",
-    "b70_orc_roundtrip",
+    # -- the 4 round-4 hash failures, re-typed to hash-stable outputs --
     "b71_partitioned_prune",
-    "b72_stateful_sessionize",
     "b73_salted_agg",
     "b74_rolling_features",
-    "b75_merge_full",
-    "b76_snapshot_diff",
-    "b77_interval_union",
-    "b80_attribution",
-    "b78_null_safe_join",
-    "b85_grouped_mode",
-    "b87_skyline",
-    "b79_bucketed_join",
-    "b83_checkpoint_recovery",
-    "b82_incremental_neardup",
     "b90_temperature_mix",
-    "b84_pagerank",
-    "b91_stream_http_source",
-    "b92_string_agg",
-    "b93_window_distribution",
-    "b94_datasource_writer",
-    "b95_apply_in_arrow",
-    "b96_udtf_analyze",
-    "b97_kmeans_update",
-    "b98_asof_snapshot",
-    "b99_zorder_layout",
-    "b100_compaction",
-    "b101_group_entropy",
-    "b102_markov_transitions",
-    "b103_basket_pairs",
-    "b104_zscore_outliers",
-    "b105_event_paths",
-    "b106_time_weighted_sum",
-    "b107_sliding_distinct",
-    "b108_dynamic_overwrite",
-    "b109_heavy_hitters",
-    "b110_bloom_prefilter_join",
-    "b111_stream_topk",
-    "b112_cohort_ltv",
-    "b113_pareto_coverage",
-    "b114_activity_heatmap",
-    "b115_schema_evolution",
-    "b116_bounce_rate",
-    "b117_scd3_current",
-]
-
-#: The rotation candidates for the next round's PRIORITY: the 13
-#: backlog queries that overflowed round 4's 50-slot window, plus any
-#: additions made this round (kept to a handful — VERDICT r3 item 2
-#: freezes new families until the never-verified backlog clears).
-PRIORITY_NEXT: list[str] = [
+    # -- the 14 never-driver-checked queries (local-differential green) --
     "b118_longest_streak",
     "b119_clamped_balance",
     "b120_record_linkage",
@@ -166,10 +116,47 @@ PRIORITY_NEXT: list[str] = [
     "b128_slice_overlap",
     "b129_hierarchy_closure",
     "b130_token_drift",
-    # round-4's sole addition (registration freeze, VERDICT r3 item 2):
-    # general DAG reachability with exact path counts
     "b131_dag_path_count",
+    # -- oldest round-1 greens, re-confirmed (CORRECTNESS_r01 order) --
+    "b28_exact_dedup",
+    "b28_hash_dedup",
+    "b29_minhash_near_dedup",
+    "b29_ngram_jaccard",
+    "b29_simhash",
+    "b29_embedding_near_dup",
+    "b29_dup_clusters",
+    "b29_dedup_canonical",
+    "b29_edit_distance",
+    "b32_multimodal_plumbing",
+    "b32_frame_sample",
+    "b35_sequence_pack",
+    "b35_pack_utilization",
+    "flagship_revenue_by_nation",
+    "b01_scan_filter_project",
+    "b03_join_inner",
+    "b04_join_broadcast",
+    "b05_join_left",
+    "b05_join_full_outer",
+    "b06_join_semi",
+    "b06_join_anti",
+    "b07_join_range",
+    "b08_join_asof",
+    "b08_asof_forward",
+    "b08_asof_tolerance",
+    "b08_asof_payload",
+    "b09_agg_q1",
+    "b10_distinct",
+    "b10_approx_distinct",
+    "b11_rollup",
+    "b11_cube",
+    "b12_window_rank",
 ]
+
+#: Candidates for the NEXT round's window: additions made this round.
+#: The round-4 registration freeze (VERDICT r3 item 2 / r4 item 4) is
+#: lifted once the round-5 window lands, because after it every
+#: registered query has driver evidence; keep additions to a handful.
+PRIORITY_NEXT: list[str] = []
 
 
 def ordered_queries() -> dict[str, QueryFn]:

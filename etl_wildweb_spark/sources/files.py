@@ -165,7 +165,8 @@ def b70_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b71_partitioned_prune",
     oracle="""
     SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS total_micro
     FROM events
     WHERE event_type IN ('view', 'purchase')
     GROUP BY event_type
@@ -183,7 +184,11 @@ def b71_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle aggregates the original unpartitioned parquet — a hash
     match proves the partitioned round-trip preserves every row and
-    value of the selected partitions."""
+    value of the selected partitions.  The sum is integer micro-units
+    (round(value*1e6) per row, BIGINT sum): exact, order-insensitive,
+    and hash-stable across engines — DuckDB's pandas path coerces
+    DECIMAL(38,6)/HUGEINT to float64, which broke the driver's value
+    hash in round 4 even though every value matched."""
     import shutil
     import tempfile
 
@@ -211,9 +216,9 @@ def partitioned_events_scan(
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
-            .alias("total"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint"))
+            .cast("bigint")
+            .alias("total_micro"),
         )
     )
 

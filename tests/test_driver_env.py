@@ -17,6 +17,14 @@ import textwrap
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Same env-var convention as tests/conftest.py (ADVICE r4): prefer the
+# sf0.001 sibling of the configured corpus for speed (4 worker-spawn
+# queries), falling back to the configured dir itself if no sibling.
+from .conftest import SF_DIR  # noqa: E402
+
+_small = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+SF = _small if os.path.isdir(_small) else SF_DIR
+
 _SCRIPT = textwrap.dedent(
     """
     import sys
@@ -30,7 +38,7 @@ _SCRIPT = textwrap.dedent(
              .getOrCreate())
     import __spark_entry__ as m
     qs = m.queries()
-    sf = "/root/testdata/sf0.001"
+    sf = {sf!r}
     # one query per worker kind that historically broke:
     #   mapInPandas task worker, DataSource writer-init worker,
     #   streaming source runner, applyInPandasWithState worker
@@ -46,7 +54,7 @@ _SCRIPT = textwrap.dedent(
 def test_contract_surface_from_foreign_cwd(tmp_path):
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     proc = subprocess.run(
-        [sys.executable, "-c", _SCRIPT.format(repo=REPO)],
+        [sys.executable, "-c", _SCRIPT.format(repo=REPO, sf=SF)],
         cwd=str(tmp_path),
         env=env,
         capture_output=True,

@@ -439,6 +439,26 @@ def test_repetition_arrow_path_equals_catalyst_twin(spark, sf_dir):
     }
     assert arrow == catalyst  # exact double equality, no tolerance
 
+def test_repetition_all_space_doc_yields_zero(spark):
+    """Edge case the corpus never exercises (ADVICE r4): a doc that is
+    ALL spaces has >=2 (empty) tokens but zero non-space chars.  The
+    Catalyst twin's Divide yields NULL there and coalesces to 0.0; the
+    Arrow path must return the same 0.0, not inf/NaN."""
+    import pandas as pd
+
+    from etl_wildweb_spark.operators.text import repetition_batches
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["   ", " ", "a a a"]}
+    )
+    [out] = list(repetition_batches(iter([pdf])))
+    by_id = dict(zip(out["doc_id"], out["raw_top2"]))
+    assert by_id[1] == 0.0  # all-space, n>=2 tokens, nonspace==0
+    assert by_id[2] == 0.0  # two empty tokens
+    # sanity, normal doc: top bigram "a a" occurs 2x, 2 non-space chars,
+    # over 3 non-space chars in the doc -> 2*2/3
+    assert by_id[3] == pytest.approx(4 / 3)
+
 def test_simhash_arrow_path_equals_catalyst_twin(spark, sf_dir):
     """The hash-once + numpy simhash must equal the all-Catalyst
     nested-HOF fold bit-for-bit on the full corpus — the proof the 60x

@@ -34,19 +34,13 @@ def test_priority_oracle_coverage():
         if n not in registry.ORACLES
     }
     assert rows_only == {
-        # round-4 window (the round-3 backlog): real-pixel multimodal,
-        # streaming-state, and side-effecting connector/sink/layout ops
-        # whose outputs are state-protocol or file-footer facts, not
-        # SQL relations (each carries its own pytest invariants)
-        "b32_ppm_decode",
-        "b32_ppm_resize",
-        "b66_stream_scd1",
-        "b67_stream_incremental_agg",
-        "b72_stateful_sessionize",
-        "b83_checkpoint_recovery",
-        "b91_stream_http_source",
-        "b94_datasource_writer",
-        "b99_zorder_layout",
-        "b100_compaction",
+        # round-5 window (4 hash fixes + the 14 never-driver-checked +
+        # 32 oldest r1 greens): the declared approx/heuristic/
+        # streaming-state entries, each with its own pytest invariants
+        # (approx_count_distinct bounds, simhash equivalence twin,
+        # timeout-eviction protocol, PPM resize byte replay)
+        "b10_approx_distinct",
         "b126_state_timeout_eviction",
+        "b29_simhash",
+        "b32_ppm_resize",
     }
