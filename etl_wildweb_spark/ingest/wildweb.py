@@ -325,7 +325,11 @@ def _synth_incidents(spark, sf_dir: str) -> DataFrame:
         "inc_num": F.lit(None).cast("string"),
         "fire_num": F.lit(None).cast("string"),
         "location": F.lit(None).cast("string"),
-        "resources": F.try_parse_json(F.lit(None).cast("string")),
+        # CAST(NULL AS VARIANT), not try_parse_json(NULL): identical
+        # schema and value (verified), but the cast is a foldable
+        # literal while try_parse_json evaluated per row — it was the
+        # whole ~0.2 s wildweb_pipeline drift between rounds 1 and 4.
+        "resources": F.lit(None).cast("variant"),
         "webComment": F.lit(None).cast("string"),
         "fire_status": F.lit("Active"),
         "fiscal_data": F.lit(""),
