@@ -1,9 +1,12 @@
 """Deduplication operators (SURVEY.md §2 B28-B29; BASELINE north star).
 
-Exact dedup is a hash groupBy.  Near-dup is MinHash+LSH banding built
-entirely from DataFrame primitives (shingle → 128 minhashes → 32 band
-keys → bucket self-join → exact-Jaccard verify).  Everything is
-JVM-side (higher-order functions + xxhash64) — no Python in the path.
+Exact dedup is a hash groupBy.  Near-dup is MinHash+LSH banding
+(shingle → 128 minhashes → 32 band keys → bucket self-join →
+exact-Jaccard verify).  Shingling and string hashing stay JVM-side
+(NGram transformer + one codegen'd xxhash64 pass); the 128-permutation
+min sweep is ONE Arrow-batched numpy pass (see minhash_signatures —
+the interpreted-HOF form it replaced re-walked every hash array 128
+times); everything downstream is DataFrame joins/aggregates.
 
 100 TB design: the banding pipeline's only shuffles are (a) the groupBy
 computing per-doc signatures (map-side combinable: min() per perm) and
@@ -138,27 +141,114 @@ SQL_SHINGLES = """
 """
 
 
+#: The 128 permutations as a multiply-add family over the 64-bit
+#: shingle hash: p_i(h) = (h·A[i] + B[i]) mod 2⁶⁴ with A[i] odd (a
+#: bijection on Z_2⁶⁴).  Over xxhash64-uniform inputs this family's
+#: min-order statistics are the standard practical stand-in for
+#: min-wise independence (the classic a·x+b minhash); the constants
+#: are fixed-seed so signatures are deterministic across runs,
+#: workers, and engines.  Chosen over xxhash64(i, h) because the
+#: whole 128-permutation sweep then vectorizes to two numpy ops per
+#: permutation — wraparound uint64 multiply is native there, while
+#: ANSI-mode Catalyst has no wrapping arithmetic at all.
+def _minhash_constants():
+    import random
+
+    import numpy as np
+
+    rng = random.Random(0x5EED_A11)  # fixed seed — determinism contract
+    a = np.array(
+        [rng.getrandbits(64) | 1 for _ in range(N_PERM)], dtype=np.uint64
+    )
+    b = np.array(
+        [rng.getrandbits(64) for _ in range(N_PERM)], dtype=np.uint64
+    )
+    return a, b
+
+
+#: Band-key combiner constant (odd ⇒ multiply is a bijection mod 2⁶⁴).
+_BAND_MIX = 0x9E3779B97F4A7C15
+
+
+def _sig_batches(id_name: str):
+    """mapInPandas generator factory: (id, hv array<long>) batches →
+    (id, sig array<long>[N_PERM], bands array<long>[N_BANDS]).  Band
+    key b = the 4 band minima folded with wraparound multiply-add —
+    used only for equality bucketing, and a 2⁻⁶⁴ accidental collision
+    merely adds a candidate the exact-Jaccard verify removes."""
+
+    def gen(batches):
+        import numpy as np
+
+        A, B = _minhash_constants()
+        mix = np.uint64(_BAND_MIX)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_name: [], "sig": [], "bands": []})
+                continue
+            arrs = [np.asarray(v, dtype=np.int64) for v in pdf["hv"]]
+            lens = np.array([len(a) for a in arrs])
+            # with_shingles guarantees ≥1 shingle (short docs collapse
+            # to the whole-text shingle); guard anyway so an empty
+            # array yields the identity (all-max) signature
+            flat = (
+                np.concatenate(arrs).view(np.uint64)
+                if lens.sum()
+                else np.empty(0, np.uint64)
+            )
+            starts = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sig = np.full((len(arrs), N_PERM), np.uint64(2**64 - 1))
+            nonempty = lens > 0
+            ne_starts = starts[nonempty]
+            for i in range(N_PERM):
+                v = flat * A[i] + B[i]  # uint64 wraparound — the perm
+                if len(ne_starts):
+                    sig[nonempty, i] = np.minimum.reduceat(v, ne_starts)
+            # fold each band's ROWS_PER_BAND minima into one 64-bit key
+            s3 = sig.reshape(len(arrs), N_BANDS, ROWS_PER_BAND)
+            bands = s3[:, :, 0]
+            for r in range(1, ROWS_PER_BAND):
+                bands = bands * mix + s3[:, :, r]
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name].values,
+                    "sig": list(sig.view(np.int64)),
+                    "bands": list(np.ascontiguousarray(bands).view(np.int64)),
+                }
+            )
+
+    return gen
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", *, pre_shingled: bool = False
 ) -> DataFrame:
-    """(id, shingle set) → (id, h0..h127): per permutation i,
-    min over xxhash64(i, xxhash64(shingle)).
+    """(id, shingle set) → (id, sig array<long>[128],
+    bands array<long>[32]): per permutation i, the unsigned min over
+    (xxhash64(shingle)·A[i] + B[i]) mod 2⁶⁴; band keys are the folded
+    4-row minima, ready for the LSH bucket join.
 
-    Computed entirely PER ROW with array higher-order functions —
-    ``array_min(transform(hashes, h -> xxhash64(i, h)))`` — instead of
-    explode + 128-way groupBy aggregation.  Measured at sf0.1:
-    0.4-0.7 s vs 1.1-3.7 s for the agg form, for two structural
-    reasons that hold at any scale:
+    Two-stage split chosen by measurement (the simhash/repetition
+    lesson applied to minhash):
 
-      * ZERO shuffle — the explode form re-groups ~200× more rows than
-        documents just to undo its own explode; the array form is a
-        narrow map over the scan, embarrassingly parallel at 100 TB;
-      * no 128-expression HashAggregate — whose generated update method
-        is large enough to degrade JIT — just 128 small per-column
-        expressions.
+      * shingle→long hashing stays JVM-side — ONE
+        ``transform(s, xxhash64)`` pass over the scan, codegen'd,
+        each shingle string hashed exactly once;
+      * the 128-permutation × |shingles| min sweep moves to ONE
+        Arrow-batched mapInPandas pass — numpy computes each
+        permutation as a single wraparound multiply-add over the
+        concatenated hash array and takes per-doc minima with
+        ``minimum.reduceat``, then folds band keys in the same pass.
+        Measured at sf0.01: the previous 128
+        ``array_min(transform(...xxhash64(i,h)))`` columns cost
+        ~1.9 s; this pass ~0.5 s end-to-end — the interpreted-HOF
+        tax again (each of the 128 lambdas re-walked every array in
+        interpreted eval), plus the 128-wide column expansion that
+        banding immediately re-packed is gone entirely.
 
-    Each shingle string is still hashed to a long ONCE; the
-    permutations re-hash the 8-byte value, not the string.
+    Still ZERO shuffle — a narrow map over the scan, embarrassingly
+    parallel at 100 TB; Arrow moves ~(|shingles|+160) longs per doc.
 
     ``pre_shingled=True`` skips the shingle pipeline and reads an
     existing ``s`` column — callers that also need the raw shingles
@@ -168,33 +258,32 @@ def minhash_signatures(
         docs = with_shingles(lift_parallelism(docs, id_col))
     pre = F.transform(F.col("s"), lambda g: F.xxhash64(g))
     base = docs.select(id_col, pre.alias("hv"))
-    def perm_min(i: int) -> F.Column:
-        # NB: the lambda must stay unary — pyspark.sql.functions.transform
-        # binds a SECOND lambda parameter to the array index, so a
-        # `lambda h, i=i: ...` closure would silently shadow the
-        # permutation seed with the element index
-        return F.array_min(F.transform("hv", lambda h: F.xxhash64(F.lit(i), h)))
+    id_field = base.schema[id_col]
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-    return base.select(id_col, *[perm_min(i).alias(f"h{i}") for i in range(N_PERM)])
+    sig_schema = StructType(
+        [
+            id_field,
+            StructField("sig", ArrayType(LongType()), False),
+            StructField("bands", ArrayType(LongType()), False),
+        ]
+    )
+    return base.mapInPandas(_sig_batches(id_col), schema=sig_schema)
+
+
+def banded_keys(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, …, bands) → (id, band, sig): one row per band bucket key,
+    the LSH index shape both the self-join and the incremental probe
+    consume."""
+    return sigs.select(
+        id_col, F.posexplode("bands").alias("band", "sig")
+    )
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band the signatures and self-join band buckets → candidate pairs
-    (id_a < id_b, distinct)."""
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                ).alias("sig"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    banded = sigs.select(F.col(id_col), F.explode(band_cols).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
-    )
+    """Explode the precomputed band keys and self-join band buckets →
+    candidate pairs (id_a < id_b, distinct)."""
+    banded = banded_keys(sigs, id_col)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -272,6 +361,13 @@ def b29_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NGRAM_THRESHOLD = 0.8
+#: NGRAM_THRESHOLD as an exact rational — prefix lengths must be
+#: computed in integer arithmetic (see the in-query comment; 0.8 and
+#: 0.2 are not binary-representable and the float form drops boundary
+#: pairs).  floor((4s+4)/5) = ⌈4s/5⌉ is exact: the numerator stays
+#: far below 2⁵², where double division is lossless.
+_T_NUM, _T_DEN = 4, 5
+assert _T_NUM / _T_DEN == NGRAM_THRESHOLD
 
 
 @query(
@@ -338,9 +434,21 @@ def b29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.join(freq, "gh")
         .join(sizes, "doc_id")
         .withColumn("rk", rk)
+        # prefix length |x| − ⌈t·|x|⌉ + 1 in EXACT integer arithmetic
+        # (t = _T_NUM/_T_DEN).  The float form floor((1−t)·|x|)+1 under-
+        # counts by one whenever t·|x| is integral, because 1−0.8 is
+        # 0.19999…96 in binary: at |x|=10 it yielded prefix 2 instead
+        # of 3 and silently dropped a Jaccard-exactly-0.8 pair at
+        # sf0.1 (caught by the minhash↔exact cross-check; sf0.01 has
+        # no boundary-Jaccard pair, so the oracle differential alone
+        # never saw it).
         .filter(
             F.col("rk")
-            <= F.floor((1 - NGRAM_THRESHOLD) * F.col("set_size")).cast("int") + 1
+            <= F.col("set_size")
+            - F.floor(
+                (_T_NUM * F.col("set_size") + _T_DEN - 1) / _T_DEN
+            ).cast("int")
+            + 1
         )
         .select("doc_id", "gh")
     )
@@ -873,23 +981,7 @@ def b82_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(sh, pre_shingled=True).cache()
 
     def banded(side: DataFrame, out: str) -> DataFrame:
-        band_cols = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        *[
-                            F.col(f"h{b * ROWS_PER_BAND + r}")
-                            for r in range(ROWS_PER_BAND)
-                        ]
-                    ).alias("sig"),
-                )
-                for b in range(N_BANDS)
-            ]
-        )
-        return side.select(
-            F.col("doc_id").alias(out), F.explode(band_cols).alias("bk")
-        ).select(out, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+        return banded_keys(side).withColumnRenamed("doc_id", out)
 
     batch_bands = banded(sigs.filter(is_batch), "batch_id")
     corpus_bands = banded(sigs.filter(~is_batch), "corpus_id")

@@ -459,6 +459,44 @@ def test_repetition_all_space_doc_yields_zero(spark):
     # over 3 non-space chars in the doc -> 2*2/3
     assert by_id[3] == pytest.approx(4 / 3)
 
+def test_minhash_pairs_equal_exact_prefix_filter(spark, sf_dir):
+    """MinHash+LSH+verify and the exact prefix-filter join run over
+    the SAME shingle space at the SAME threshold, so their outputs
+    must be identical sets of pairs: any pair missed by minhash is a
+    banding-recall regression, any pair missed by the exact side is a
+    prefix-filter bug.  This cross-check caught a real one: the float
+    prefix length floor((1-0.8)*|x|)+1 under-counted at |x| multiples
+    of 5 and dropped a Jaccard-exactly-0.8 pair at sf0.1."""
+    from etl_wildweb_spark import registry
+
+    registry.load_all()
+    mh = registry.QUERIES["b29_minhash_near_dedup"](spark, sf_dir)
+    ex = registry.QUERIES["b29_ngram_jaccard"](spark, sf_dir)
+    a = {(r.id_a, r.id_b) for r in mh.select("id_a", "id_b").collect()}
+    b = {(r.id_a, r.id_b) for r in ex.select("id_a", "id_b").collect()}
+    assert a == b, (sorted(b - a)[:5], sorted(a - b)[:5])
+    assert a, "corpus should contain at least one near-dup pair"
+
+def test_ngram_prefix_length_is_exact_integer_ceil():
+    """The Jaccard prefix length |x| − ⌈t·|x|⌉ + 1 must be computed in
+    exact arithmetic.  Pins the (4s+4)//5 form against a Fraction
+    reference for every size up to 2000, and demonstrates the float
+    form is genuinely wrong (not just stylistically) at t·|x| integral."""
+    import math
+    from fractions import Fraction
+
+    from etl_wildweb_spark.operators.dedup import _T_DEN, _T_NUM
+
+    bad = []
+    for s in range(1, 2001):
+        exact = s - math.ceil(Fraction(_T_NUM, _T_DEN) * s) + 1
+        ours = s - (_T_NUM * s + _T_DEN - 1) // _T_DEN + 1
+        assert ours == exact, s
+        old_float = math.floor((1 - 0.8) * s) + 1
+        if old_float != exact:
+            bad.append(s)
+    assert 10 in bad  # the sf0.1 boundary pair had |B| = 10
+
 def test_simhash_arrow_path_equals_catalyst_twin(spark, sf_dir):
     """The hash-once + numpy simhash must equal the all-Catalyst
     nested-HOF fold bit-for-bit on the full corpus — the proof the 60x
