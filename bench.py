@@ -108,6 +108,11 @@ BENCH_QUERIES = [
     "b128_slice_overlap",
     "b129_hierarchy_closure",
     "b131_dag_path_count",
+    # round-5 additions: vocab coverage (corpus-wide explode+broadcast),
+    # epoch shuffle (per-shard rank windows), PQ encode (Arrow map)
+    "b132_vocab_oov",
+    "b133_epoch_shuffle",
+    "b134_pq_encode",
 ]
 
 

@@ -285,3 +285,73 @@ def b124_group_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
     )
+
+
+#: b133: epochs to materialize and shard fan-out per epoch.
+_N_EPOCHS = 3
+_N_SHARDS = 64
+
+
+@query(
+    "b133_epoch_shuffle",
+    oracle=f"""
+    WITH epochs AS (
+      SELECT d.doc_id, e.epoch,
+             md5(e.epoch || ':' || d.doc_id) AS k
+      FROM documents d,
+           (SELECT unnest(range({_N_EPOCHS})) AS epoch) e)
+    SELECT epoch, doc_id,
+           CAST(CAST('0x' || substr(k, 1, 4) AS INTEGER) % {_N_SHARDS}
+                AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY epoch,
+                          CAST('0x' || substr(k, 1, 4) AS INTEGER)
+                              % {_N_SHARDS}
+             ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM epochs
+    """,
+)
+def b133_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC MULTI-EPOCH SHUFFLE: every training epoch gets its
+    own reproducible global permutation of the corpus, materialized as
+    (epoch, shard, position-within-shard) — the data-order contract
+    that makes a training run resumable and bitwise repeatable across
+    engines and cluster sizes.  Epoch e's order key is md5(e ':'
+    doc_id), so consecutive epochs are decorrelated without storing
+    any state; the shard is the key's first 16 bits mod 64.
+
+    Scale: NO global sort — the permutation is (shard, pos), where
+    position ranking windows over (epoch, shard) partitions, each
+    ~|corpus|/shards rows.  A trainer reads shard files in index
+    order; total order is (epoch, shard, pos) without any single
+    machine ever seeing a full epoch.  This is the
+    repartitionByRange-free version of "shuffle 100 TB": one hash
+    exchange on (epoch, shard), per-partition sorts only."""
+    d = table(spark, sf_dir, "documents")
+    epochs = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_N_EPOCHS - 1))
+        ).alias("epoch"),
+    )
+    k = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        ).cast("binary")
+    )
+    keyed = epochs.select("epoch", "doc_id", k.alias("k"))
+    shard = (
+        F.conv(F.substring("k", 1, 4), 16, 10).cast("int") % _N_SHARDS
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("shard", shard)
+        .select(
+            "epoch",
+            "doc_id",
+            F.col("shard").cast("int").alias("shard"),
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+    )

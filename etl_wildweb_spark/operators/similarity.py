@@ -501,3 +501,135 @@ def b97_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(xs) div count(1)").cast("bigint").alias("mean_micro"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+#: b134 product-quantization geometry: 64-dim vectors → 8 subspaces of
+#: 8 dims, 16 centroids per subspace (4-bit codes, 8 bytes per vector —
+#: a 32x compression of float32 embeddings).
+PQ_SUBSPACES = 8
+PQ_SUBDIM = 8
+PQ_K = 16
+
+
+def pq_codebooks(vectors: DataFrame) -> DataFrame:
+    """Per-subspace codebooks seeded from the PQ_K lowest vec_ids'
+    subvectors — the deterministic stand-in for one k-means iteration
+    (b97_kmeans_update is the refinement step; composing them trains a
+    real codebook).  Returns (sub, code, centroid array<float>), a
+    PQ_SUBSPACES × PQ_K table — always broadcast-sized regardless of
+    corpus scale."""
+    seeds = (
+        vectors.orderBy("vec_id")
+        .limit(PQ_K)
+        .select(
+            F.row_number()
+            .over(W.orderBy("vec_id"))
+            .alias("code"),
+            "embedding",
+        )
+        .withColumn("code", F.col("code") - 1)
+    )
+    return seeds.select(
+        "code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice(
+                            "embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM
+                        ).alias("centroid"),
+                    )
+                    for s in range(PQ_SUBSPACES)
+                ]
+            )
+        ).alias("sc"),
+    ).select(
+        F.col("sc.sub").alias("sub"),
+        "code",
+        F.col("sc.centroid").alias("centroid"),
+    )
+
+
+def _pq_encode_batches(codebook_rows):
+    """mapInPandas factory closed over the collected codebook (a
+    PQ_SUBSPACES×PQ_K×PQ_SUBDIM float array — ~4 KB, shipped by value
+    in the task closure like broadcast hyperplanes)."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.zeros((PQ_SUBSPACES, PQ_K, PQ_SUBDIM), dtype=np.float32)
+    for r in codebook_rows:
+        cb[r["sub"], r["code"]] = r["centroid"]
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"vec_id": [], "codes": [], "recon_err": []}
+                )
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float32) for x in pdf["embedding"]])
+            n = v.shape[0]
+            vs = v.reshape(n, PQ_SUBSPACES, PQ_SUBDIM)
+            # distances: (n, sub, K) = ||x||^2 - 2 x·c + ||c||^2 computed
+            # stably as an explicit difference (small dims, exactness
+            # beats the BLAS trick's cancellation here)
+            diff = vs[:, :, None, :] - cb[None, :, :, :]
+            d2 = np.einsum("nskd,nskd->nsk", diff, diff)
+            codes = d2.argmin(axis=2).astype(np.int32)  # ties → lowest code
+            recon = cb[np.arange(PQ_SUBSPACES)[None, :], codes]
+            err = ((vs - recon) ** 2).sum(axis=(1, 2)).astype(float)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "codes": list(codes),
+                    "recon_err": err,
+                }
+            )
+
+    return gen
+
+
+@query("b134_pq_encode")  # codebook-dependent floats → rows-only check
+def b134_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION encode — the memory side of
+    billion-vector ANN (IVF-PQ): each 64-dim float vector compresses
+    to 8 four-bit codes by nearest-centroid assignment per subspace,
+    32x smaller than float32 with distances still computable from
+    code→centroid lookup tables.  Complements b30_ann_ivf (the
+    routing side) and b56_embedding_quantize (scalar int8).
+
+    Scale: the codebook is PQ_SUBSPACES×PQ_K rows — collected once
+    (a scalar-sized driver hop, same class as IVF centroids) and
+    shipped by value into ONE Arrow-batched mapInPandas pass over the
+    corpus; encoding is a narrow map, no shuffle anywhere.  Invariants
+    (tests/test_llmops.py): codes in [0, PQ_K), deterministic across
+    runs, reconstruction error strictly ≤ assigning every subvector
+    to centroid 0, and bit-identical to a pure-numpy reference.
+
+    Rows-only: the code assignment depends on float argmin over the
+    data-derived codebook — expressible in DuckDB only by replaying
+    the same float pipeline, which would test DuckDB, not the
+    operator."""
+    e = table(spark, sf_dir, "embeddings")
+    cb_rows = [r.asDict() for r in pq_codebooks(e).collect()]
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("codes", ArrayType(IntegerType()), False),
+            StructField("recon_err", DoubleType(), False),
+        ]
+    )
+    return e.select("vec_id", "embedding").mapInPandas(
+        _pq_encode_batches(cb_rows), schema=schema
+    )

@@ -770,3 +770,62 @@ def b69_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+#: b132 vocabulary size — top-K tokens by corpus frequency.
+_VOCAB_K = 1000
+
+
+@query(
+    "b132_vocab_oov",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        ORDER BY n DESC, tok LIMIT {_VOCAB_K}))
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def b132_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE: per-document out-of-vocabulary token count
+    against the corpus's own top-K token vocabulary — the feasibility
+    probe run before committing to a fixed tokenizer/vocab (docs with
+    high OOV under the candidate vocab will fragment into byte
+    fallbacks and inflate sequence length).  Deterministic vocab:
+    count desc, token asc tiebreak.
+
+    Scale: one token-count aggregation (map-side combinable), a
+    K-row vocab that BROADCASTS back into the exploded token stream
+    (hash join against K entries — no shuffle of the corpus beyond
+    the per-doc re-aggregation), one per-doc count.  The global
+    top-K sort runs on the distinct-token table, not the corpus, and
+    K rows cross the driver boundary nowhere — limit+broadcast stays
+    on executors."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )

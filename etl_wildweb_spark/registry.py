@@ -156,7 +156,15 @@ PRIORITY: list[str] = [
 #: The round-4 registration freeze (VERDICT r3 item 2 / r4 item 4) is
 #: lifted once the round-5 window lands, because after it every
 #: registered query has driver evidence; keep additions to a handful.
-PRIORITY_NEXT: list[str] = []
+PRIORITY_NEXT: list[str] = [
+    # round-5 additions — three LLM-pipeline gaps, each local-green:
+    # vocabulary OOV coverage, deterministic multi-epoch shuffle
+    # ordering, product-quantization encode (the memory side of
+    # IVF-PQ; rows-only with numpy-replay invariants)
+    "b132_vocab_oov",
+    "b133_epoch_shuffle",
+    "b134_pq_encode",
+]
 
 
 def ordered_queries() -> dict[str, QueryFn]:

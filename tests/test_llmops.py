@@ -516,3 +516,35 @@ def test_simhash_arrow_path_equals_catalyst_twin(spark, sf_dir):
         for r in registry.QUERIES["b29_simhash"](spark, sf_dir).collect()
     }
     assert got == twin
+
+def test_pq_encode_invariants(spark, sf_dir):
+    """b134 rows-only proof: codes in range, bit-identical to a pure
+    numpy replay of the same codebook, deterministic across runs, and
+    reconstruction error never worse than always picking code 0 (the
+    argmin property made observable)."""
+    import numpy as np
+
+    from etl_wildweb_spark.io import table
+    from etl_wildweb_spark.operators import similarity as S
+
+    e = table(spark, sf_dir, "embeddings")
+    out1 = {r.vec_id: (tuple(r.codes), r.recon_err)
+            for r in S.b134_pq_encode(spark, sf_dir).collect()}
+    out2 = {r.vec_id: (tuple(r.codes), r.recon_err)
+            for r in S.b134_pq_encode(spark, sf_dir).collect()}
+    assert out1 == out2  # deterministic
+    assert out1, "empty encode output"
+    # pure-numpy reference from the same raw data
+    cb = np.zeros((S.PQ_SUBSPACES, S.PQ_K, S.PQ_SUBDIM), dtype=np.float32)
+    for r in S.pq_codebooks(e).collect():
+        cb[r.sub, r.code] = np.asarray(r.centroid, dtype=np.float32)
+    raw = {r.vec_id: np.asarray(r.embedding, dtype=np.float32)
+           for r in e.select("vec_id", "embedding").collect()}
+    for vid, (codes, err) in out1.items():
+        vs = raw[vid].reshape(S.PQ_SUBSPACES, S.PQ_SUBDIM)
+        d2 = ((vs[:, None, :] - cb) ** 2).sum(axis=2)
+        ref_codes = tuple(int(c) for c in d2.argmin(axis=1))
+        assert codes == ref_codes, vid
+        assert all(0 <= c < S.PQ_K for c in codes)
+        base = float(((vs - cb[:, 0, :]) ** 2).sum())
+        assert err <= base + 1e-6, (vid, err, base)

@@ -43,4 +43,7 @@ def test_priority_oracle_coverage():
         "b126_state_timeout_eviction",
         "b29_simhash",
         "b32_ppm_resize",
+        # round-5 addition: float-argmin over a data-derived codebook
+        # (numpy-replay + determinism + argmin-bound pytest invariants)
+        "b134_pq_encode",
     }
