@@ -166,14 +166,14 @@ def _make_submit_writer_classes():
 
     from pyspark.sql.datasource import (
         DataSource,
-        DataSourceWriter,
+        DataSourceArrowWriter,
         WriterCommitMessage,
     )
 
     class _Commit(WriterCommitMessage, SubmitCommit):
         pass
 
-    class WildWebSubmitWriter(DataSourceWriter):
+    class WildWebSubmitWriter(DataSourceArrowWriter):
         """A18 as a REAL ``df.write.format("wildweb_sink")`` writer:
         each executor task chunks its partition into FeatureCollection
         POSTs (at-least-once, failures are data), returns a commit
@@ -182,7 +182,20 @@ def _make_submit_writer_classes():
         task succeeded — writes the delivery manifest.  A failed job
         calls abort() instead and leaves no manifest: the commit
         protocol is what upgrades scattered POSTs into an auditable
-        all-tasks-delivered handshake."""
+        all-tasks-delivered handshake.
+
+        ARROW writer over PRE-SERIALIZED features: DataSourceWriter
+        hands rows to Python ONE AT A TIME through pickle (measured
+        ~16k rows/s regardless of sink logic — the single slowest
+        query in the 16x sweep at 101 s), and even Arrow batches of
+        nested structs pay a per-row ``to_pylist`` + ``json.dumps``
+        in Python.  So write_submit serializes each feature to its
+        JSON string JVM-SIDE with ``to_json`` (whole-stage codegen),
+        and this writer receives RecordBatches of ONE string column —
+        assembling a FeatureCollection chunk is a C-speed
+        ``",".join``.  Same commit protocol, same at-least-once chunk
+        semantics; 16x sweep: 101 s (Row) → 33 s (Arrow structs) →
+        7.3 s (Arrow + JVM serialize)."""
 
         def __init__(self, options: dict) -> None:
             self.chunk_size = int(options.get("chunkSize", 500))
@@ -190,15 +203,16 @@ def _make_submit_writer_classes():
 
         def write(self, iterator):
             n_rows = n_chunks = n_failed = 0
-            buf: list[dict] = []
+            buf: list[str] = []
 
             def flush() -> None:
                 nonlocal n_chunks, n_failed
                 if not buf:
                     return
-                fc = _json.dumps(
-                    {"type": "FeatureCollection",
-                     "features": [r for r in buf]}
+                fc = (
+                    '{"type":"FeatureCollection","features":['
+                    + ",".join(buf)
+                    + "]}"
                 )
                 status = fake_post(fc)
                 n_chunks += 1
@@ -206,11 +220,12 @@ def _make_submit_writer_classes():
                     n_failed += 1
                 buf.clear()
 
-            for row in iterator:
-                buf.append(row.asDict(recursive=True))
-                n_rows += 1
-                if len(buf) >= self.chunk_size:
-                    flush()
+            for batch in iterator:  # pyarrow.RecordBatch per ~10k rows
+                for s in batch.column(0).to_pylist():
+                    buf.append(s)
+                    if len(buf) >= self.chunk_size:
+                        flush()
+                n_rows += batch.num_rows
             flush()
             return _Commit(n_rows, n_chunks, n_failed)
 
@@ -251,8 +266,19 @@ def write_submit(
 
     spark = features.sparkSession
     spark.dataSource.register(_make_submit_writer_classes())
+    # Serialize each feature record to JSON in the JVM (to_json is
+    # codegen'd; ignoreNullFields=false keeps explicit nulls, matching
+    # json.dumps of the row dict) — the Python writer then only joins
+    # strings.  Keeping serialization out of Python is what makes the
+    # sink's throughput delivery-bound instead of pickle-bound.
+    serialized = features.select(
+        F.to_json(
+            F.struct(*[F.col(c) for c in features.columns]),
+            {"ignoreNullFields": "false"},
+        ).alias("feature_json")
+    )
     (
-        features.write.format("wildweb_sink")
+        serialized.write.format("wildweb_sink")
         .option("chunkSize", chunk_size)
         .option("path", manifest_dir)
         .mode("append")

@@ -370,3 +370,47 @@ def test_b87_skyline_two_phase_shape(plans):
     for node in ("SortMergeJoin", "ShuffledHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert audit.node_count(p, node) == 0, node
+
+
+def test_b29_minhash_signature_stage_is_narrow(plans):
+    """The signature pipeline (shingle → hash → Arrow min-sweep) must
+    stay a narrow map over the scan: the only hash exchanges in the
+    whole near-dup plan are the deliberate lift_parallelism
+    repartition and the candidate-pair distinct; the band bucket join
+    broadcasts at this scale.  A shuffle between the scan and
+    MapInPandas would mean signatures stopped being embarrassingly
+    parallel."""
+    p = plans("b29_minhash_near_dedup")
+    assert "MapInPandas" in p, "vectorized signature stage missing"
+    ex = audit.exchanges(p)
+    # shuffles: lift_parallelism REPARTITION + pair-distinct agg (static
+    # plans pre-AQE; broadcast exchanges counted separately)
+    assert ex["shuffle"] <= 3, ex
+    assert audit.node_count(p, "BroadcastHashJoin") >= 1, "band join lost broadcast"
+
+
+def test_b82_probe_broadcasts_batch_bands(plans):
+    """Incremental near-dup must probe batch bands INTO the corpus
+    index via broadcast — the corpus side is never exchanged for the
+    join."""
+    p = plans("b82_incremental_neardup")
+    assert "MapInPandas" in p
+    assert audit.node_count(p, "BroadcastHashJoin") >= 1, p
+    assert audit.node_count(p, "BroadcastNestedLoopJoin") == 0
+
+
+def test_b132_vocab_broadcasts(plans):
+    """The K-row vocabulary must broadcast into the exploded token
+    stream; a shuffled join here would exchange the whole token volume
+    on a K-row dim."""
+    p = plans("b132_vocab_oov")
+    assert audit.node_count(p, "BroadcastHashJoin") >= 1, p
+    assert audit.node_count(p, "SortMergeJoin") == 0
+
+
+def test_b134_pq_encode_no_shuffle(plans):
+    """PQ encode is a pure narrow map: codebook ships by value, so the
+    corpus-side plan must contain NO exchange at all."""
+    p = plans("b134_pq_encode")
+    assert "MapInPandas" in p
+    assert audit.exchanges(p)["shuffle"] == 0, audit.exchanges(p)
