@@ -164,6 +164,10 @@ PRIORITY_NEXT: list[str] = [
     "b132_vocab_oov",
     "b133_epoch_shuffle",
     "b134_pq_encode",
+    # native streaming sink (DataSourceStreamArrowWriter, batchId-keyed
+    # idempotent manifests; rows-only — epoch/task counts are
+    # partitioning facts, invariants in tests/test_sinks.py)
+    "b135_stream_sink",
 ]
 
 

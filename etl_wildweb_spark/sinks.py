@@ -167,6 +167,7 @@ def _make_submit_writer_classes():
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceArrowWriter,
+        DataSourceStreamArrowWriter,
         WriterCommitMessage,
     )
 
@@ -245,6 +246,45 @@ def _make_submit_writer_classes():
             # no manifest ⇒ downstream treats the wave as undelivered
             pass
 
+    class WildWebStreamSubmitWriter(
+        DataSourceStreamArrowWriter, WildWebSubmitWriter
+    ):
+        """The SAME delivery path under writeStream: per micro-batch,
+        every task posts its chunks (write() inherited verbatim), then
+        the driver's commit(messages, batchId) writes a manifest file
+        KEYED BY batchId — so a recovered/replayed batch overwrites its
+        own manifest instead of double-counting, which is exactly the
+        idempotence contract Structured Streaming's epoch commit
+        expects of a sink (at-least-once delivery, exactly-once
+        manifest).  foreachBatch (stream_submit) remains the
+        data-path alternative; this is the native
+        ``writeStream.format("wildweb_sink")`` form."""
+
+        # explicit override: with (StreamArrowWriter, SubmitWriter)
+        # bases, Python's MRO resolves ``write`` to the STREAM base's
+        # abstract stub first and the class stays abstract
+        def write(self, iterator):
+            return WildWebSubmitWriter.write(self, iterator)
+
+        def commit(self, messages, batchId: int) -> None:  # noqa: N803
+            msgs = list(messages)
+            manifest = {
+                "batch_id": batchId,
+                "n_rows": sum(m.n_rows for m in msgs),
+                "n_chunks": sum(m.n_chunks for m in msgs),
+                "n_failed_chunks": sum(m.n_failed_chunks for m in msgs),
+                "n_tasks": len(msgs),
+            }
+            _os.makedirs(self.path, exist_ok=True)
+            with open(
+                _os.path.join(self.path, f"batch-{batchId}.json"), "w"
+            ) as f:
+                f.write(_json.dumps(manifest))
+
+        def abort(self, messages, batchId: int) -> None:  # noqa: N803
+            # no manifest for this epoch ⇒ the batch replays
+            pass
+
     class WildWebSinkSource(DataSource):
         @classmethod
         def name(cls) -> str:
@@ -252,6 +292,9 @@ def _make_submit_writer_classes():
 
         def writer(self, schema, overwrite: bool) -> WildWebSubmitWriter:
             return WildWebSubmitWriter(self.options)
+
+        def streamWriter(self, schema, overwrite: bool):
+            return WildWebStreamSubmitWriter(self.options)
 
     return WildWebSinkSource
 
@@ -286,6 +329,47 @@ def write_submit(
     )
     with open(_os.path.join(manifest_dir, "_MANIFEST.json")) as f:
         return _json.loads(f.read())
+
+
+def write_submit_stream(
+    features_stream: DataFrame,
+    manifest_dir: str,
+    checkpoint_dir: str,
+    chunk_size: int = 500,
+    timeout_sec: int = 420,
+) -> list[dict]:
+    """Deliver a STREAMING features frame through the native
+    ``writeStream.format("wildweb_sink")`` path (Trigger.AvailableNow,
+    bounded) and return the per-batch manifests, sorted by batch id.
+    Same JVM-side to_json pre-serialization as the batch path."""
+    import glob as _glob
+    import json as _json
+
+    spark = features_stream.sparkSession
+    spark.dataSource.register(_make_submit_writer_classes())
+    serialized = features_stream.select(
+        F.to_json(
+            F.struct(*[F.col(c) for c in features_stream.columns]),
+            {"ignoreNullFields": "false"},
+        ).alias("feature_json")
+    )
+    q = (
+        serialized.writeStream.format("wildweb_sink")
+        .option("chunkSize", chunk_size)
+        .option("path", manifest_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("stream sink did not drain in time")
+    manifests = []
+    for p in sorted(_glob.glob(f"{manifest_dir}/batch-*.json")):
+        with open(p) as f:
+            manifests.append(_json.loads(f.read()))
+    return sorted(manifests, key=lambda m: m["batch_id"])
 
 
 @query("b94_datasource_writer")  # commit-protocol sink → rows-only
@@ -325,4 +409,46 @@ def b94_datasource_writer(spark, sf_dir: str) -> DataFrame:
             )
         ],
         "n_rows bigint, n_chunks bigint, n_failed_chunks bigint, n_tasks bigint",
+    )
+
+
+@query("b135_stream_sink")  # per-batch manifests, task-count-dependent → rows-only
+def b135_stream_sink(spark, sf_dir: str) -> DataFrame:
+    """A18 delivery as a NATIVE streaming sink: the events feed read
+    through readStream, delivered by ``writeStream.format(
+    "wildweb_sink")`` (DataSourceStreamArrowWriter) under
+    Trigger.AvailableNow, with one batchId-keyed manifest per epoch —
+    the idempotent-commit contract a replayed micro-batch needs.
+    Complements b94 (batch writer, same commit protocol) and
+    stream_submit (foreachBatch).  Returns the per-batch manifests;
+    tests/test_sinks.py asserts total rows == the batch count of the
+    same frame and that a replayed batch id overwrites, not
+    double-counts."""
+    import tempfile
+
+    from .streaming.windows import events_stream
+
+    s = events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("string").alias("ts"),
+    )
+    manifests = write_submit_stream(
+        s,
+        tempfile.mkdtemp(prefix="streamsink_m_"),
+        tempfile.mkdtemp(prefix="streamsink_ck_"),
+        chunk_size=5000,
+    )
+    return spark.createDataFrame(
+        [
+            (
+                m["batch_id"],
+                m["n_rows"],
+                m["n_chunks"],
+                m["n_failed_chunks"],
+                m["n_tasks"],
+            )
+            for m in manifests
+        ],
+        "batch_id bigint, n_rows bigint, n_chunks bigint, "
+        "n_failed_chunks bigint, n_tasks bigint",
     )

@@ -46,4 +46,7 @@ def test_priority_oracle_coverage():
         # round-5 addition: float-argmin over a data-derived codebook
         # (numpy-replay + determinism + argmin-bound pytest invariants)
         "b134_pq_encode",
+        # native streaming sink: per-epoch manifests are commit-protocol
+        # facts (idempotent-replay invariants in tests/test_sinks.py)
+        "b135_stream_sink",
     }

@@ -102,3 +102,34 @@ def test_datasource_writer_counts_failed_chunks(spark, tmp_path):
     assert manifest["n_rows"] == 4
     assert manifest["n_failed_chunks"] >= 1
     assert manifest["n_chunks"] >= 2
+
+
+def test_stream_sink_native_writer(spark, sf_dir, tmp_path):
+    """b135: the native writeStream path delivers every row exactly
+    once per epoch, writes one batchId-keyed manifest per micro-batch,
+    and a restart against the same checkpoint neither re-delivers nor
+    double-counts (the idempotent-commit contract)."""
+    import glob
+
+    from etl_wildweb_spark.sinks import write_submit_stream
+    from etl_wildweb_spark.streaming.windows import events_stream
+
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    mdir, ckdir = str(tmp_path / "m"), str(tmp_path / "ck")
+
+    def run():
+        s = events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type"
+        )
+        return write_submit_stream(s, mdir, ckdir, chunk_size=4096)
+
+    manifests = run()
+    assert sum(m["n_rows"] for m in manifests) == n_events
+    assert all(m["n_failed_chunks"] == 0 for m in manifests)
+    files_before = sorted(glob.glob(f"{mdir}/batch-*.json"))
+
+    # restart on the same checkpoint: availableNow finds nothing new
+    manifests2 = run()
+    files_after = sorted(glob.glob(f"{mdir}/batch-*.json"))
+    assert files_after == files_before
+    assert sum(m["n_rows"] for m in manifests2) == n_events  # unchanged
