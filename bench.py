@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "b132_vocab_oov",
     "b133_epoch_shuffle",
     "b134_pq_encode",
+    "b136_dynamic_partition_pruning",
 ]
 
 

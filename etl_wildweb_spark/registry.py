@@ -168,6 +168,9 @@ PRIORITY_NEXT: list[str] = [
     # idempotent manifests; rows-only — epoch/task counts are
     # partitioning facts, invariants in tests/test_sinks.py)
     "b135_stream_sink",
+    # dynamic partition pruning — b71's static prune upgraded to the
+    # runtime dim-driven form (plan-asserted; exact-oracled)
+    "b136_dynamic_partition_pruning",
 ]
 
 

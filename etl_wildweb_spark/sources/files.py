@@ -640,3 +640,74 @@ def b127_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(out, ignore_errors=True)
+
+
+#: b136 dim: event-type priority map (literal table, filtered at plan
+#: time — the filtered-dim shape Dynamic Partition Pruning requires).
+_DPP_DIM = [("view", 1), ("purchase", 2), ("click", 3)]
+
+
+@query(
+    "b136_dynamic_partition_pruning",
+    oracle="""
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(e.value * 1000000) AS BIGINT)) AS BIGINT)
+               AS total_micro
+    FROM events e
+    JOIN (VALUES ('view', 1), ('purchase', 2), ('click', 3))
+         AS dim(event_type, pri)
+      ON e.event_type = dim.event_type
+    WHERE dim.pri <= 2
+    GROUP BY e.event_type
+    """,
+)
+def b136_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — b71's static pruning upgraded to the
+    runtime form every star-join at 100 TB depends on: the pruning
+    values are NOT in the query text (no IN-list the planner can fold);
+    they come from a FILTERED DIMENSION TABLE, so Spark injects a
+    dynamicpruningexpression subquery into the fact scan's
+    PartitionFilters and skips non-matching partition directories at
+    EXECUTION time, after the dim filter has run.  Plan-asserted in
+    tests/test_plans.py (dpp_events_scan below keeps the layout
+    inspectable); the oracle replays the identical join over the
+    unpartitioned parquet, so the hash also proves the partitioned
+    round-trip preserved rows."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="events_dpp_")
+    try:
+        return dpp_events_scan(spark, sf_dir, out).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def dpp_events_scan(
+    spark: SparkSession, sf_dir: str, out: str
+) -> DataFrame:
+    """Build the event_type-partitioned layout under ``out`` and return
+    the dim-filtered aggregate whose fact scan must carry a
+    dynamicpruningexpression (separated from b136 so the plan test can
+    inspect the scan without the checkpoint/cleanup wrapper)."""
+    from ..io import table
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type", "value", "user_id"
+    )
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(_DPP_DIM, "event_type string, pri int")
+    return (
+        fact.join(dim.filter(F.col("pri") <= 2), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint"))
+            .cast("bigint")
+            .alias("total_micro"),
+        )
+    )

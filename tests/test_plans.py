@@ -414,3 +414,25 @@ def test_b134_pq_encode_no_shuffle(plans):
     p = plans("b134_pq_encode")
     assert "MapInPandas" in p
     assert audit.exchanges(p)["shuffle"] == 0, audit.exchanges(p)
+
+
+def test_b136_dynamic_partition_pruning_reaches_scan(spark, sf_dir):
+    """The fact scan must carry a dynamicpruningexpression in its
+    PartitionFilters — runtime pruning driven by the filtered dim, not
+    a planner-folded IN-list.  This is the star-join feature that turns
+    a 100 TB fact scan into only the partitions the dim selects."""
+    import shutil
+    import tempfile
+
+    from etl_wildweb_spark.sources.files import dpp_events_scan
+
+    out = tempfile.mkdtemp(prefix="dpp_plan_")
+    try:
+        df = dpp_events_scan(spark, sf_dir, out)
+        p = audit.plan_of(lambda s, d: df, spark, sf_dir)
+        part_lines = [
+            ln for ln in p.splitlines() if "PartitionFilters" in ln
+        ]
+        assert part_lines and "dynamicpruning" in part_lines[0], part_lines
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
