@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "b133_epoch_shuffle",
     "b134_pq_encode",
     "b136_dynamic_partition_pruning",
+    "b137_pq_adc_search",
 ]
 
 

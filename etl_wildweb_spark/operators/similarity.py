@@ -633,3 +633,101 @@ def b134_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInPandas(
         _pq_encode_batches(cb_rows), schema=schema
     )
+
+
+def _adc_score_batches(dt_rows, query_ids):
+    """mapInPandas factory closed over the per-query ADC distance
+    tables (``dt_rows``: numpy (n_queries, PQ_SUBSPACES, PQ_K) float64
+    — ~10 KB, shipped by value): each corpus batch scores ALL queries
+    in one vectorized lookup-sum over its code matrix."""
+    import numpy as np
+    import pandas as pd
+
+    dt = np.asarray(dt_rows, dtype=np.float64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+
+    def gen(batches):
+        subs = np.arange(PQ_SUBSPACES)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "adist": []}
+                )
+                continue
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )  # (n, SUBS)
+            vids = pdf["vec_id"].values
+            # dist[q, n] = Σ_s dt[q, s, codes[n, s]]
+            dist = dt[:, subs[None, :], codes].sum(axis=2)  # (nq, n)
+            nq, n = dist.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "neighbor_id": np.tile(vids, nq),
+                    "adist": dist.reshape(-1),
+                }
+            )
+
+    return gen
+
+
+@query("b137_pq_adc_search")  # approximate by construction → rows-only
+def b137_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's SEARCH side — Asymmetric Distance Computation: queries
+    stay full-precision, the corpus is its 8×4-bit PQ codes, and each
+    (query, vector) distance is EIGHT table lookups + a sum instead of
+    a 64-dim float scan.  The per-query distance tables
+    dt[s][c] = ||q_s − centroid_{s,c}||² are computed once against the
+    broadcast-sized codebook and shipped by value; scoring the corpus
+    is ONE Arrow-batched narrow map over the code table (no shuffle,
+    no float vectors read), then top-k per query via the rank window.
+
+    This composes b134 (encode) into the operating regime that makes
+    billion-vector ANN memory-feasible: the scored table is 8 bytes
+    per vector, 32× smaller than the float corpus, and the scan cost
+    is lookup-bound.  In full IVF-PQ the same scoring runs only inside
+    IVF-probed cells (b30_ann_ivf's routing); here it scans all codes
+    so the invariants are exactly testable.
+
+    Rows-only; tests/test_llmops.py pins (a) the ADC identity — adist
+    equals ||q − reconstruct(v)||² computed independently in numpy —
+    and (b) recall vs exact L2 top-k well above the random-scan
+    baseline on these worst-case gaussian vectors."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    cb_rows = [
+        r.asDict() for r in pq_codebooks(e).collect()
+    ]  # codebook-sized driver hop, collected ONCE for dt + encode
+    cb = np.zeros((PQ_SUBSPACES, PQ_K, PQ_SUBDIM), dtype=np.float64)
+    for r in cb_rows:
+        cb[r["sub"], r["code"]] = r["centroid"]
+    qrows = sorted(
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )  # N_QUERIES rows — query-set-sized driver hop, like b30's broadcast
+    qids = [r.vec_id for r in qrows]
+    qs = np.asarray([r.embedding for r in qrows], dtype=np.float64).reshape(
+        len(qrows), PQ_SUBSPACES, PQ_SUBDIM
+    )
+    # dt[q, s, c] = ||q_s - cb[s, c]||^2
+    diff = qs[:, :, None, :] - cb[None, :, :, :]
+    dt = np.einsum("qscd,qscd->qsc", diff, diff)
+
+    codes = e.select("vec_id", "embedding").mapInPandas(
+        _pq_encode_batches(cb_rows),
+        schema="vec_id long, codes array<int> not null, recon_err double not null",
+    ).select("vec_id", "codes")
+    scored = codes.mapInPandas(
+        _adc_score_batches(dt.tolist(), qids),
+        schema="query_id long, neighbor_id long, adist double",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adist", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -171,6 +171,9 @@ PRIORITY_NEXT: list[str] = [
     # dynamic partition pruning — b71's static prune upgraded to the
     # runtime dim-driven form (plan-asserted; exact-oracled)
     "b136_dynamic_partition_pruning",
+    # IVF-PQ search side: asymmetric distance computation over the PQ
+    # code table (rows-only; ADC-identity + recall invariants)
+    "b137_pq_adc_search",
 ]
 
 

@@ -49,4 +49,7 @@ def test_priority_oracle_coverage():
         # native streaming sink: per-epoch manifests are commit-protocol
         # facts (idempotent-replay invariants in tests/test_sinks.py)
         "b135_stream_sink",
+        # ADC search: float-argmin over the data-derived codebook (ADC
+        # identity + recall invariants in tests/test_llmops.py)
+        "b137_pq_adc_search",
     }
