@@ -41,9 +41,11 @@ _SCRIPT = textwrap.dedent(
     sf = {sf!r}
     # one query per worker kind that historically broke:
     #   mapInPandas task worker, DataSource writer-init worker,
-    #   streaming source runner, applyInPandasWithState worker
+    #   streaming source runner, applyInPandasWithState worker,
+    #   streaming DataSource writer-init worker (streamWriter path)
     for name in ("b32_ppm_decode", "b94_datasource_writer",
-                 "b91_stream_http_source", "b72_stateful_sessionize"):
+                 "b91_stream_http_source", "b72_stateful_sessionize",
+                 "b135_stream_sink"):
         n = len(qs[name](spark, sf).collect())
         print(f"CHECK {{name}} {{n}}")
     print("ALL-OK")
