@@ -551,10 +551,12 @@ def pq_codebooks(vectors: DataFrame) -> DataFrame:
     )
 
 
-def _pq_encode_batches(codebook_rows):
+def _pq_encode_batches(codebook_rows, with_err: bool = True):
     """mapInPandas factory closed over the collected codebook (a
     PQ_SUBSPACES×PQ_K×PQ_SUBDIM float array — ~4 KB, shipped by value
-    in the task closure like broadcast hyperplanes)."""
+    in the task closure like broadcast hyperplanes).  ``with_err=False``
+    skips the reconstruction gather + squared-error sum and emits only
+    (vec_id, codes) — the ADC search path needs nothing else."""
     import numpy as np
     import pandas as pd
 
@@ -565,9 +567,10 @@ def _pq_encode_batches(codebook_rows):
     def gen(batches):
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame(
-                    {"vec_id": [], "codes": [], "recon_err": []}
-                )
+                cols = {"vec_id": [], "codes": []}
+                if with_err:
+                    cols["recon_err"] = []
+                yield pd.DataFrame(cols)
                 continue
             v = np.stack([np.asarray(x, dtype=np.float32) for x in pdf["embedding"]])
             n = v.shape[0]
@@ -578,15 +581,13 @@ def _pq_encode_batches(codebook_rows):
             diff = vs[:, :, None, :] - cb[None, :, :, :]
             d2 = np.einsum("nskd,nskd->nsk", diff, diff)
             codes = d2.argmin(axis=2).astype(np.int32)  # ties → lowest code
-            recon = cb[np.arange(PQ_SUBSPACES)[None, :], codes]
-            err = ((vs - recon) ** 2).sum(axis=(1, 2)).astype(float)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].values,
-                    "codes": list(codes),
-                    "recon_err": err,
-                }
-            )
+            cols = {"vec_id": pdf["vec_id"].values, "codes": list(codes)}
+            if with_err:
+                recon = cb[np.arange(PQ_SUBSPACES)[None, :], codes]
+                cols["recon_err"] = (
+                    ((vs - recon) ** 2).sum(axis=(1, 2)).astype(float)
+                )
+            yield pd.DataFrame(cols)
 
     return gen
 
@@ -718,9 +719,9 @@ def b137_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = np.einsum("qscd,qscd->qsc", diff, diff)
 
     codes = e.select("vec_id", "embedding").mapInPandas(
-        _pq_encode_batches(cb_rows),
-        schema="vec_id long, codes array<int> not null, recon_err double not null",
-    ).select("vec_id", "codes")
+        _pq_encode_batches(cb_rows, with_err=False),
+        schema="vec_id long, codes array<int> not null",
+    )
     scored = codes.mapInPandas(
         _adc_score_batches(dt.tolist(), qids),
         schema="query_id long, neighbor_id long, adist double",

@@ -809,9 +809,14 @@ def b132_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     K rows cross the driver boundary nowhere — limit+broadcast stays
     on executors."""
     d = table(spark, sf_dir, "documents")
+    # ONE explode pass feeds both the vocab count and the join probe
+    # (the dedup.py shared-frame discipline); at cluster scale this is
+    # a persist(MEMORY_AND_DISK) or a recompute decision per memory
+    # budget — the plan shape (two consumers of one token stream) is
+    # what matters
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    )
+    ).cache()
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))

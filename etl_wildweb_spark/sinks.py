@@ -299,6 +299,22 @@ def _make_submit_writer_classes():
     return WildWebSinkSource
 
 
+def _serialize_features(features: DataFrame) -> DataFrame:
+    """Serialize each feature record to its JSON string in the JVM
+    (to_json is codegen'd; ignoreNullFields=false keeps explicit nulls,
+    matching json.dumps of the row dict) — the Python writer then only
+    joins strings.  Keeping serialization out of Python is what makes
+    the sink's throughput delivery-bound instead of pickle-bound.
+    SHARED by the batch and streaming writers so their payloads can
+    never diverge."""
+    return features.select(
+        F.to_json(
+            F.struct(*[F.col(c) for c in features.columns]),
+            {"ignoreNullFields": "false"},
+        ).alias("feature_json")
+    )
+
+
 def write_submit(
     features: DataFrame, manifest_dir: str, chunk_size: int = 500
 ) -> dict:
@@ -309,19 +325,8 @@ def write_submit(
 
     spark = features.sparkSession
     spark.dataSource.register(_make_submit_writer_classes())
-    # Serialize each feature record to JSON in the JVM (to_json is
-    # codegen'd; ignoreNullFields=false keeps explicit nulls, matching
-    # json.dumps of the row dict) — the Python writer then only joins
-    # strings.  Keeping serialization out of Python is what makes the
-    # sink's throughput delivery-bound instead of pickle-bound.
-    serialized = features.select(
-        F.to_json(
-            F.struct(*[F.col(c) for c in features.columns]),
-            {"ignoreNullFields": "false"},
-        ).alias("feature_json")
-    )
     (
-        serialized.write.format("wildweb_sink")
+        _serialize_features(features).write.format("wildweb_sink")
         .option("chunkSize", chunk_size)
         .option("path", manifest_dir)
         .mode("append")
@@ -347,14 +352,9 @@ def write_submit_stream(
 
     spark = features_stream.sparkSession
     spark.dataSource.register(_make_submit_writer_classes())
-    serialized = features_stream.select(
-        F.to_json(
-            F.struct(*[F.col(c) for c in features_stream.columns]),
-            {"ignoreNullFields": "false"},
-        ).alias("feature_json")
-    )
     q = (
-        serialized.writeStream.format("wildweb_sink")
+        _serialize_features(features_stream)
+        .writeStream.format("wildweb_sink")
         .option("chunkSize", chunk_size)
         .option("path", manifest_dir)
         .option("checkpointLocation", checkpoint_dir)
@@ -428,16 +428,22 @@ def b135_stream_sink(spark, sf_dir: str) -> DataFrame:
 
     from .streaming.windows import events_stream
 
+    import shutil
+
     s = events_stream(spark, sf_dir).select(
         "event_id", "user_id", "event_type",
         F.col("ts").cast("string").alias("ts"),
     )
-    manifests = write_submit_stream(
-        s,
-        tempfile.mkdtemp(prefix="streamsink_m_"),
-        tempfile.mkdtemp(prefix="streamsink_ck_"),
-        chunk_size=5000,
-    )
+    mdir = tempfile.mkdtemp(prefix="streamsink_m_")
+    ckdir = tempfile.mkdtemp(prefix="streamsink_ck_")
+    try:
+        manifests = write_submit_stream(s, mdir, ckdir, chunk_size=5000)
+    finally:
+        # manifests are already read into local dicts; the checkpoint
+        # (offsets/commits/source listings) must not accumulate across
+        # invocations — same rmtree discipline as b71/b127/b136
+        shutil.rmtree(mdir, ignore_errors=True)
+        shutil.rmtree(ckdir, ignore_errors=True)
     return spark.createDataFrame(
         [
             (
