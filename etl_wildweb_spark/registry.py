@@ -89,92 +89,73 @@ def capabilities(
 
 #: Explicit verification-priority order.  The driver's correctness
 #: harness checks the FIRST 50 entries of ``__spark_entry__.queries()``
-#: (dict insertion order) per round.  Round 5's window, per VERDICT r4
-#: item 3: the four round-4 hash-red queries first (fixed this round —
-#: integer micro-unit / BIGINT outputs on both sides, see VERDICT r4
-#: "What's wrong"), then the 14 queries that have never been in a
-#: driver window (round 4's PRIORITY_NEXT), then 32 of the oldest
-#: round-1 greens for re-confirmation.  After this round every
-#: registered query has been driver-checked at least once.
+#: (dict insertion order) per round.  Round 6's window, per VERDICT r5
+#: item 1: the six round-5 additions first (they have never been in a
+#: driver window — local-green only), then the 44 queries whose latest
+#: driver check is oldest: all 17 whose last green was CORRECTNESS_r01,
+#: then 27 of the 44 whose last green was r02 (streaming, UDx, text,
+#: sampling, wildweb, and the first TPC-H rows; the remaining r02 tpch
+#: cohort rotates in next round).
 PRIORITY: list[str] = [
-    # -- the 4 round-4 hash failures, re-typed to hash-stable outputs --
-    "b71_partitioned_prune",
-    "b73_salted_agg",
-    "b74_rolling_features",
-    "b90_temperature_mix",
-    # -- the 14 never-driver-checked queries (local-differential green) --
-    "b118_longest_streak",
-    "b119_clamped_balance",
-    "b120_record_linkage",
-    "b32_ppm_resize",
-    "b121_linear_interpolate",
-    "b122_weekly_movers",
-    "b124_group_sample_k",
-    "b125_seasonal_anomaly",
-    "b126_state_timeout_eviction",
-    "b127_federated_union",
-    "b128_slice_overlap",
-    "b129_hierarchy_closure",
-    "b130_token_drift",
-    "b131_dag_path_count",
-    # -- oldest round-1 greens, re-confirmed (CORRECTNESS_r01 order) --
-    "b28_exact_dedup",
-    "b28_hash_dedup",
-    "b29_minhash_near_dedup",
-    "b29_ngram_jaccard",
-    "b29_simhash",
-    "b29_embedding_near_dup",
-    "b29_dup_clusters",
-    "b29_dedup_canonical",
-    "b29_edit_distance",
-    "b32_multimodal_plumbing",
-    "b32_frame_sample",
-    "b35_sequence_pack",
-    "b35_pack_utilization",
-    "flagship_revenue_by_nation",
-    "b01_scan_filter_project",
-    "b03_join_inner",
-    "b04_join_broadcast",
-    "b05_join_left",
-    "b05_join_full_outer",
-    "b06_join_semi",
-    "b06_join_anti",
-    "b07_join_range",
-    "b08_join_asof",
-    "b08_asof_forward",
-    "b08_asof_tolerance",
-    "b08_asof_payload",
-    "b09_agg_q1",
-    "b10_distinct",
-    "b10_approx_distinct",
-    "b11_rollup",
-    "b11_cube",
-    "b12_window_rank",
-]
-
-#: Candidates for the NEXT round's window: additions made this round.
-#: The round-4 registration freeze (VERDICT r3 item 2 / r4 item 4) is
-#: lifted once the round-5 window lands, because after it every
-#: registered query has driver evidence; keep additions to a handful.
-PRIORITY_NEXT: list[str] = [
-    # round-5 additions — three LLM-pipeline gaps, each local-green:
-    # vocabulary OOV coverage, deterministic multi-epoch shuffle
-    # ordering, product-quantization encode (the memory side of
-    # IVF-PQ; rows-only with numpy-replay invariants)
+    # -- round-5 additions, never driver-checked (VERDICT r5 gap #1) --
     "b132_vocab_oov",
     "b133_epoch_shuffle",
     "b134_pq_encode",
-    # native streaming sink (DataSourceStreamArrowWriter, batchId-keyed
-    # idempotent manifests; rows-only — epoch/task counts are
-    # partitioning facts, invariants in tests/test_sinks.py)
     "b135_stream_sink",
-    # dynamic partition pruning — b71's static prune upgraded to the
-    # runtime dim-driven form (plan-asserted; exact-oracled)
     "b136_dynamic_partition_pruning",
-    # IVF-PQ search side: asymmetric distance computation over the PQ
-    # code table (rows-only; ADC-identity + recall invariants)
     "b137_pq_adc_search",
+    # -- last driver-green in round 1 (all 17) --
+    "b06_scalar_subquery",
+    "b07_join_range_banded",
+    "b10_percentile",
+    "b11_grouping_sets",
+    "b11_pivot",
+    "b11_time_rollup",
+    "b13_window_frames",
+    "b14_topk_global",
+    "b14_topk_per_group",
+    "b15_setops",
+    "b16_string_funcs",
+    "b17_date_funcs",
+    "b18_math_funcs",
+    "b19_array_funcs",
+    "b19_map_funcs",
+    "b20_json_funcs",
+    "b34_hash_sample",
+    # -- last driver-green in round 2 (27 of 44; rest next round) --
+    "b21_sliding_window",
+    "b22_session_window",
+    "b23_watermark_tumbling",
+    "b23_stream_static_join",
+    "b23_stream_stream_join",
+    "b24_stream_dedup",
+    "b24_custom_stateful",
+    "b25_pandas_udf",
+    "b26_pandas_udaf",
+    "b27_udtf",
+    "b31_text_stats",
+    "b31_quality_score",
+    "b31_langid",
+    "b31_lang_stats",
+    "b31_term_freq",
+    "b31_fingerprint",
+    "b31_bpe_token_count",
+    "b31_gopher_filters",
+    "b34_stratified_sample",
+    "b34_weighted_mix",
+    "b36_file_ingest",
+    "wildweb_envelope_e2e",
+    "wildweb_pipeline_errors",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
 ]
+
+#: Candidates for the NEXT round's window: additions made this round
+#: (VERDICT r5 item 7: everything new enters PRIORITY_NEXT in the same
+#: commit that registers it).
+PRIORITY_NEXT: list[str] = []
 
 
 def ordered_queries() -> dict[str, QueryFn]:

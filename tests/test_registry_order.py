@@ -34,22 +34,25 @@ def test_priority_oracle_coverage():
         if n not in registry.ORACLES
     }
     assert rows_only == {
-        # round-5 window (4 hash fixes + the 14 never-driver-checked +
-        # 32 oldest r1 greens): the declared approx/heuristic/
-        # streaming-state entries, each with its own pytest invariants
-        # (approx_count_distinct bounds, simhash equivalence twin,
-        # timeout-eviction protocol, PPM resize byte replay)
-        "b10_approx_distinct",
-        "b126_state_timeout_eviction",
-        "b29_simhash",
-        "b32_ppm_resize",
-        # round-5 addition: float-argmin over a data-derived codebook
-        # (numpy-replay + determinism + argmin-bound pytest invariants)
+        # round-6 window (the 6 round-5 additions + 44 oldest
+        # re-confirmations): the declared streaming/heuristic/
+        # side-effecting entries, each with its own pytest invariants.
+        # round-5 additions (numpy-replay / commit-protocol / recall
+        # invariants in tests/test_llmops.py + tests/test_sinks.py):
         "b134_pq_encode",
-        # native streaming sink: per-epoch manifests are commit-protocol
-        # facts (idempotent-replay invariants in tests/test_sinks.py)
         "b135_stream_sink",
-        # ADC search: float-argmin over the data-derived codebook (ADC
-        # identity + recall invariants in tests/test_llmops.py)
         "b137_pq_adc_search",
+        # streaming-state entries: micro-batch epoch boundaries are
+        # execution facts DuckDB can't replay (tests/test_streaming.py
+        # pins batch-equivalence instead)
+        "b23_watermark_tumbling",
+        "b24_stream_dedup",
+        "b24_custom_stateful",
+        # heuristic language-ID (equivalence twin in tests)
+        "b31_langid",
+        # side-effecting connector demos (filesystem manifests / raw
+        # envelope ingest; invariants in tests/test_file_sources.py and
+        # tests/test_wildweb.py)
+        "b36_file_ingest",
+        "wildweb_envelope_e2e",
     }
