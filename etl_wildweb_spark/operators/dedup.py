@@ -445,9 +445,15 @@ def b29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("rk")
             <= F.col("set_size")
-            - F.floor(
-                (_T_NUM * F.col("set_size") + _T_DEN - 1) / _T_DEN
-            ).cast("int")
+            # ⌈t·|x|⌉ = (NUM·|x| + DEN−1) div DEN — integer `div`, not
+            # float `/`+floor: int/int in Spark is double division, so
+            # exactness would silently hinge on the numerator staying
+            # below 2^52 (ADVICE r5); `div` matches the Python integer
+            # formula the unit test pins bit-for-bit.
+            - F.expr(
+                f"cast(({_T_NUM} * set_size + {_T_DEN - 1})"
+                f" div {_T_DEN} as int)"
+            )
             + 1
         )
         .select("doc_id", "gh")

@@ -522,6 +522,12 @@ def pq_codebooks(vectors: DataFrame) -> DataFrame:
         vectors.orderBy("vec_id")
         .limit(PQ_K)
         .select(
+            # unpartitioned window — DELIBERATE and bounded: its input
+            # is the limit(PQ_K)=16-row seed frame, never the corpus,
+            # so the single-partition warning is vacuous here.  If
+            # PQ_K ever grew past broadcast size the whole codebook
+            # design (driver-side collect + broadcast in pq_encode)
+            # would change first.
             F.row_number()
             .over(W.orderBy("vec_id"))
             .alias("code"),

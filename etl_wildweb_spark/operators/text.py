@@ -809,14 +809,18 @@ def b132_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     K rows cross the driver boundary nowhere — limit+broadcast stays
     on executors."""
     d = table(spark, sf_dir, "documents")
-    # ONE explode pass feeds both the vocab count and the join probe
-    # (the dedup.py shared-frame discipline); at cluster scale this is
-    # a persist(MEMORY_AND_DISK) or a recompute decision per memory
-    # budget — the plan shape (two consumers of one token stream) is
-    # what matters
+    # The token stream has two consumers (vocab count + join probe).
+    # RECOMPUTE, don't cache: split+explode is a narrow pipeline off
+    # the parquet scan, so the second pass costs one extra scan —
+    # while a .cache() here leaks (the builder returns a lazy frame,
+    # so there is no post-materialization point to unpersist at, and
+    # repeated invocations would stack cached plans until LRU
+    # eviction; ADVICE r5).  At cluster scale the same trade reads:
+    # persist(MEMORY_AND_DISK) only under an explicit lifecycle
+    # owner, otherwise recompute.
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).cache()
+    )
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -345,10 +345,21 @@ def write_submit_stream(
 ) -> list[dict]:
     """Deliver a STREAMING features frame through the native
     ``writeStream.format("wildweb_sink")`` path (Trigger.AvailableNow,
-    bounded) and return the per-batch manifests, sorted by batch id.
-    Same JVM-side to_json pre-serialization as the batch path."""
+    bounded) and return THIS invocation's per-batch manifests, sorted
+    by batch id.  Same JVM-side to_json pre-serialization as the batch
+    path.
+
+    Manifest files from an earlier run with a DIFFERENT checkpoint are
+    excluded (ADVICE r5 — a stale ``batch-*.json`` must not be
+    silently mixed into the return): the glob is filtered to the batch
+    ids in THIS checkpoint's commit log (``checkpoint_dir/commits/``,
+    one file per committed epoch) — the authoritative lineage, stable
+    across restarts, so a same-checkpoint restart still returns the
+    full manifest history while a foreign run's leftovers never
+    appear."""
     import glob as _glob
     import json as _json
+    import os as _os
 
     spark = features_stream.sparkSession
     spark.dataSource.register(_make_submit_writer_classes())
@@ -365,10 +376,17 @@ def write_submit_stream(
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise TimeoutError("stream sink did not drain in time")
+    committed = {
+        int(name)
+        for name in _os.listdir(_os.path.join(checkpoint_dir, "commits"))
+        if name.isdigit()
+    }
     manifests = []
     for p in sorted(_glob.glob(f"{manifest_dir}/batch-*.json")):
         with open(p) as f:
-            manifests.append(_json.loads(f.read()))
+            m = _json.loads(f.read())
+        if m["batch_id"] in committed:
+            manifests.append(m)
     return sorted(manifests, key=lambda m: m["batch_id"])
 
 

@@ -108,14 +108,24 @@ def test_stream_sink_native_writer(spark, sf_dir, tmp_path):
     """b135: the native writeStream path delivers every row exactly
     once per epoch, writes one batchId-keyed manifest per micro-batch,
     and a restart against the same checkpoint neither re-delivers nor
-    double-counts (the idempotent-commit contract)."""
+    double-counts (the idempotent-commit contract).  A stale manifest
+    from a FOREIGN checkpoint sitting in the same dir is excluded from
+    the returned list (commit-log-scoped glob, ADVICE r5)."""
     import glob
+    import json
+    import os
 
     from etl_wildweb_spark.sinks import write_submit_stream
     from etl_wildweb_spark.streaming.windows import events_stream
 
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     mdir, ckdir = str(tmp_path / "m"), str(tmp_path / "ck")
+
+    # a leftover from some earlier run with a different checkpoint:
+    # its batch id (999) is not in this checkpoint's commit log
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, "batch-999.json"), "w") as f:
+        json.dump({"batch_id": 999, "n_rows": 7, "n_failed_chunks": 0}, f)
 
     def run():
         s = events_stream(spark, sf_dir).select(
@@ -124,6 +134,7 @@ def test_stream_sink_native_writer(spark, sf_dir, tmp_path):
         return write_submit_stream(s, mdir, ckdir, chunk_size=4096)
 
     manifests = run()
+    assert 999 not in {m["batch_id"] for m in manifests}
     assert sum(m["n_rows"] for m in manifests) == n_events
     assert all(m["n_failed_chunks"] == 0 for m in manifests)
     files_before = sorted(glob.glob(f"{mdir}/batch-*.json"))
