@@ -416,6 +416,29 @@ def test_b134_pq_encode_no_shuffle(plans):
     assert audit.exchanges(p)["shuffle"] == 0, audit.exchanges(p)
 
 
+@pytest.mark.parametrize(
+    "name", ["b14_topk_per_group", "b30_cosine_topk", "b137_pq_adc_search"]
+)
+def test_rank_limit_plans_partial_window_group_limit(plans, name):
+    """The rank-limit family must keep the Partial+Final
+    WindowGroupLimit pair: each map task pre-prunes its partition to
+    the top-k BEFORE the exchange, so the per-group rank shuffle
+    carries ≤ k rows per task — not the corpus.  This shape only
+    exists for rank-like functions (row_number/rank/dense_rank) with a
+    literal rank bound; swapping in e.g. ntile or a non-literal filter
+    silently degrades to a full per-group sort+filter, invisible at
+    test scale and catastrophic at 100 TB (VERDICT r5 watch item)."""
+    p = plans(name)
+    # formatted plans list each node twice (tree + details): 2 nodes x 2
+    assert audit.node_count(p, "WindowGroupLimit") >= 4, name
+    wgl_args = [
+        ln for ln in p.splitlines()
+        if "Arguments" in ln and ("row_number()" in ln or "rank()" in ln)
+    ]
+    assert any(ln.rstrip().endswith("Partial") for ln in wgl_args), wgl_args
+    assert any(ln.rstrip().endswith("Final") for ln in wgl_args), wgl_args
+
+
 def test_b136_dynamic_partition_pruning_reaches_scan(spark, sf_dir):
     """The fact scan must carry a dynamicpruningexpression in its
     PartitionFilters — runtime pruning driven by the filtered dim, not
