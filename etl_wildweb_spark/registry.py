@@ -155,7 +155,13 @@ PRIORITY: list[str] = [
 #: Candidates for the NEXT round's window: additions made this round
 #: (VERDICT r5 item 7: everything new enters PRIORITY_NEXT in the same
 #: commit that registers it).
-PRIORITY_NEXT: list[str] = []
+PRIORITY_NEXT: list[str] = [
+    # round-6: the reference's production dataflow composed as ONE
+    # streaming query — b91's poll source → A5-A17 → b135's native
+    # sink under one checkpoint (rows-only; stream≡batch + restart
+    # idempotence invariants in tests/test_stream_pipeline.py)
+    "b138_stream_pipeline_e2e",
+]
 
 
 def ordered_queries() -> dict[str, QueryFn]:
@@ -192,6 +198,6 @@ def load_all() -> None:
         udx,
     )
     from .ingest import wildweb  # noqa: F401
-    from .streaming import joins, stateful, windows  # noqa: F401
+    from .streaming import joins, pipeline, stateful, windows  # noqa: F401
     from . import sinks  # noqa: F401
     from .sources import files, http  # noqa: F401

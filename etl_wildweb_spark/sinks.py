@@ -357,10 +357,6 @@ def write_submit_stream(
     across restarts, so a same-checkpoint restart still returns the
     full manifest history while a foreign run's leftovers never
     appear."""
-    import glob as _glob
-    import json as _json
-    import os as _os
-
     spark = features_stream.sparkSession
     spark.dataSource.register(_make_submit_writer_classes())
     q = (
@@ -376,6 +372,19 @@ def write_submit_stream(
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise TimeoutError("stream sink did not drain in time")
+    return _collect_stream_manifests(manifest_dir, checkpoint_dir)
+
+
+def _collect_stream_manifests(
+    manifest_dir: str, checkpoint_dir: str
+) -> list[dict]:
+    """Per-epoch manifests scoped to ``checkpoint_dir``'s commit log —
+    the authoritative lineage — so foreign leftovers in the manifest
+    dir never leak into the result (ADVICE r5)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
     committed = {
         int(name)
         for name in _os.listdir(_os.path.join(checkpoint_dir, "commits"))

@@ -42,6 +42,10 @@ def test_priority_oracle_coverage():
         "b134_pq_encode",
         "b135_stream_sink",
         "b137_pq_adc_search",
+        # round-6 addition: the composed source→A5-A17→sink streaming
+        # query (manifests are commit-protocol facts; stream≡batch +
+        # restart invariants in tests/test_stream_pipeline.py)
+        "b138_stream_pipeline_e2e",
         # streaming-state entries: micro-batch epoch boundaries are
         # execution facts DuckDB can't replay (tests/test_streaming.py
         # pins batch-equivalence instead)
