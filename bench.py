@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "b134_pq_encode",
     "b136_dynamic_partition_pruning",
     "b137_pq_adc_search",
+    # round-6: substring dedup (sliding K-gram corpus frequency —
+    # the heaviest text-family explode; benched so regressions show)
+    "b139_substring_dedup",
 ]
 
 

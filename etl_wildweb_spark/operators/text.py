@@ -838,3 +838,144 @@ def b132_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_oov"),
         )
     )
+
+
+# ------------------------------------- substring-level exact dedup
+
+#: Span threshold: a token span this long appearing in >= 2 distinct
+#: documents is corpus duplication and every occurrence is excised
+#: (the scalable K-gram-anchor approximation of suffix-array
+#: substring dedup; proportionally scaled to this corpus's ~30-word
+#: synthetic vocabulary, where 12 consecutive shared tokens cannot
+#: arise by chance).
+_SUB_K = 12
+
+
+@query(
+    "b139_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+    grams AS (
+      SELECT doc_id, g.i, g.gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(ts) - {_SUB_K} + 2),
+                 i -> struct_pack(i := i,
+                      gram := array_to_string(
+                        list_slice(ts, i, i + {_SUB_K} - 1), ' ')))) AS g
+        FROM toks WHERE len(ts) >= {_SUB_K})),
+    dup AS (
+      SELECT gram FROM grams
+      GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    covered AS (
+      SELECT DISTINCT g.doc_id, u.pos
+      FROM grams g JOIN dup USING (gram),
+           LATERAL (SELECT unnest(range(g.i, g.i + {_SUB_K})) AS pos) u),
+    tokens AS (
+      SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS tok
+      FROM toks),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok FROM tokens t
+      WHERE NOT EXISTS (SELECT 1 FROM covered c
+                        WHERE c.doc_id = t.doc_id AND c.pos = t.pos))
+    SELECT d.doc_id,
+           CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(str_split(d.text, ' '))
+                - COALESCE((SELECT count(*) FROM kept k
+                            WHERE k.doc_id = d.doc_id), 0) AS BIGINT)
+             AS n_removed,
+           COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
+                     FROM kept k WHERE k.doc_id = d.doc_id), '')
+             AS clean_text
+    FROM documents d
+    """,
+)
+def b139_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-LEVEL EXACT DEDUP — the LLM-corpus cleaning mode the
+    doc-level (b28), line-level (b69), and near-dup (b29) families
+    don't cover: a >= K-token span repeated across >= 2 distinct
+    documents is excised from EVERY occurrence, leaving the
+    non-duplicated remainder of each document intact.  This is the
+    K-gram-anchor approximation of suffix-array substring dedup
+    (ExactSubstr): every duplicated span of length >= K is, by
+    construction, a union of duplicated K-grams, so marking the token
+    positions covered by any cross-document K-gram hit removes exactly
+    the maximal duplicated spans — no suffix array needed, only
+    corpus-wide group-bys and joins.
+
+    Scale: sliding K-grams cost K rows per token — but the gram
+    frequency pass aggregates map-side and only CROSS-DOC grams
+    survive to the coverage join (zipfian head, like b69's line
+    frequencies), so the expensive join input is |duplicated grams|,
+    not |corpus grams|.  Three shuffles: gram frequency, coverage
+    distinct on (doc_id, pos), and the final per-doc reassembly
+    (sort_array inside the row, not a window sort — b69's pattern).
+    At 100 TB the gram string key becomes xxhash64(gram) for the
+    frequency+join passes (collision-checked on the survivors), and
+    the (doc_id, pos) coverage anti-join co-partitions with the token
+    explode on doc_id — both sides already hash by doc_id."""
+    return substring_dedup(table(spark, sf_dir, "documents"))
+
+
+def substring_dedup(d: DataFrame, k: int = _SUB_K) -> DataFrame:
+    """The b139 dataflow over any (doc_id, text) frame — separated so
+    the planted-duplicate fixture test (tests/test_llmops.py) drives
+    the exact span-boundary semantics directly."""
+    ts = F.split("text", " ")
+    grams = (
+        d.filter(F.size(ts) >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ts) - k + 1),
+                    lambda i: F.array_join(F.slice(ts, i, k), " "),
+                )
+            ).alias("i0", "gram"),
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "gram")
+    )
+    # cross-document test as min≠max, not count_distinct: one plain
+    # min/max agg (map-side combinable, no distinct expansion) decides
+    # ">= 2 distinct docs" exactly.
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + k - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tokens = d.select(
+        "doc_id", F.posexplode(ts).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return d.select("doc_id", F.size(ts).cast("bigint").alias("n_tokens")).join(
+        per_doc, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

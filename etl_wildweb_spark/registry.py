@@ -161,6 +161,10 @@ PRIORITY_NEXT: list[str] = [
     # sink under one checkpoint (rows-only; stream≡batch + restart
     # idempotence invariants in tests/test_stream_pipeline.py)
     "b138_stream_pipeline_e2e",
+    # round-6: substring-level exact dedup — K-gram-anchor
+    # approximation of suffix-array dedup (exact-oracled; planted-span
+    # boundary fixture in tests/test_llmops.py)
+    "b139_substring_dedup",
 ]
 
 

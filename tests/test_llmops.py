@@ -597,3 +597,38 @@ def test_pq_adc_identity_and_recall(spark, sf_dir):
     # random top-10 of 500 would score ~0.02; crude 16-seed PQ on
     # worst-case gaussian data must still land well above that
     assert recall >= 0.2, recall
+
+
+def test_b139_substring_dedup_planted_spans(spark):
+    """b139 boundary semantics on planted duplicates (k=4): an exactly-k
+    shared span is excised from BOTH docs, a (k-1) shared span is KEPT,
+    a longer shared span is removed in FULL (maximal extension via
+    overlapping k-gram union), fully-duplicated docs empty out, and
+    sub-k docs pass through untouched."""
+    from etl_wildweb_spark.operators.text import substring_dedup
+
+    docs = [
+        (1, "a1 a2 a3 S1 S2 S3 S4 b1 b2"),   # k-span shared with 2
+        (2, "c1 c2 S1 S2 S3 S4 c3"),
+        (3, "d1 d2 P1 P2 P3 e1"),            # (k-1)-span shared with 4
+        (4, "P1 P2 P3 f1 f2 g3"),
+        (5, "X1 X2 X3 X4 X5"),               # exact full duplicates
+        (6, "X1 X2 X3 X4 X5"),
+        (7, "h1 h2"),                        # shorter than k
+        (8, "q1 T1 T2 T3 T4 T5 T6 q2"),      # (k+2)-span shared with 9
+        (9, "T1 T2 T3 T4 T5 T6 r1 r2 r3"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in substring_dedup(d, k=4).collect()
+    }
+    assert out[1] == (9, 4, "a1 a2 a3 b1 b2")
+    assert out[2] == (7, 4, "c1 c2 c3")
+    assert out[3] == (6, 0, "d1 d2 P1 P2 P3 e1")      # below threshold
+    assert out[4] == (6, 0, "P1 P2 P3 f1 f2 g3")
+    assert out[5] == (5, 5, "")                        # fully excised
+    assert out[6] == (5, 5, "")
+    assert out[7] == (2, 0, "h1 h2")                   # sub-k untouched
+    assert out[8] == (8, 6, "q1 q2")                   # maximal span
+    assert out[9] == (9, 6, "r1 r2 r3")

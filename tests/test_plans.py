@@ -242,6 +242,7 @@ _SHUFFLE_BUDGET = {
     "b128_slice_overlap": 4,     # slice-gram distinct + intersect join + aggs
     "b129_hierarchy_closure": 0,  # jump table pre-checkpointed; rounds reuse it
     "b131_dag_path_count": 1,    # final nodes⋈pc join; rounds pre-checkpointed
+    "b139_substring_dedup": 4,   # gram freq + coverage distinct + doc agg + join
 }
 
 
