@@ -1327,6 +1327,43 @@ def b60_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("b140_kll_quantile_rollup")  # sketch bytes → estimates; rows-only
+def b140_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketches — b60's sibling, completing the
+    mergeable-sketch pair an incremental 100 TB rollup hierarchy needs
+    (cardinality ✓ b60, quantiles here): build one KLL sketch of
+    ``value`` per (event_type, day) with Apache DataSketches
+    kll_sketch_agg_double, then roll WEEKS up by merging DAY SKETCH
+    BYTES (kll_merge_agg_double) — raw rows are touched exactly once,
+    every coarser grain is a union over ~KB sketches.  percentile_approx
+    (b10) can't do this: its partials aren't a persistable column.
+
+    KLL guarantees bounded RANK error (~1.65% at the default k=200),
+    not value error; tests/test_new_ops_invariants.py pins each
+    reported band's exact rank (from b63's exact histogram walk) within
+    ±4% of its target.  Rows-only: approximate by design, no SQL
+    oracle."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .groupBy("event_type", "day")
+        .agg(F.kll_sketch_agg_double("value").alias("sk"))
+    )
+    weekly = (
+        daily.withColumn("week", F.date_trunc("week", F.col("day")))
+        .groupBy("event_type", "week")
+        .agg(F.kll_merge_agg_double("sk").alias("sk"))
+    )
+    return weekly.select(
+        "event_type",
+        "week",
+        F.kll_sketch_get_n_double("sk").alias("n"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+    )
+
+
 @query(
     "b65_map_hof",
     oracle="""

@@ -165,6 +165,10 @@ PRIORITY_NEXT: list[str] = [
     # approximation of suffix-array dedup (exact-oracled; planted-span
     # boundary fixture in tests/test_llmops.py)
     "b139_substring_dedup",
+    # round-6: mergeable KLL quantile sketches, day→week rollup over
+    # sketch bytes — b60's quantile sibling (rows-only; rank-error
+    # bound pinned in tests/test_new_ops_invariants.py)
+    "b140_kll_quantile_rollup",
 ]
 
 

@@ -136,6 +136,41 @@ def test_hll_rollup_within_tolerance_of_exact(spark, sf_dir):
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
 
 
+def test_kll_rollup_rank_error_within_bound(spark, sf_dir):
+    """b140: week-level quantile bands merged FROM DAY SKETCH BYTES
+    honor KLL's rank-error guarantee — for each (event_type, week) and
+    each band q∈{.5,.95,.99}, the EXACT rank of the reported value in
+    the true weekly distribution is within ±4% of q (default k=200
+    bounds rank error at ~1.65%; 4% leaves merge headroom).  KLL bounds
+    RANK error, not value error, so this — not |value−exact_value| —
+    is the correct ±ε pin."""
+    got = {
+        (r.event_type, r.week): (r.n, r.p50, r.p95, r.p99)
+        for r in registry.QUERIES["b140_kll_quantile_rollup"](
+            spark, sf_dir
+        ).collect()
+    }
+    e = table(spark, sf_dir, "events")
+    vals: dict = {}
+    for r in (
+        e.withColumn("week", F.date_trunc("week", F.col("ts")))
+        .select("event_type", "week", "value")
+        .collect()
+    ):
+        vals.setdefault((r.event_type, r.week), []).append(r.value)
+    assert set(got) == set(vals)
+    for k, (n, *bands) in got.items():
+        xs = sorted(vals[k])
+        assert n == len(xs), k
+        for q, v in zip((0.5, 0.95, 0.99), bands):
+            # exact rank of the reported value: fraction of weekly
+            # values <= v (midpoint of the <=v run, the rank KLL targets)
+            lo = sum(1 for x in xs if x < v)
+            hi = sum(1 for x in xs if x <= v)
+            rank = (lo + hi) / 2 / len(xs)
+            assert abs(rank - q) <= 0.04, (k, q, v, rank)
+
+
 def test_clamped_balance_identity_vs_sequential_fold(spark, sf_dir):
     """b119's prefix-min window identity must equal the literal
     recurrence bal_i = max(0, bal_{i-1} + delta_i) replayed in Python

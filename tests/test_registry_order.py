@@ -46,6 +46,9 @@ def test_priority_oracle_coverage():
         # query (manifests are commit-protocol facts; stream≡batch +
         # restart invariants in tests/test_stream_pipeline.py)
         "b138_stream_pipeline_e2e",
+        # round-6 addition: mergeable KLL quantile rollup (approximate
+        # by design; rank-error bound in tests/test_new_ops_invariants)
+        "b140_kll_quantile_rollup",
         # streaming-state entries: micro-batch epoch boundaries are
         # execution facts DuckDB can't replay (tests/test_streaming.py
         # pins batch-equivalence instead)
