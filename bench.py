@@ -121,8 +121,13 @@ BENCH_QUERIES = [
     "b136_dynamic_partition_pruning",
     "b137_pq_adc_search",
     # round-6: substring dedup (sliding K-gram corpus frequency —
-    # the heaviest text-family explode; benched so regressions show)
+    # the heaviest text-family explode; benched so regressions show),
+    # sketch rollups (KLL + theta set algebra), concat-chunk layout
+    # (token-volume shuffle into fixed context windows)
     "b139_substring_dedup",
+    "b140_kll_quantile_rollup",
+    "b141_theta_retention_sketch",
+    "b142_concat_chunk",
 ]
 
 

@@ -118,3 +118,128 @@ def b35_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("bin").alias("n_bins"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# ------------------------------------ concat-and-chunk context layout
+
+#: Context window size for the concat layout (tokens per chunk).
+CHUNK = 512
+#: End-of-document separator token inserted between concatenated docs.
+EOD = "<eod>"
+@query(
+    "b142_concat_chunk",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT doc_id,
+             str_split(text, ' ') || ['{EOD}'] AS ts,
+             md5(CAST(doc_id AS VARCHAR)) AS sk
+      FROM documents),
+    offs AS (
+      SELECT doc_id, ts,
+             COALESCE(sum(len(ts)) OVER (
+               ORDER BY sk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM ordered),
+    toks AS (
+      SELECT doc_id,
+             off + generate_subscripts(ts, 1) - 1 AS gpos,
+             unnest(ts) AS tok
+      FROM offs)
+    SELECT CAST(gpos // {CHUNK} AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           string_agg(tok, ' ' ORDER BY gpos) AS chunk_text
+    FROM toks GROUP BY 1
+    """,
+)
+def b142_concat_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCAT-AND-CHUNK CONTEXT LAYOUT — the other standard training
+    data layout beside first-fit packing (b35): shuffle documents into
+    a deterministic pseudo-random order (md5 of doc_id, b133's trick),
+    concatenate every token stream with an ``<eod>`` separator, and
+    slice the single global stream into fixed {CHUNK}-token context
+    windows that CROSS document boundaries — every window except the
+    last is exactly full (zero padding waste, the property first-fit
+    packing only approximates).
+
+    The global token offset is a distributed two-phase prefix sum, NOT
+    a single-partition window: each document's shard is its sort key's
+    first hex nibble (md5 is uniform, shards are ordered key ranges by
+    construction — deterministic and data-independent, no sampled
+    range boundaries to trust), per-shard token totals (16 rows —
+    bounded, collected and cumulated driver-side like b119's shard
+    offsets) broadcast back as shard base offsets, and the
+    within-shard running sum is a shard-partitioned window.  The chunk
+    reassembly groupBy then shuffles each token to its window — that
+    shuffle IS the output layout being produced, the one unavoidable
+    movement.  The DuckDB oracle replays the same arithmetic with its
+    (local) global window — identical offsets, exact hash check."""
+    d = table(spark, sf_dir, "documents")
+    ts = F.concat(F.split("text", " "), F.array(F.lit(EOD)))
+    docs = (
+        d.select(
+            "doc_id",
+            ts.alias("ts"),
+            F.md5(F.col("doc_id").cast("string")).alias("sk"),
+        )
+        # shard = first hex nibble of sk: shard b holds exactly the sk
+        # range [b0.., (b+1)0..), so (pid asc, sk asc) IS global order
+        .withColumn(
+            "pid", F.conv(F.substring("sk", 1, 1), 16, 10).cast("int")
+        )
+        .withColumn("n", F.size("ts").cast("bigint"))
+    )
+    # phase 1: per-shard totals — 16 rows, O(1) collect
+    totals = {
+        r["pid"]: r["tot"]
+        for r in docs.groupBy("pid").agg(F.sum("n").alias("tot")).collect()
+    }
+    base, acc = {}, 0
+    for pid in sorted(totals):
+        base[pid] = acc
+        acc += totals[pid]
+    base_df = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in base.items()], "pid int, base bigint"
+        )
+    )
+    # phase 2: within-partition exclusive running sum + partition base
+    from pyspark.sql.window import Window as W
+
+    run = (
+        W.partitionBy("pid")
+        .orderBy("sk", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = docs.join(base_df, "pid").select(
+        "doc_id",
+        "ts",
+        (F.coalesce(F.sum("n").over(run), F.lit(0)) + F.col("base")).alias(
+            "off"
+        ),
+    )
+    toks = offs.select(
+        "doc_id",
+        F.posexplode("ts").alias("p0", "tok"),
+        F.col("off"),
+    ).select(
+        "doc_id", (F.col("off") + F.col("p0")).alias("gpos"), "tok"
+    )
+    return (
+        toks.groupBy(
+            # integer `div`, never float `/`+cast (the ADVICE r5 rule)
+            F.expr(f"gpos div {CHUNK}").alias("chunk_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("gpos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

@@ -1364,6 +1364,51 @@ def b140_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("b141_theta_retention_sketch")  # sketch set-algebra; rows-only
+def b141_theta_retention_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH SET ALGEBRA (Apache DataSketches Theta) — the operation
+    HLL fundamentally cannot do: intersections and differences over
+    sketch bytes.  Build one theta sketch of user_id per (event_type,
+    week), then answer retention-style set expressions between
+    CONSECUTIVE weeks without re-touching raw rows: retained =
+    |A ∩ B|, churned = |A \\ B|, new = |B \\ A|.  This is the 100 TB
+    audience-overlap / user-retention pattern: weekly partials persist
+    as a sketch column, every pairwise (or k-way) overlap question is
+    driver-free set algebra over ~KB payloads.
+
+    Accuracy pinned in tests/test_new_ops_invariants.py: each estimate
+    within 5% (or ±2) of the exact distinct-set arithmetic.  Rows-only:
+    approximate by design.  Scale: one groupBy over raw rows, then a
+    self-join keyed on (event_type, week→week+7d) whose both sides are
+    |groups| rows — dimension-sized, broadcast at any corpus scale."""
+    e = table(spark, sf_dir, "events")
+    weekly = (
+        e.withColumn("week", F.date_trunc("week", F.col("ts")))
+        .groupBy("event_type", "week")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    nxt = weekly.select(
+        "event_type",
+        (F.col("week") - F.expr("INTERVAL 7 DAYS")).alias("week"),
+        F.col("sk").alias("sk_next"),
+    )
+    pairs = weekly.join(nxt, ["event_type", "week"])
+    return pairs.select(
+        "event_type",
+        "week",
+        F.theta_sketch_estimate("sk").alias("wau"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("sk", "sk_next")
+        ).alias("retained"),
+        F.theta_sketch_estimate(
+            F.theta_difference("sk", "sk_next")
+        ).alias("churned"),
+        F.theta_sketch_estimate(
+            F.theta_difference("sk_next", "sk")
+        ).alias("new_users"),
+    )
+
+
 @query(
     "b65_map_hof",
     oracle="""

@@ -169,6 +169,14 @@ PRIORITY_NEXT: list[str] = [
     # sketch bytes — b60's quantile sibling (rows-only; rank-error
     # bound pinned in tests/test_new_ops_invariants.py)
     "b140_kll_quantile_rollup",
+    # round-6: theta-sketch set algebra between consecutive weekly
+    # user sketches — intersections/differences HLL can't express
+    # (rows-only; 5% accuracy pin in tests/test_new_ops_invariants.py)
+    "b141_theta_retention_sketch",
+    # round-6: concat-and-chunk context layout — fixed windows over
+    # the eod-joined global token stream, distributed two-phase
+    # prefix-sum offsets (exact-oracled)
+    "b142_concat_chunk",
 ]
 
 

@@ -171,6 +171,37 @@ def test_kll_rollup_rank_error_within_bound(spark, sf_dir):
             assert abs(rank - q) <= 0.04, (k, q, v, rank)
 
 
+def test_theta_retention_within_tolerance_of_exact(spark, sf_dir):
+    """b141: every set-algebra estimate (wau / retained / churned /
+    new_users over consecutive weeks) stays within 5% (or ±2) of the
+    exact distinct-set arithmetic — intersections and differences
+    included, the operations HLL can't express at all."""
+    import datetime
+
+    rows = registry.QUERIES["b141_theta_retention_sketch"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    e = table(spark, sf_dir, "events")
+    wk: dict = {}
+    for r in (
+        e.withColumn("week", F.date_trunc("week", F.col("ts")))
+        .select("event_type", "week", "user_id")
+        .collect()
+    ):
+        wk.setdefault((r.event_type, r.week), set()).add(r.user_id)
+    for r in rows:
+        a = wk[(r.event_type, r.week)]
+        b = wk[(r.event_type, r.week + datetime.timedelta(days=7))]
+        for est, exact in (
+            (r.wau, len(a)),
+            (r.retained, len(a & b)),
+            (r.churned, len(a - b)),
+            (r.new_users, len(b - a)),
+        ):
+            assert abs(est - exact) <= max(2, 0.05 * exact), (r, exact)
+
+
 def test_clamped_balance_identity_vs_sequential_fold(spark, sf_dir):
     """b119's prefix-min window identity must equal the literal
     recurrence bal_i = max(0, bal_{i-1} + delta_i) replayed in Python

@@ -243,6 +243,7 @@ _SHUFFLE_BUDGET = {
     "b129_hierarchy_closure": 0,  # jump table pre-checkpointed; rounds reuse it
     "b131_dag_path_count": 1,    # final nodes⋈pc join; rounds pre-checkpointed
     "b139_substring_dedup": 4,   # gram freq + coverage distinct + doc agg + join
+    "b142_concat_chunk": 3,      # shard totals + shard window + chunk agg
 }
 
 

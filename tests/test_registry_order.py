@@ -49,6 +49,9 @@ def test_priority_oracle_coverage():
         # round-6 addition: mergeable KLL quantile rollup (approximate
         # by design; rank-error bound in tests/test_new_ops_invariants)
         "b140_kll_quantile_rollup",
+        # round-6 addition: theta-sketch retention set algebra
+        # (approximate; accuracy pin in tests/test_new_ops_invariants)
+        "b141_theta_retention_sketch",
         # streaming-state entries: micro-batch epoch boundaries are
         # execution facts DuckDB can't replay (tests/test_streaming.py
         # pins batch-equivalence instead)
