@@ -355,3 +355,75 @@ def b133_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("pos"),
         )
     )
+
+
+@query(
+    "b144_leakage_safe_split",
+    oracle=None,  # assembled below (needs dedup module constants)
+)
+def b144_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split — b53's hash split made
+    near-duplicate-aware: assignment is keyed on the NEAR-DUP CLUSTER
+    id (b29's connected components over exact n-gram Jaccard pairs),
+    not the document id, so two near-duplicate documents can never
+    land in different splits (the canonical eval-contamination bug:
+    val/test "generalization" measured on near-copies of training
+    docs).  Docs in no cluster are their own singleton cluster —
+    b53's stability property (old docs never move as the corpus
+    grows) is preserved within the unclustered majority.
+
+    Scale: the cluster table is dup-graph-sized (orders of magnitude
+    smaller than the corpus) and LEFT-joins back on doc_id; the split
+    predicate stays a map-side md5 bucket on cluster_id.  Emitted as
+    per-split doc/cluster counts; the no-straddling invariant is
+    pinned edge-by-edge in tests/test_llmops.py."""
+    from .dedup import b29_ngram_jaccard, connected_components
+
+    edges = b29_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(edges).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    tagged = d.join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    b = hash_bucket(F.col("cluster_id"), 100)
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    return (
+        tagged.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+        )
+    )
+
+
+def _b144_oracle() -> str:
+    from .dedup import _CC_ORACLE_PREFIX, NGRAM_THRESHOLD, SQL_SHINGLES
+
+    bucket = SQL_BUCKET.format(key="t.cluster_id", n=100)
+    return (
+        _CC_ORACLE_PREFIX.format(shingles=SQL_SHINGLES, thr=NGRAM_THRESHOLD)
+        + f""",
+    clusters AS (
+      SELECT node AS doc_id, min(lab) AS cluster_id
+      FROM reach GROUP BY node),
+    tagged AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clusters c USING (doc_id))
+    SELECT CASE WHEN {bucket} < 80 THEN 'train'
+                WHEN {bucket} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT t.cluster_id) AS BIGINT) AS n_clusters
+    FROM tagged t GROUP BY 1
+    """
+    )
+
+
+# late-bind the oracle (dedup imports sampling's hash_bucket — keep
+# module import order cycle-free by assembling the SQL lazily here)
+from ..registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["b144_leakage_safe_split"] = _b144_oracle()

@@ -177,6 +177,10 @@ PRIORITY_NEXT: list[str] = [
     # the eod-joined global token stream, distributed two-phase
     # prefix-sum offsets (exact-oracled)
     "b142_concat_chunk",
+    # round-6: near-dup-cluster-keyed train/val/test split — no
+    # near-dup pair can straddle splits (exact-oracled; edge-by-edge
+    # invariant in tests/test_llmops.py)
+    "b144_leakage_safe_split",
 ]
 
 

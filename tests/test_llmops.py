@@ -632,3 +632,40 @@ def test_b139_substring_dedup_planted_spans(spark):
     assert out[7] == (2, 0, "h1 h2")                   # sub-k untouched
     assert out[8] == (8, 6, "q1 q2")                   # maximal span
     assert out[9] == (9, 6, "r1 r2 r3")
+
+
+def test_b144_no_near_dup_pair_straddles_splits(spark, sf_dir):
+    """b144's whole point, pinned edge-by-edge: for EVERY exact n-gram
+    Jaccard near-dup pair, both endpoints land in the same split; and
+    the split remains disjoint+exhaustive over the corpus."""
+    import pyspark.sql.functions as F
+
+    from etl_wildweb_spark.io import table
+    from etl_wildweb_spark.operators.dedup import (
+        b29_ngram_jaccard,
+        connected_components,
+    )
+    from etl_wildweb_spark.operators.sampling import hash_bucket
+
+    edges = b29_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(edges).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    tagged = d.join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    b = hash_bucket(F.col("cluster_id"), 100)
+    split_of = {
+        r["doc_id"]: r["split"]
+        for r in tagged.withColumn(
+            "split",
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
+        ).collect()
+    }
+    n_docs = d.count()
+    assert len(split_of) == n_docs  # exhaustive, one split per doc
+    pairs = edges.collect()
+    assert pairs, "fixture must contain near-dup pairs"
+    for r in pairs:
+        assert split_of[r["id_a"]] == split_of[r["id_b"]], r
