@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "b140_kll_quantile_rollup",
     "b141_theta_retention_sketch",
     "b142_concat_chunk",
+    "b143_cms_rollup",
     "b144_leakage_safe_split",
 ]
 

@@ -755,3 +755,101 @@ def b130_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("delta_ppm"),
     )
+
+
+# ------------------------------------------- mergeable count-min sketch
+
+#: CMS geometry: 4 independent hash rows x 64 counters.  Tiny on
+#: purpose — the corpus vocabulary is ~30 tokens, so estimates are
+#: near-exact while the collision path still gets exercised; scale the
+#: width with ln(1/delta)/epsilon in production.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def _cms_bucket(tok: F.Column, d: F.Column) -> F.Column:
+    """Counter index of token ``tok`` in hash row ``d`` — md5-based so
+    the identical arithmetic replays in any engine (the hash_bucket
+    portability argument, sampling.py)."""
+    key = F.concat(tok, F.lit(":"), d.cast("string")).cast("binary")
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+        % CMS_WIDTH
+    )
+
+
+_SQL_CMS_BUCKET = (
+    "CAST(('0x' || substr(md5({tok} || ':' || {d}), 1, 8)) AS BIGINT)"
+    f" % {CMS_WIDTH}"
+)
+
+
+@query(
+    "b143_cms_rollup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, t.token
+      FROM documents, unnest(string_split(text, ' ')) AS t(token)),
+    depths AS (SELECT unnest(range({CMS_DEPTH})) AS d),
+    cells AS (
+      SELECT source, depths.d,
+             {_SQL_CMS_BUCKET.format(tok="token", d="depths.d")} AS bucket,
+             count(*) AS c
+      FROM toks CROSS JOIN depths
+      GROUP BY 1, 2, 3),
+    merged AS (
+      SELECT d, bucket, sum(c) AS c FROM cells GROUP BY 1, 2),
+    qt AS (SELECT DISTINCT token FROM toks)
+    SELECT q.token, CAST(min(m.c) AS BIGINT) AS est_count
+    FROM qt q CROSS JOIN depths dd
+    JOIN merged m
+      ON m.d = dd.d
+     AND m.bucket = {_SQL_CMS_BUCKET.format(tok="q.token", d="dd.d")}
+    GROUP BY q.token
+    """,
+)
+def b143_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE COUNT-MIN SKETCH — the frequency-estimation member of
+    the mergeable-sketch family (cardinality b60, quantiles b140, set
+    algebra b141): per-SOURCE counter grids (depth x width cells as
+    relational rows, not opaque bytes) merged into the corpus grid by
+    plain counter addition — the CMS merge law — then every distinct
+    token point-queried as min over its {CMS_DEPTH} hash-row counters.
+    Unlike b109's Misra-Gries (top-k only), a CMS answers ANY
+    frequency query after the fact, and per-source grids persist as
+    the incremental-rollup partials.
+
+    md5-derived bucket indices make the sketch bit-identical across
+    engines, so this approximate structure is EXACT-oracled: DuckDB
+    rebuilds the same grid and must match every estimate, collisions
+    included.  The est >= true overestimate bound is pinned in
+    tests/test_mining_invariants.py.
+
+    Scale: the token stream expands x{CMS_DEPTH} into a map-side-
+    combining groupBy that collapses to |sources| x {CMS_DEPTH} x
+    {CMS_WIDTH} cells; the merge aggregates cell rows (never raw
+    tokens); the probe joins the vocabulary against the
+    {CMS_DEPTH * CMS_WIDTH}-row merged grid — broadcast-sized by
+    construction at any corpus scale."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    depths = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    cells = (
+        toks.select("source", "token", F.explode(depths).alias("d"))
+        .groupBy("source", "d", _cms_bucket(F.col("token"), F.col("d")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = cells.groupBy("d", "bucket").agg(F.sum("c").alias("c"))
+    probe = (
+        toks.select("token")
+        .distinct()
+        .select("token", F.explode(depths).alias("d"))
+        .withColumn("bucket", _cms_bucket(F.col("token"), F.col("d")))
+    )
+    return (
+        probe.join(F.broadcast(merged), ["d", "bucket"])
+        .groupBy("token")
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+    )

@@ -181,6 +181,10 @@ PRIORITY_NEXT: list[str] = [
     # near-dup pair can straddle splits (exact-oracled; edge-by-edge
     # invariant in tests/test_llmops.py)
     "b144_leakage_safe_split",
+    # round-6: mergeable count-min sketch rollup — md5 buckets make
+    # the approximate grid exactly replayable in DuckDB
+    # (exact-oracled; overestimate bound in tests/test_mining_invariants.py)
+    "b143_cms_rollup",
 ]
 
 

@@ -100,3 +100,32 @@ def test_slice_overlap_symmetric_bounds(spark, sf_dir):
         assert r.lang_a < r.lang_b
         assert 0 <= r.n_inter <= r.n_union
         assert 0 <= r.jaccard_ppm <= 1_000_000
+
+
+def test_cms_estimates_bounded_overestimates(spark, sf_dir):
+    """b143: CMS point estimates are NEVER below the true count (min
+    over rows of non-negative-summed counters) and never exceed
+    true + N/width per the classic bound (here with the generous
+    constant 2 to absorb the tiny grid)."""
+    from etl_wildweb_spark import registry
+    from etl_wildweb_spark.io import table
+    from etl_wildweb_spark.operators.mining import CMS_WIDTH
+    import pyspark.sql.functions as F
+
+    registry.load_all()
+    est = {
+        r["token"]: r["est_count"]
+        for r in registry.QUERIES["b143_cms_rollup"](spark, sf_dir).collect()
+    }
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    exact = {
+        r["token"]: r["n"]
+        for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_stream = sum(exact.values())
+    assert set(est) == set(exact)
+    for t, e in est.items():
+        assert e >= exact[t], (t, e, exact[t])
+        assert e <= exact[t] + 2 * n_stream / CMS_WIDTH, (t, e, exact[t])
