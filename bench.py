@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "b142_concat_chunk",
     "b143_cms_rollup",
     "b144_leakage_safe_split",
+    "b145_zorder_layout",
 ]
 
 

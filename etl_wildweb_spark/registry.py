@@ -185,6 +185,10 @@ PRIORITY_NEXT: list[str] = [
     # the approximate grid exactly replayable in DuckDB
     # (exact-oracled; overestimate bound in tests/test_mining_invariants.py)
     "b143_cms_rollup",
+    # round-6: Z-order layout index — normalized bit-interleave +
+    # per-bucket min/max boxes (exact-oracled; two-dimension pruning
+    # measured in tests/test_bucketing.py)
+    "b145_zorder_layout",
 ]
 
 

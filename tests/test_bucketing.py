@@ -102,3 +102,63 @@ def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
     # pruning is semantic too: only 1996 rows come back
     expected = o.filter(F.year("o_orderdate") == 1996).count()
     assert filtered.count() == expected > 0
+
+
+def test_b145_zorder_prunes_both_dimensions(spark, sf_dir):
+    """The Z-layout's measurable claim: for a suppkey-only box query a
+    partkey-sorted layout can prune NOTHING (every bucket spans the
+    full suppkey range) while the Z-layout touches a small fraction of
+    buckets; for a partkey-only query the Z-layout still touches far
+    fewer than all buckets (the documented trade: slightly worse than
+    the dedicated single-column sort, usable on BOTH columns)."""
+    import pyspark.sql.functions as F
+
+    from etl_wildweb_spark import registry
+    from etl_wildweb_spark.io import table
+
+    registry.load_all()
+    zboxes = [
+        (r.min_pk, r.max_pk, r.min_sk, r.max_sk)
+        for r in registry.QUERIES["b145_zorder_layout"](
+            spark, sf_dir
+        ).collect()
+    ]
+    # baseline layout: same bucket count, contiguous partkey ranges
+    li = table(spark, sf_dir, "lineitem")
+    pkmax = li.agg(F.max("l_partkey")).collect()[0][0]
+    pboxes = [
+        (r.min_pk, r.max_pk, r.min_sk, r.max_sk)
+        for r in (
+            li.groupBy(
+                F.expr(f"(l_partkey * 32) div ({pkmax} + 1)").alias("b")
+            ).agg(
+                F.min("l_partkey").alias("min_pk"),
+                F.max("l_partkey").alias("max_pk"),
+                F.min("l_suppkey").alias("min_sk"),
+                F.max("l_suppkey").alias("max_sk"),
+            )
+        ).collect()
+    ]
+    skmax = li.agg(F.max("l_suppkey")).collect()[0][0]
+
+    def touched(boxes, pk_rng, sk_rng):
+        return sum(
+            1
+            for (p0, p1, s0, s1) in boxes
+            if p1 >= pk_rng[0] and p0 <= pk_rng[1]
+            and s1 >= sk_rng[0] and s0 <= sk_rng[1]
+        )
+
+    # suppkey-only box (~20% of the suppkey domain), full partkey range
+    sk_q = (skmax // 2, skmax // 2 + skmax // 5)
+    z_sk = touched(zboxes, (0, pkmax), sk_q)
+    p_sk = touched(pboxes, (0, pkmax), sk_q)
+    assert p_sk == len(pboxes), "pk-sort must be useless for sk queries"
+    assert z_sk * 2 <= p_sk, (z_sk, p_sk)
+
+    # partkey-only box (~10% of the partkey domain), full suppkey range
+    pk_q = (pkmax // 2, pkmax // 2 + pkmax // 10)
+    z_pk = touched(zboxes, pk_q, (0, skmax))
+    p_pk = touched(pboxes, pk_q, (0, skmax))
+    assert p_pk <= 5, "dedicated sort should prune near-perfectly"
+    assert z_pk < len(zboxes) // 2, (z_pk, len(zboxes))
