@@ -393,3 +393,80 @@ def b32_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     blobs = d.mapInPandas(make_ppm_batches, schema=PPM_SCHEMA)
     return blobs.mapInPandas(ppm_resize_batches, schema=PPM_RESIZE_SCHEMA)
+
+
+# ------------------------------------- binaryFile ingest (real files)
+
+#: Docs materialized as .ppm files per b146 invocation (bounded
+#: fixture; the operator under test is the source, not the encoder).
+_BINFILE_N = 200
+
+
+def write_ppm_files(d: DataFrame, out_dir: str) -> None:
+    """Materialize (doc_id, text) rows as ``<doc_id>.ppm`` FILES —
+    distributed: each task writes its partition's files directly
+    (local-FS semantics in local mode; at cluster scale out_dir is a
+    shared object store and this is exactly how image shards land).
+    No driver-side loop, no collect."""
+
+    def write_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                tmp = os.path.join(out_dir, f".{doc_id}.ppm.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(make_ppm_bytes(doc_id, text))
+                os.replace(tmp, os.path.join(out_dir, f"{doc_id}.ppm"))
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    d.mapInPandas(write_batches, schema="n int").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
+@query("b146_binaryfile_ingest")  # filesystem fixture round-trip → rows-only
+def b146_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32/A3 through Spark's REAL ``binaryFile`` source — the ingest
+    path an image/audio crawl actually uses: opaque media FILES on
+    (shared) storage → one row per file with (path, length, content),
+    ``pathGlobFilter`` narrowing the listing to the target format,
+    doc ids recovered from filenames, bytes decoded by the same
+    Arrow-batched P6 parser as the in-memory path.  The fixture
+    materializes 200 real .ppm files (distributed writer, no
+    driver loop) and reads them back; tests/test_llmops.py pins the
+    decoded features byte-equal to b32_ppm_decode's in-memory results
+    for the same docs.
+
+    Scale: binaryFile is a standard FileFormat — listing parallelizes,
+    files split across tasks (one row each, content never pre-read on
+    the driver), and the decode stays the same narrow mapInPandas; the
+    per-file row carries length/modificationTime so size-gating
+    (spark.sql.sources.binaryFile.maxLength) happens before any byte
+    moves.  Rows-only: file paths/mtimes are environment facts."""
+    import tempfile
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < _BINFILE_N)
+    )
+    out_dir = tempfile.mkdtemp(prefix="b146_ppm_")
+    write_ppm_files(d, out_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(out_dir)
+    )
+    blobs = files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.ppm$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("content").alias("ppm"),
+    )
+    return blobs.mapInPandas(ppm_decode_batches, schema=PPM_DECODE_SCHEMA)

@@ -189,6 +189,10 @@ PRIORITY_NEXT: list[str] = [
     # per-bucket min/max boxes (exact-oracled; two-dimension pruning
     # measured in tests/test_bucketing.py)
     "b145_zorder_layout",
+    # round-6: multimodal ingest through the real binaryFile source
+    # (rows-only — file paths are environment facts; byte-equivalence
+    # to the in-memory decode in tests/test_llmops.py)
+    "b146_binaryfile_ingest",
 ]
 
 

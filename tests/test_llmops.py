@@ -669,3 +669,25 @@ def test_b144_no_near_dup_pair_straddles_splits(spark, sf_dir):
     assert pairs, "fixture must contain near-dup pairs"
     for r in pairs:
         assert split_of[r["id_a"]] == split_of[r["id_b"]], r
+
+
+def test_b146_binaryfile_roundtrip_matches_inmemory_decode(spark, sf_dir):
+    """b146: decoding real .ppm FILES through the binaryFile source
+    yields byte-identical features to the in-memory encode→decode
+    path for the same documents — the file round-trip adds nothing
+    and loses nothing."""
+    from etl_wildweb_spark import registry
+
+    registry.load_all()
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in registry.QUERIES["b146_binaryfile_ingest"](
+            spark, sf_dir
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in registry.QUERIES["b32_ppm_decode"](spark, sf_dir).collect()
+        if r["doc_id"] < 200
+    }
+    assert got == want and len(got) == 200

@@ -52,6 +52,9 @@ def test_priority_oracle_coverage():
         # round-6 addition: theta-sketch retention set algebra
         # (approximate; accuracy pin in tests/test_new_ops_invariants)
         "b141_theta_retention_sketch",
+        # round-6 addition: binaryFile ingest round-trip (paths/mtimes
+        # are environment facts; byte-equivalence in tests/test_llmops)
+        "b146_binaryfile_ingest",
         # streaming-state entries: micro-batch epoch boundaries are
         # execution facts DuckDB can't replay (tests/test_streaming.py
         # pins batch-equivalence instead)
