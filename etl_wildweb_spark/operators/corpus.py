@@ -400,7 +400,9 @@ _Z_BITS = 10
 #: bits of the zval — the normalized domain is always fully used, so
 #: fixed-shift bucketing is well-populated at every scale).
 _Z_NBUCKETS = 32
-_Z_BSHIFT = 1 << (2 * _Z_BITS - 5)
+#: Z-range width per bucket, DERIVED so the two constants cannot
+#: drift (review finding r6: a hardcoded shift made _Z_NBUCKETS dead).
+_Z_BSHIFT = (1 << (2 * _Z_BITS)) // _Z_NBUCKETS
 
 
 def _z_terms(x: str, y: str, intdiv: str) -> str:
@@ -448,7 +450,7 @@ def b145_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER (Morton) DATA LAYOUT — the multi-dimensional clustering
     that makes min/max file skipping work for MORE THAN ONE filter
     column at once: each dimension is normalized into a
-    {1 << _Z_BITS}-cell grid by its exact column max (one scalar
+    1024-cell grid by its exact column max (one scalar
     aggregate, broadcast — dimension of very different cardinality
     would otherwise monopolize the high bits), then the grid
     coordinates' bits interleave into a 1-D sort key under which every
@@ -469,7 +471,7 @@ def b145_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-column-sorted ones.
 
     Scale: one scalar-max broadcast, one narrow zval map, one
-    map-side-combining groupBy to {_Z_NBUCKETS} rows.  Writing the
+    map-side-combining groupBy to 32 rows.  Writing the
     layout is ``repartitionByRange(zval).sortWithinPartitions(zval)``
     on the same expression — the stats table IS this query at file
     granularity."""

@@ -768,20 +768,21 @@ CMS_WIDTH = 64
 
 
 def _cms_bucket(tok: F.Column, d: F.Column) -> F.Column:
-    """Counter index of token ``tok`` in hash row ``d`` — md5-based so
-    the identical arithmetic replays in any engine (the hash_bucket
-    portability argument, sampling.py)."""
-    key = F.concat(tok, F.lit(":"), d.cast("string")).cast("binary")
-    return (
-        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
-        % CMS_WIDTH
+    """Counter index of token ``tok`` in hash row ``d`` — the SHARED
+    cross-engine md5 bucket (sampling.hash_bucket) over the composed
+    "token:row" key, so there is exactly one copy of the portability
+    contract to keep in sync."""
+    from .sampling import hash_bucket
+
+    return hash_bucket(
+        F.concat(tok, F.lit(":"), d.cast("string")), CMS_WIDTH
     )
 
 
-_SQL_CMS_BUCKET = (
-    "CAST(('0x' || substr(md5({tok} || ':' || {d}), 1, 8)) AS BIGINT)"
-    f" % {CMS_WIDTH}"
-)
+def _sql_cms_bucket(tok: str, d: str) -> str:
+    from .sampling import SQL_BUCKET
+
+    return SQL_BUCKET.format(key=f"{tok} || ':' || {d}", n=CMS_WIDTH)
 
 
 @query(
@@ -793,7 +794,7 @@ _SQL_CMS_BUCKET = (
     depths AS (SELECT unnest(range({CMS_DEPTH})) AS d),
     cells AS (
       SELECT source, depths.d,
-             {_SQL_CMS_BUCKET.format(tok="token", d="depths.d")} AS bucket,
+             {_sql_cms_bucket('token', 'depths.d')} AS bucket,
              count(*) AS c
       FROM toks CROSS JOIN depths
       GROUP BY 1, 2, 3),
@@ -804,7 +805,7 @@ _SQL_CMS_BUCKET = (
     FROM qt q CROSS JOIN depths dd
     JOIN merged m
       ON m.d = dd.d
-     AND m.bucket = {_SQL_CMS_BUCKET.format(tok="q.token", d="dd.d")}
+     AND m.bucket = {_sql_cms_bucket('q.token', 'dd.d')}
     GROUP BY q.token
     """,
 )

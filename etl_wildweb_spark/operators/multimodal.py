@@ -401,6 +401,21 @@ def b32_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: fixture; the operator under test is the source, not the encoder).
 _BINFILE_N = 200
 
+#: Process-lifetime fixture dir (created lazily, removed at exit).
+_BINFILE_DIR: list[str] = []
+
+
+def _binfile_fixture_dir() -> str:
+    if not _BINFILE_DIR:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="b146_ppm_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _BINFILE_DIR.append(d)
+    return _BINFILE_DIR[0]
+
 
 def write_ppm_files(d: DataFrame, out_dir: str) -> None:
     """Materialize (doc_id, text) rows as ``<doc_id>.ppm`` FILES —
@@ -448,15 +463,20 @@ def b146_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver), and the decode stays the same narrow mapInPandas; the
     per-file row carries length/modificationTime so size-gating
     (spark.sql.sources.binaryFile.maxLength) happens before any byte
-    moves.  Rows-only: file paths/mtimes are environment facts."""
-    import tempfile
+    moves.  Rows-only: file paths/mtimes are environment facts.
 
+    The fixture dir is created ONCE per process and rewritten
+    idempotently (os.replace per file) on each invocation, with an
+    atexit rmtree — the returned frame reads the directory lazily, so
+    an eager per-invocation rmtree is impossible, and an mkdtemp per
+    call would otherwise accumulate 200 files per run (review
+    finding r6)."""
     d = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.col("doc_id") < _BINFILE_N)
     )
-    out_dir = tempfile.mkdtemp(prefix="b146_ppm_")
+    out_dir = _binfile_fixture_dir()
     write_ppm_files(d, out_dir)
     files = (
         spark.read.format("binaryFile")

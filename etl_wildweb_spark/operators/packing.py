@@ -167,9 +167,9 @@ def b142_concat_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single-partition window: each document's shard is its sort key's
     first hex nibble (md5 is uniform, shards are ordered key ranges by
     construction — deterministic and data-independent, no sampled
-    range boundaries to trust), per-shard token totals (16 rows —
-    bounded, collected and cumulated driver-side like b119's shard
-    offsets) broadcast back as shard base offsets, and the
+    range boundaries to trust), per-shard token totals (16 rows)
+    cumulated by a bounded 16-row window and broadcast back as shard
+    base offsets, and the
     within-shard running sum is a shard-partitioned window.  The chunk
     reassembly groupBy then shuffles each token to its window — that
     shuffle IS the output layout being produced, the one unavoidable
@@ -190,22 +190,23 @@ def b142_concat_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n", F.size("ts").cast("bigint"))
     )
-    # phase 1: per-shard totals — 16 rows, O(1) collect
-    totals = {
-        r["pid"]: r["tot"]
-        for r in docs.groupBy("pid").agg(F.sum("n").alias("tot")).collect()
-    }
-    base, acc = {}, 0
-    for pid in sorted(totals):
-        base[pid] = acc
-        acc += totals[pid]
+    # phase 1: per-shard totals cumulated into base offsets — 16 rows,
+    # so the unpartitioned exclusive-sum window below is bounded by
+    # construction (the pq_codebooks argument), and the whole plan
+    # stays LAZY: no driver-side collect at build time, so schema-only
+    # introspection of this query executes nothing (review finding r6).
+    from pyspark.sql.window import Window as W
+
+    shard_w = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
     base_df = F.broadcast(
-        docs.sparkSession.createDataFrame(
-            [(pid, off) for pid, off in base.items()], "pid int, base bigint"
+        docs.groupBy("pid")
+        .agg(F.sum("n").alias("tot"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("tot").over(shard_w), F.lit(0)).alias("base"),
         )
     )
     # phase 2: within-partition exclusive running sum + partition base
-    from pyspark.sql.window import Window as W
 
     run = (
         W.partitionBy("pid")

@@ -357,10 +357,33 @@ def b133_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "b144_leakage_safe_split",
-    oracle=None,  # assembled below (needs dedup module constants)
-)
+def _b144_oracle() -> str:
+    # dedup has no import back into sampling (verified), so the oracle
+    # assembles through the normal decorator path — no registry
+    # mutation side-channel (review finding r6)
+    from .dedup import _CC_ORACLE_PREFIX, NGRAM_THRESHOLD, SQL_SHINGLES
+
+    bucket = SQL_BUCKET.format(key="t.cluster_id", n=100)
+    return (
+        _CC_ORACLE_PREFIX.format(shingles=SQL_SHINGLES, thr=NGRAM_THRESHOLD)
+        + f""",
+    clusters AS (
+      SELECT node AS doc_id, min(lab) AS cluster_id
+      FROM reach GROUP BY node),
+    tagged AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clusters c USING (doc_id))
+    SELECT CASE WHEN {bucket} < 80 THEN 'train'
+                WHEN {bucket} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT t.cluster_id) AS BIGINT) AS n_clusters
+    FROM tagged t GROUP BY 1
+    """
+    )
+
+
+@query("b144_leakage_safe_split", oracle=_b144_oracle())
 def b144_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEAKAGE-SAFE train/val/test split — b53's hash split made
     near-duplicate-aware: assignment is keyed on the NEAR-DUP CLUSTER
@@ -397,33 +420,3 @@ def b144_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("cluster_id").alias("n_clusters"),
         )
     )
-
-
-def _b144_oracle() -> str:
-    from .dedup import _CC_ORACLE_PREFIX, NGRAM_THRESHOLD, SQL_SHINGLES
-
-    bucket = SQL_BUCKET.format(key="t.cluster_id", n=100)
-    return (
-        _CC_ORACLE_PREFIX.format(shingles=SQL_SHINGLES, thr=NGRAM_THRESHOLD)
-        + f""",
-    clusters AS (
-      SELECT node AS doc_id, min(lab) AS cluster_id
-      FROM reach GROUP BY node),
-    tagged AS (
-      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-      FROM documents d LEFT JOIN clusters c USING (doc_id))
-    SELECT CASE WHEN {bucket} < 80 THEN 'train'
-                WHEN {bucket} < 90 THEN 'val'
-                ELSE 'test' END AS split,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(DISTINCT t.cluster_id) AS BIGINT) AS n_clusters
-    FROM tagged t GROUP BY 1
-    """
-    )
-
-
-# late-bind the oracle (dedup imports sampling's hash_bucket — keep
-# module import order cycle-free by assembling the SQL lazily here)
-from ..registry import ORACLES as _ORACLES  # noqa: E402
-
-_ORACLES["b144_leakage_safe_split"] = _b144_oracle()

@@ -935,14 +935,16 @@ def substring_dedup(d: DataFrame, k: int = _SUB_K) -> DataFrame:
     rewrite and the parallelism lift below: 52 s → 7.4 s at the 16x
     sweep (2.2 s at sf0.1)."""
     ts = F.split("text", " ")
+    from ..io import lift_parallelism
+
     # Lift parallelism BEFORE the gram stream: the doc table often
     # arrives as a handful of parquet splits, and every downstream
     # narrow stage (per-position slice+hash — the CPU-heavy part)
     # would inherit that width (measured: 2 tasks doing 18 s of
-    # hashing that 32 do in ~1 s).  One doc-table-sized round-robin
-    # exchange buys full-cluster width for the whole dataflow — the
-    # b29 minhash lift_parallelism argument.
-    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    # hashing that 32 do in ~1 s).  The shared helper hash-partitions
+    # (deterministic → ReusedExchange-eligible for the five consumers
+    # below) and no-ops when the scan already has enough splits.
+    d = lift_parallelism(d, "doc_id")
     gh_stream = (
         d.filter(F.size(ts) >= k)
         .select(

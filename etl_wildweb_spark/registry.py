@@ -53,9 +53,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def schema_of(spark: SparkSession, sf_dir: str, name: str):
     """Result schema (StructType) of a registered query — resolved by
-    Catalyst against the given corpus, no execution.  NOTE: the
-    streaming rows-only queries (b23/b24) execute eagerly by design;
-    introspect batch queries freely, streaming ones deliberately."""
+    Catalyst against the given corpus, usually without execution.
+    NOTE the exceptions: the streaming rows-only queries (b23/b24)
+    execute eagerly by design, and the iterative/fixture builders
+    (connected-components family b29_dup_clusters/b29_cc_bigstar/
+    b144, the checkpointed closures b129/b131, b139's materialized
+    coverage set, the side-effecting connector demos) run work at
+    build time — introspect plain batch queries freely, these
+    deliberately."""
     load_all()
     return QUERIES[name](spark, sf_dir).schema
 

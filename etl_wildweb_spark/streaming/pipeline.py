@@ -89,6 +89,12 @@ def run_stream_pipeline(
     deadline = time.time() + timeout_sec
     try:
         while time.time() < deadline:
+            if not q.isActive and q.exception() is not None:
+                # surface the REAL failure immediately — without this a
+                # dead query would poll out the whole deadline and be
+                # misreported as a timeout (the awaitTermination path in
+                # write_submit_stream gets this for free)
+                raise q.exception()
             done = os.path.isdir(commits) and (
                 sum(n.isdigit() for n in os.listdir(commits)) >= max_polls
             )
@@ -119,19 +125,25 @@ def b138_stream_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_polls × the batch pipeline's output over the same feed, zero
     failed chunks, and a forced restart on the completed checkpoint
     re-delivers nothing and returns byte-identical manifests."""
+    import shutil
     import tempfile
 
     from ..sources.http import _DEMO_CENTERS
 
     tmp = tempfile.mkdtemp(prefix="b138_")
-    manifests = run_stream_pipeline(
-        spark,
-        _DEMO_CENTERS,
-        max_polls=2,
-        manifest_dir=os.path.join(tmp, "m"),
-        checkpoint_dir=os.path.join(tmp, "ck"),
-        chunk_size=64,
-    )
+    try:
+        manifests = run_stream_pipeline(
+            spark,
+            _DEMO_CENTERS,
+            max_polls=2,
+            manifest_dir=os.path.join(tmp, "m"),
+            checkpoint_dir=os.path.join(tmp, "ck"),
+            chunk_size=64,
+        )
+    finally:
+        # manifests are already local dicts; the checkpoint must not
+        # accumulate across invocations — b135's rmtree discipline
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         [
             (
