@@ -245,7 +245,8 @@ _SHUFFLE_BUDGET = {
     "b139_substring_dedup": 7,   # lift repartitions + hash freq + exact-confirm
     #   agg + coverage distinct + touched joins + doc agg (all but the
     #   hash-freq pass run over duplicated-span volume, not corpus)
-    "b142_concat_chunk": 3,      # shard totals + shard window + chunk agg
+    "b142_concat_chunk": 5,      # shard totals + 16-row offset window (lazy,
+    #   replaced the driver-side cumulation) + shard window + chunk agg
 }
 
 
@@ -270,6 +271,10 @@ def test_shuffle_budget_not_exceeded(plans, name):
 #   rollup, so it inherits the same bound.
 _NESTED_LOOP_OK = {
     "b07_join_range",
+    # scalar-aggregate broadcast: the "join" side is the 1-row exact
+    # max (b145's per-dim normalization constants) — a scalar subquery
+    # in join clothing, fan-out exactly 1 regardless of data volume
+    "b145_zorder_layout",
     "b30_cosine_topk",
     "b30_ann_ivf",
     "b30_ann_lsh",
