@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "b143_cms_rollup",
     "b144_leakage_safe_split",
     "b145_zorder_layout",
+    "b147_mad_outliers",
 ]
 
 

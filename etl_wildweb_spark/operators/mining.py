@@ -861,3 +861,118 @@ def b143_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.min("c").cast("bigint").alias("est_count"))
     )
+
+
+# ------------------------------------------- robust (MAD) outliers
+
+@query(
+    "b147_mad_outliers",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority AS prio,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    h1 AS (SELECT prio, cents, count(*) AS c FROM cents GROUP BY 1, 2),
+    c1 AS (
+      SELECT prio, cents,
+             sum(c) OVER (PARTITION BY prio ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY prio) AS n
+      FROM h1),
+    med AS (
+      SELECT prio, min(cents) AS med, min(n) AS n
+      FROM c1 WHERE cum >= (n + 1) // 2 GROUP BY prio),
+    dev AS (
+      SELECT c.prio, abs(c.cents - m.med) AS dev
+      FROM cents c JOIN med m USING (prio)),
+    h2 AS (SELECT prio, dev, count(*) AS c FROM dev GROUP BY 1, 2),
+    c2 AS (
+      SELECT prio, dev,
+             sum(c) OVER (PARTITION BY prio ORDER BY dev
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY prio) AS n
+      FROM h2),
+    mad AS (
+      SELECT prio, min(dev) AS mad
+      FROM c2 WHERE cum >= (n + 1) // 2 GROUP BY prio)
+    SELECT d.prio,
+           CAST(min(m.n) AS BIGINT) AS n_rows,
+           CAST(min(m.med) AS BIGINT) AS med_cents,
+           CAST(min(a.mad) AS BIGINT) AS mad_cents,
+           CAST(sum(CASE WHEN 2 * d.dev > 3 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN med m USING (prio) JOIN mad a USING (prio)
+    GROUP BY 1
+    """,
+)
+def b147_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection per priority class — b104's
+    moment-based z-score breaks down when the contamination itself
+    inflates μ and σ (the masking effect); the robust version uses the
+    MEDIAN and the MEDIAN ABSOLUTE DEVIATION, both 50%-breakdown
+    estimators, flagging x where |x − med| > (3/2)·MAD.  Everything
+    stays integer-exact: cents-scaled values, two b50-style histogram
+    walks (median of values, then median of absolute deviations — the
+    thresholds are ⌈n/2⌉ cumulative counts, no interpolation), and the
+    decision predicate 2·dev > 3·MAD cleared of fractions — Spark and
+    DuckDB agree bit-for-bit at every boundary.  (k=3/2 because order
+    totals are uniform: MAD = range/4 there, so the classic k=3 flags
+    nothing by construction; 3/2 flags the real ~25% tail.)
+
+    Scale: two histogram aggregations (each collapses rows to the
+    per-group VALUE DOMAIN before its window — the b50/b63 shape),
+    each group's median/MAD broadcast back as a 5-row table; the final
+    pass is one broadcast join + integer predicate + group count.  No
+    window ever runs over row counts."""
+    o = table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+
+    from pyspark.sql.window import Window as W
+
+    def histogram_median(vals: DataFrame, col: str) -> DataFrame:
+        h = vals.groupBy("prio", col).agg(F.count(F.lit(1)).alias("c"))
+        cum_w = (
+            W.partitionBy("prio")
+            .orderBy(col)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        tot_w = W.partitionBy("prio")
+        c = h.select(
+            "prio",
+            col,
+            F.sum("c").over(cum_w).alias("cum"),
+            F.sum("c").over(tot_w).alias("n"),
+        )
+        return (
+            c.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+            .groupBy("prio")
+            .agg(F.min(col).alias(f"med_{col}"), F.min("n").alias("n"))
+        )
+
+    med = histogram_median(cents, "cents").select(
+        "prio", F.col("med_cents").alias("med"), "n"
+    )
+    dev = cents.join(F.broadcast(med), "prio").select(
+        "prio", F.abs(F.col("cents") - F.col("med")).alias("dev")
+    )
+    mad = histogram_median(dev, "dev").select(
+        "prio", F.col("med_dev").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(med), "prio")
+        .join(F.broadcast(mad), "prio")
+        .groupBy("prio")
+        .agg(
+            F.min("n").cast("bigint").alias("n_rows"),
+            F.min("med").cast("bigint").alias("med_cents"),
+            F.min("mad").cast("bigint").alias("mad_cents"),
+            F.sum(
+                F.when(2 * F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -198,6 +198,9 @@ PRIORITY_NEXT: list[str] = [
     # (rows-only — file paths are environment facts; byte-equivalence
     # to the in-memory decode in tests/test_llmops.py)
     "b146_binaryfile_ingest",
+    # round-6: robust MAD outliers — median/MAD histogram walks +
+    # integer decision predicate (exact-oracled)
+    "b147_mad_outliers",
 ]
 
 
