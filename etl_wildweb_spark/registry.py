@@ -201,6 +201,10 @@ PRIORITY_NEXT: list[str] = [
     # round-6: robust MAD outliers — median/MAD histogram walks +
     # integer decision predicate (exact-oracled)
     "b147_mad_outliers",
+    # round-6: A19 error channel under the streaming shape — one
+    # foreachBatch forks features + per-stage error rows per epoch
+    # (rows-only; both-channels≡batch pin in tests/test_stream_pipeline.py)
+    "b148_stream_error_channel",
 ]
 
 

@@ -158,3 +158,121 @@ def b138_stream_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id int, n_rows bigint, n_chunks bigint, "
         "n_failed_chunks bigint, n_tasks bigint",
     )
+
+
+def run_stream_pipeline_with_errors(
+    spark: SparkSession,
+    centers: list[str],
+    *,
+    max_polls: int,
+    out_dir: str,
+    checkpoint_dir: str,
+    transport: str = "fake",
+    incident_range: str | None = None,
+    timeout_sec: int = 180,
+) -> dict:
+    """The composed dataflow WITH the reference's A19 error channel
+    under streaming (task.ts:75-157: per-center failures accumulate
+    and partial results still ship).  One streaming query; its
+    foreachBatch forks each micro-batch through run_pipeline and
+    appends BOTH channels — per-epoch feature counts and per-stage
+    error rows — to parquet delivery logs.  foreachBatch is the Spark
+    idiom for exactly this one-source/two-sinks epoch fan-out: inside
+    the hook the batch is a plain DataFrame, so the batch-proven A5-A17
+    stages run verbatim and write atomically per epoch under the
+    query's checkpoint.
+
+    Returns {"features": n, "errors": {(stage, reason): n}} read back
+    from the logs.  Scale notes are b138's (narrow stages, O(1)
+    checkpoint); the second channel adds one more write of
+    error-volume rows — data-proportional only to what FAILED."""
+    import os as _os
+
+    from pyspark.sql import functions as F2
+
+    from ..ingest.wildweb import flatten_features, run_pipeline
+    from ..sources.http import read_centers_stream
+
+    feat_dir = _os.path.join(out_dir, "features")
+    err_dir = _os.path.join(out_dir, "errors")
+    raw = read_centers_stream(
+        spark, centers, max_polls=max_polls, transport=transport
+    )
+
+    def fork(batch_df, epoch_id: int) -> None:
+        features, errors = run_pipeline(
+            batch_df, incident_range, F2.current_timestamp()
+        )
+        flatten_features(features).withColumn(
+            "epoch", F2.lit(epoch_id).cast("bigint")
+        ).write.mode("append").parquet(feat_dir)
+        errors.withColumn(
+            "epoch", F2.lit(epoch_id).cast("bigint")
+        ).write.mode("append").parquet(err_dir)
+
+    q = (
+        raw.writeStream.foreachBatch(fork)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    commits = _os.path.join(checkpoint_dir, "commits")
+    deadline = time.time() + timeout_sec
+    try:
+        while time.time() < deadline:
+            if not q.isActive and q.exception() is not None:
+                raise q.exception()
+            if _os.path.isdir(commits) and (
+                sum(n.isdigit() for n in _os.listdir(commits)) >= max_polls
+            ):
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("stream pipeline (errors) did not drain")
+    finally:
+        q.stop()
+    feats = spark.read.parquet(feat_dir)
+    errs = spark.read.parquet(err_dir)
+    err_counts = {
+        (r["stage"], r["reason"]): r["n"]
+        for r in errs.groupBy("stage", "reason")
+        .agg(F2.count(F2.lit(1)).alias("n"))
+        .collect()
+    }
+    return {"features": feats.count(), "errors": err_counts}
+
+
+@query("b148_stream_error_channel")  # two-channel epoch fan-out → rows-only
+def b148_stream_error_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 under the production streaming shape: the 12-center demo
+    feed (4 centers exercising the HTTP/decode/cardinality error
+    paths) through the composed stream with BOTH channels delivered —
+    features to one parquet log, per-stage error rows to another, per
+    epoch, under one checkpoint.  Returns per-(stage, reason) error
+    counts plus the feature total as rows.  Rows-only: epoch fan-out
+    and delivery logs are execution facts; tests/test_stream_pipeline.py
+    pins both channels equal to the batch pipeline's output x
+    max_polls and that partial results ship despite failing centers
+    (the task.ts:151-157 semantics)."""
+    import shutil
+    import tempfile
+
+    from ..sources.http import _DEMO_CENTERS
+
+    tmp = tempfile.mkdtemp(prefix="b148_")
+    try:
+        out = run_stream_pipeline_with_errors(
+            spark,
+            _DEMO_CENTERS,
+            max_polls=2,
+            out_dir=os.path.join(tmp, "out"),
+            checkpoint_dir=os.path.join(tmp, "ck"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    rows = [("features", "delivered", out["features"])] + [
+        (stage, reason, n) for (stage, reason), n in sorted(out["errors"].items())
+    ]
+    return spark.createDataFrame(
+        rows, "channel string, detail string, n bigint"
+    )

@@ -55,6 +55,9 @@ def test_priority_oracle_coverage():
         # round-6 addition: binaryFile ingest round-trip (paths/mtimes
         # are environment facts; byte-equivalence in tests/test_llmops)
         "b146_binaryfile_ingest",
+        # round-6 addition: two-channel streaming fan-out (epoch logs
+        # are execution facts; channel pins in tests/test_stream_pipeline)
+        "b148_stream_error_channel",
         # streaming-state entries: micro-batch epoch boundaries are
         # execution facts DuckDB can't replay (tests/test_streaming.py
         # pins batch-equivalence instead)

@@ -138,3 +138,46 @@ def test_registered_query_shape(spark, sf_dir):
     assert [r["batch_id"] for r in rows] == [0, 1]
     assert all(r["n_rows"] > 0 for r in rows)
     assert all(r["n_failed_chunks"] == 0 for r in rows)
+
+
+def test_stream_error_channel_matches_batch(spark, sf_dir, batch_features):
+    """b148: both channels under streaming equal max_polls x the batch
+    dataflow over the same feed — features delivered AND per-stage
+    error rows — proving partial results ship while failures
+    accumulate (the reference's A19 semantics, task.ts:75-157)."""
+    import pyspark.sql.functions as F
+
+    from etl_wildweb_spark.ingest.wildweb import run_pipeline
+    from etl_wildweb_spark.sources.http import _DEMO_CENTERS, read_centers
+    from etl_wildweb_spark.streaming.pipeline import (
+        run_stream_pipeline_with_errors,
+    )
+
+    raw = read_centers(spark, _DEMO_CENTERS, transport="fake").cache()
+    _, batch_errors = run_pipeline(raw, None, F.current_timestamp())
+    want_err = {
+        (r["stage"], r["reason"]): r["n"] * MAX_POLLS
+        for r in batch_errors.groupBy("stage", "reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    raw.unpersist()
+    assert want_err, "fixture must exercise error paths"
+
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="b148t_")
+    try:
+        out = run_stream_pipeline_with_errors(
+            spark,
+            _DEMO_CENTERS,
+            max_polls=MAX_POLLS,
+            out_dir=os.path.join(tmp, "out"),
+            checkpoint_dir=os.path.join(tmp, "ck"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert out["features"] == MAX_POLLS * len(batch_features)
+    assert out["errors"] == want_err
