@@ -1133,3 +1133,114 @@ def b128_slice_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("jaccard_ppm"),
     )
+
+
+# ------------------------------------------------- semantic dedup
+
+#: SemDeDup decision threshold in integer micro-cosine.  The synthetic
+#: embeddings top out near cos 0.53 (no planted near-identical pairs),
+#: so the demo threshold sits inside the data's range to keep the
+#: operator non-vacuous; production SemDeDup runs the same plan at
+#: ~0.95+.  The predicate compares round(1e6·cos) to this integer so a
+#: 1-ulp cross-engine difference in the double cosine cannot flip a
+#: keep/drop decision (the b147 integer-decision-predicate rule).
+SEMDEDUP_TAU_MICRO = 400_000
+SEMDEDUP_K = 8  # deterministic seed centroids: the lowest vec_ids
+
+
+@query(
+    "b149_semdedup",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      WHERE vec_id < {SEMDEDUP_K}),
+    best AS (
+      SELECT e.vec_id, cid AS cluster_id, e.embedding
+      FROM (
+        SELECT e.vec_id, c.cid, e.embedding,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(
+                            e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                          c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN c) e
+      WHERE rn = 1),
+    dup AS (
+      SELECT b.vec_id, count(*) AS n_sem_dups
+      FROM best a JOIN best b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE CAST(round(1000000 * list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[])) AS BIGINT)
+            >= {SEMDEDUP_TAU_MICRO}
+      GROUP BY b.vec_id)
+    SELECT best.vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(coalesce(n_sem_dups, 0) AS BIGINT) AS n_sem_dups,
+           n_sem_dups IS NULL AS keep
+    FROM best LEFT JOIN dup ON best.vec_id = dup.vec_id
+    """,
+)
+def b149_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — semantic deduplication by cluster-then-prune (Abbas
+    et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): route every embedding to its
+    nearest seed centroid, compare pairs ONLY within a cluster, and
+    drop any vector with a higher-similarity twin of lower vec_id
+    (the cheap min-id survivor rule; full transitive grouping is
+    b29_dup_clusters' job).  Output: one row per vector with its
+    cluster, its lower-id duplicate count, and the keep decision.
+
+    Engine shape — the whole point of SemDeDup is that the quadratic
+    compare never sees the corpus, only a cluster: centroids broadcast
+    (k rows), assignment is a broadcast-score-rollup identical to
+    b40's, and the pair join is an equi-join on cluster_id.  At 100 TB
+    k grows ~√n (FAISS practice), so cluster sizes — and the per-key
+    fan-out of the self-join — stay bounded; the demo's k=8 is pinned
+    only so the DuckDB oracle can replay the exact assignment.  The
+    keep/drop predicate is integer micro-cosine (see SEMDEDUP_TAU_MICRO)
+    and the argmax tie-break is (cos DESC, cid ASC) — both cross-engine
+    deterministic, which is what makes this dedup mode exact-oracled
+    where LSH/IVF ANN entries are rows-only."""
+    from ..functions.vector import cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    best = (
+        e.select("vec_id", "embedding")
+        .join(F.broadcast(cents))
+        .select("vec_id", "cid", cosine("embedding", "ce").alias("cos_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("cos_sim"), (-F.col("cid")).alias("nc"))
+            ).alias("cluster_id")
+        )
+    )
+    assigned = e.select("vec_id", "embedding").join(best, "vec_id")
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("eb"),
+    )
+    dup = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("vec_id"))
+        .filter(
+            F.round(F.lit(1_000_000) * cosine("ea", "eb")).cast("bigint")
+            >= SEMDEDUP_TAU_MICRO
+        )
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_sem_dups"))
+    )
+    return assigned.join(dup, "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.coalesce("n_sem_dups", F.lit(0)).cast("bigint").alias("n_sem_dups"),
+        F.col("n_sem_dups").isNull().alias("keep"),
+    )

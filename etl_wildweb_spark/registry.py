@@ -205,6 +205,9 @@ PRIORITY_NEXT: list[str] = [
     # foreachBatch forks features + per-stage error rows per epoch
     # (rows-only; both-channels≡batch pin in tests/test_stream_pipeline.py)
     "b148_stream_error_channel",
+    # round-6: SemDeDup — cluster-route + within-cluster prune with an
+    # integer micro-cosine decision predicate (exact-oracled)
+    "b149_semdedup",
 ]
 
 
