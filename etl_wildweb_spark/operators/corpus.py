@@ -498,3 +498,105 @@ def b145_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").cast("bigint").alias("max_sk"),
         )
     )
+
+
+#: BM25 demo query — four mid-frequency vocabulary terms.  k1/b are the
+#: Robertson defaults; both appear as identical decimal literals in the
+#: Spark SQL and the DuckDB oracle so the two engines parse the same
+#: doubles and every arithmetic step is IEEE-identical.
+BM25_TERMS = ("spark", "join", "window", "vector")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@query(
+    "b150_bm25_rank",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents),
+    tf AS (
+      SELECT doc_id, t.token, CAST(count(*) AS BIGINT) AS tf
+      FROM documents, unnest(string_split(text, ' ')) AS t(token)
+      WHERE t.token IN ({_BM25_TERMS_SQL})
+      GROUP BY 1, 2),
+    dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(round(1000000 * (
+               ln(1.0 + ((SELECT count(*) FROM documents) - dfq.df + 0.5)
+                        / (dfq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl)
+                    / ((SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+                       / (SELECT count(*) FROM documents))))
+             )) AS BIGINT) AS c_micro
+      FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)),
+    score AS (
+      SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro,
+             CAST(count(*) AS BIGINT) AS n_terms
+      FROM contrib GROUP BY 1)
+    SELECT doc_id, score_micro, n_terms, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY score_micro DESC, doc_id) AS rank FROM score)
+    WHERE rank <= 20
+    """,
+)
+def b150_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking (Robertson k1=1.2, b=0.75) for a fixed
+    term set — the retrieval scorer behind corpus search / RAG-index
+    quality checks, sitting beside b43's TF-IDF.  Per-(doc, term)
+    contributions are rounded to integer micro-score units FIRST and
+    integer-summed per doc, so the cross-doc aggregation is exact and
+    order-independent; the only floats are per-row ln/÷ with identical
+    literal structure in both engines (a 1-ulp libm skew is 9 orders
+    of magnitude below the 1e-6 rounding grain — the mining.py rule).
+
+    Scale: tokens are filtered to the query terms BEFORE the tf
+    groupBy (predicate on the exploded stream — the corpus never
+    shuffles unmatched tokens); df is a term-sized broadcast; N and
+    avgdl attach as uncorrelated scalar subqueries (tiny independent
+    stages, no BroadcastNestedLoop); the global top-20 plans as
+    TakeOrderedAndProject (ORDER BY + LIMIT), never a one-partition
+    rank window over all matching docs — the final row_number runs
+    over the 20 surviving rows only."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("docs_bm25_v")
+    return spark.sql(
+        f"""
+        WITH dl AS (
+          SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS dl
+          FROM docs_bm25_v),
+        tf AS (
+          SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, explode(split(text, ' ')) AS token
+                FROM docs_bm25_v)
+          WHERE token IN ({_BM25_TERMS_SQL})
+          GROUP BY 1, 2),
+        dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT tf.doc_id,
+                 CAST(round(1000000 * (
+                   ln(1.0 + ((SELECT count(*) FROM docs_bm25_v) - dfq.df + 0.5)
+                            / (dfq.df + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl)
+                        / ((SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+                           / (SELECT count(*) FROM docs_bm25_v))))
+                 )) AS BIGINT) AS c_micro
+          FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)),
+        score AS (
+          SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro,
+                 CAST(count(*) AS BIGINT) AS n_terms
+          FROM contrib GROUP BY 1),
+        top AS (SELECT * FROM score
+                ORDER BY score_micro DESC, doc_id LIMIT 20)
+        SELECT doc_id, score_micro, n_terms,
+               -- constant partition key: the window input is the
+               -- 20-row LIMIT above, so one partition is the design;
+               -- the explicit key documents that and silences Spark's
+               -- empty-partition-spec warning (b45's tot_w pattern)
+               CAST(row_number() OVER (PARTITION BY 'all'
+                 ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+        FROM top
+        """
+    )

@@ -208,6 +208,9 @@ PRIORITY_NEXT: list[str] = [
     # round-6: SemDeDup — cluster-route + within-cluster prune with an
     # integer micro-cosine decision predicate (exact-oracled)
     "b149_semdedup",
+    # round-6: BM25 ranking beside b43's TF-IDF — per-term integer
+    # micro contributions, TakeOrdered top-20 (exact-oracled)
+    "b150_bm25_rank",
 ]
 
 
