@@ -575,11 +575,15 @@ def b150_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM tf GROUP BY 1),
         contrib AS (
           SELECT tf.doc_id,
-                 CAST(round(1000000 * (
-                   ln(1.0 + ((SELECT count(*) FROM docs_bm25_v) - dfq.df + 0.5)
-                            / (dfq.df + 0.5))
-                   * (tf.tf * 2.2)
-                   / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl)
+                 -- every float literal is D-suffixed: Spark parses a
+                 -- bare 1.0 as DECIMAL and its decimal division
+                 -- truncates at ~1e-7, silently diverging from the
+                 -- oracle's pure-double arithmetic (round-6 find)
+                 CAST(round(1000000D * (
+                   ln(1.0D + ((SELECT count(*) FROM docs_bm25_v) - dfq.df + 0.5D)
+                            / (dfq.df + 0.5D))
+                   * (tf.tf * 2.2D)
+                   / (tf.tf + 1.2D * (0.25D + (0.75D * dl.dl)
                         / ((SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
                            / (SELECT count(*) FROM docs_bm25_v))))
                  )) AS BIGINT) AS c_micro

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..io import table
+from ..io import lift_parallelism, table
 from ..registry import query
 
 
@@ -419,4 +419,125 @@ def b144_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.count_distinct("cluster_id").alias("n_clusters"),
         )
+    )
+
+
+# --------------------------------------------- importance reweighting
+
+#: DSIR hashed-feature space: bigrams → md5 buckets.  1024 buckets is
+#: the demo grain (the paper uses 10⁴-10⁶ at web scale — the bucket
+#: table stays broadcast-sized either way, which is the whole design).
+DSIR_BUCKETS = 1024
+
+
+@query(
+    "b151_dsir_weights",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                  FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             {SQL_BUCKET.format(
+                 key="t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1]",
+                 n=DSIR_BUCKETS)} AS bucket
+      FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+            FROM toks)),
+    raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS r_cnt
+            FROM bg GROUP BY 1),
+    tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS t_cnt
+            FROM bg WHERE lang = 'en' GROUP BY 1),
+    ratio AS (
+      SELECT raw.bucket,
+             CAST(round(1000000 * ln(
+               ((coalesce(tgt.t_cnt, 0) + 1.0)
+                  / ((SELECT sum(t_cnt) FROM tgt) + {DSIR_BUCKETS}.0))
+               / ((raw.r_cnt + 1.0)
+                  / ((SELECT sum(r_cnt) FROM raw) + {DSIR_BUCKETS}.0))
+             )) AS BIGINT) AS logratio_micro
+      FROM raw LEFT JOIN tgt USING (bucket)),
+    per_doc AS (
+      SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(ratio.logratio_micro) AS BIGINT) AS weight_micro
+      FROM bg JOIN ratio USING (bucket) GROUP BY 1)
+    SELECT d.doc_id, d.lang,
+           coalesce(p.n_bigrams, 0) AS n_bigrams,
+           coalesce(p.weight_micro, 0) AS weight_micro
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def b151_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hash every bigram
+    into {DSIR_BUCKETS} md5 buckets, estimate add-1-smoothed bucket
+    distributions for the TARGET (lang='en' here — stand-in for any
+    high-quality reference corpus) and the RAW pool, and score each
+    document by the summed log-likelihood ratio of its bigrams.  High
+    weight = looks like the target; the downstream resample (b90's
+    temperature mix / b34's samplers) consumes the weight column.
+
+    Exactness: the per-bucket log ratio is rounded to integer
+    micro-nats ONCE, in the bucket table (≤{DSIR_BUCKETS} rows); doc
+    weights are then pure integer sums — order-independent and
+    replayable, with md5 bucketing identical in both engines
+    (hash_bucket's contract).
+
+    Scale: the corpus is touched twice, both narrow (bigram explode →
+    bucket groupBy, map-side combinable to ≤{DSIR_BUCKETS} rows; then
+    per-(doc, bucket) counts joined to the BROADCAST ratio table).
+    Totals attach as uncorrelated scalar subqueries.  No shuffle ever
+    carries gram strings — only 8-byte bucket ids (the b139 lesson)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.arrays_zip(
+        F.slice(toks, F.lit(1), n - 1), F.slice(toks, F.lit(2), n - 1)
+    )
+    bg = (
+        lift_parallelism(d, "doc_id")
+        .select("doc_id", "lang", F.explode(bigrams).alias("b"))
+        .select(
+            "doc_id",
+            "lang",
+            hash_bucket(
+                F.concat_ws(" ", F.col("b.0"), F.col("b.1")), DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+    bg.createOrReplaceTempView("dsir_bg_v")
+    ratio = spark.sql(
+        f"""
+        WITH raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS r_cnt
+                     FROM dsir_bg_v GROUP BY 1),
+        tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS t_cnt
+                FROM dsir_bg_v WHERE lang = 'en' GROUP BY 1)
+        SELECT raw.bucket,
+               -- D-suffixed double literals: a bare 1.0 parses as
+               -- DECIMAL in Spark SQL and decimal division truncates
+               -- at ~1e-7, diverging from the oracle's double math
+               CAST(round(1000000D * ln(
+                 ((coalesce(tgt.t_cnt, 0) + 1.0D)
+                    / ((SELECT sum(t_cnt) FROM tgt) + {DSIR_BUCKETS}.0D))
+                 / ((raw.r_cnt + 1.0D)
+                    / ((SELECT sum(r_cnt) FROM raw) + {DSIR_BUCKETS}.0D))
+               )) AS BIGINT) AS logratio_micro
+        FROM raw LEFT JOIN tgt USING (bucket)
+        """
+    )
+    per_doc = (
+        bg.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("logratio_micro"))
+            .cast("bigint")
+            .alias("weight_micro"),
+        )
+    )
+    return d.select("doc_id", "lang").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("weight_micro", F.lit(0)).cast("bigint").alias("weight_micro"),
     )

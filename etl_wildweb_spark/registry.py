@@ -211,6 +211,10 @@ PRIORITY_NEXT: list[str] = [
     # round-6: BM25 ranking beside b43's TF-IDF — per-term integer
     # micro contributions, TakeOrdered top-20 (exact-oracled)
     "b150_bm25_rank",
+    # round-6: DSIR importance weights — md5-hashed bigram buckets,
+    # per-bucket integer micro log-ratios, integer doc sums
+    # (exact-oracled)
+    "b151_dsir_weights",
 ]
 
 
