@@ -1267,3 +1267,108 @@ def b131_dag_path_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.join(pc, "u").selectExpr(
         "u AS user_id", "CAST(n_paths AS BIGINT) AS n_paths"
     )
+
+
+# ------------------------------------------------- triangle counting
+
+
+@query(
+    "b152_triangle_count",
+    oracle="""
+    WITH g AS (
+      SELECT DISTINCT event_type, date_trunc('minute', ts) AS m, user_id
+      FROM events),
+    edges AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM g a JOIN g b
+        ON a.event_type = b.event_type AND a.m = b.m
+           AND a.user_id < b.user_id),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges
+            UNION ALL SELECT v AS node FROM edges)
+      GROUP BY 1),
+    arcs AS (
+      SELECT CASE WHEN du.d * 4294967296 + e.u < dv.d * 4294967296 + e.v
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN du.d * 4294967296 + e.u < dv.d * 4294967296 + e.v
+                  THEN e.v ELSE e.u END AS dst
+      FROM edges e JOIN deg du ON e.u = du.node
+                   JOIN deg dv ON e.v = dv.node),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM arcs e1 JOIN arcs e2 ON e1.dst = e2.src
+      WHERE EXISTS (SELECT 1 FROM arcs e3
+                    WHERE e3.src = e1.src AND e3.dst = e2.dst))
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT a AS node FROM tri
+          UNION ALL SELECT b AS node FROM tri
+          UNION ALL SELECT c AS node FROM tri)
+    GROUP BY 1
+    """,
+)
+def b152_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting by degree-ordered orientation (the MapReduce
+    classic — Suri & Vassilvitskii, WWW'11 "Counting Triangles and the
+    Curse of the Last Reducer"): orient every undirected edge from its
+    lower- to its higher-(degree, id) endpoint, enumerate wedges at
+    each arc source, and keep wedges closed by a third arc.  Every
+    triangle is counted exactly once, and the wedge fan-out per node
+    is bounded by its OUT-degree under the orientation — O(m^1.5)
+    total work regardless of skew, where the naive join explodes on
+    hub nodes (the curse the paper names).  Output: per-node triangle
+    participation counts over the user co-occurrence graph (users
+    sharing an (event_type, minute) cell).
+
+    Engine shape: the co-occurrence self-join is an equi-join on the
+    (event_type, minute) cell key, deduped to distinct edges BEFORE
+    any degree math; the orientation needs no global rank — the total
+    order is the arithmetic key d·2³² + id (ids < 2³¹), so no window
+    at all; the wedge join and the closing semi-join are plain hash
+    joins on node keys.  At 100 TB the only skew risk is a hot cell
+    key in the first join (bounded: a cell of k users yields k²
+    pairs — cell grain is chosen so k stays small) and a hot wedge
+    source, which the orientation itself bounds."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type", F.date_trunc("minute", "ts").alias("m"), "user_id"
+    ).distinct()
+    a = g.select("event_type", "m", F.col("user_id").alias("u"))
+    b = g.select("event_type", "m", F.col("user_id").alias("v"))
+    edges = (
+        a.join(b, ["event_type", "m"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), (F.col("d") * 4294967296 + F.col("node")).alias("ord_u"))
+    dv = deg.select(F.col("node").alias("v"), (F.col("d") * 4294967296 + F.col("node")).alias("ord_v"))
+    arcs = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(F.col("ord_u") < F.col("ord_v"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("src"),
+            F.when(F.col("ord_u") < F.col("ord_v"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("dst"),
+        )
+    )
+    e1 = arcs.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = arcs.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = arcs.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"], "left_semi")
+    return (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

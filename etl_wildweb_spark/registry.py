@@ -215,6 +215,10 @@ PRIORITY_NEXT: list[str] = [
     # per-bucket integer micro log-ratios, integer doc sums
     # (exact-oracled)
     "b151_dsir_weights",
+    # round-6: triangle counting by degree-ordered orientation over
+    # the user co-occurrence graph — no window, hash joins only
+    # (exact-oracled)
+    "b152_triangle_count",
 ]
 
 
