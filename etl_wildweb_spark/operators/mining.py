@@ -976,3 +976,91 @@ def b147_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+#: Frequent-items sketch grain: retain a (day, user) cell only when
+#: count · K > day_total — the Misra-Gries/SpaceSaving retention rule
+#: with the guarantee that anything dropped has true count ≤ ⌊n_d/K⌋.
+FREQ_K = 50
+
+
+@query(
+    "b153_freq_items_rollup",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, user_id,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    totals AS (
+      SELECT d, CAST(sum(c) AS BIGINT) AS n_d,
+             CAST(sum(c) // {FREQ_K} AS BIGINT) AS eps_d
+      FROM daily GROUP BY 1),
+    sketch AS (
+      SELECT daily.d, daily.user_id, daily.c, totals.eps_d
+      FROM daily JOIN totals USING (d)
+      WHERE daily.c * {FREQ_K} > totals.n_d),
+    week_eps AS (
+      SELECT date_trunc('week', d) AS week,
+             CAST(sum(eps_d) AS BIGINT) AS week_eps
+      FROM totals GROUP BY 1)
+    SELECT CAST(date_trunc('week', s.d) AS TIMESTAMP) AS week, s.user_id,
+           CAST(sum(s.c) AS BIGINT) AS lower_cnt,
+           CAST(sum(s.c) + w.week_eps - sum(s.eps_d) AS BIGINT) AS upper_cnt,
+           CAST(count(*) AS BIGINT) AS n_days_retained
+    FROM sketch s JOIN week_eps w ON date_trunc('week', s.d) = w.week
+    GROUP BY 1, 2, w.week_eps
+    """,
+)
+def b153_freq_items_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequent-items (heavy-hitter) rollup — the day→week
+    merge of per-day Misra-Gries-style summaries, completing the
+    mergeable-sketch family (cardinality b60, quantiles b140, set
+    algebra b141, count grids b143).  Per day, only (user, count)
+    cells with count·K > n_d survive; anything dropped is provably
+    ≤ ⌊n_d/K⌋.  The weekly merge sums surviving counts (lower bound)
+    and adds each contributing day's dropped-mass cap for days where
+    the user was NOT retained (upper bound): lower ≤ true weekly
+    count ≤ upper, pinned against the exact rollup in
+    tests/test_mining_invariants.py.
+
+    Unlike streaming MG, the per-day summary here is an EXACT
+    aggregate + threshold filter, so its content is independent of
+    row order — which is what makes this sketch exactly replayable in
+    DuckDB (stream-order-dependent MG is not) while keeping the same
+    merge algebra and the same ⌊n/K⌋ error contract.
+
+    Scale: one (day, user) groupBy (map-side combinable), a
+    day-count-sized totals broadcast, and a weekly rollup over only
+    the RETAINED cells — ≤ K per day by construction, so the merge
+    input is days·K rows regardless of corpus size.  That bounded
+    summary is the entire point: a year of per-day sketches for a
+    10¹² -event stream is ≤ 365·K rows per item domain."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    totals = daily.groupBy("d").agg(
+        F.sum("c").cast("bigint").alias("n_d"),
+        F.expr(f"CAST(sum(c) DIV {FREQ_K} AS BIGINT)").alias("eps_d"),
+    )
+    sketch = (
+        daily.join(F.broadcast(totals), "d")
+        .filter(F.col("c") * FREQ_K > F.col("n_d"))
+        .select("d", "user_id", "c", "eps_d")
+    )
+    week_eps = totals.groupBy(
+        F.date_trunc("week", "d").alias("week")
+    ).agg(F.sum("eps_d").cast("bigint").alias("week_eps"))
+    return (
+        sketch.withColumn("week", F.date_trunc("week", "d"))
+        .join(F.broadcast(week_eps), "week")
+        .groupBy("week", "user_id", "week_eps")
+        .agg(
+            F.sum("c").cast("bigint").alias("lower_cnt"),
+            (F.sum("c") + F.first("week_eps") - F.sum("eps_d"))
+            .cast("bigint")
+            .alias("upper_cnt"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days_retained"),
+        )
+        .drop("week_eps")
+    )

@@ -219,6 +219,10 @@ PRIORITY_NEXT: list[str] = [
     # the user co-occurrence graph — no window, hash joins only
     # (exact-oracled)
     "b152_triangle_count",
+    # round-6: mergeable frequent-items day→week rollup with exact
+    # [lower, upper] bounds — completes the sketch family
+    # (exact-oracled; bracket invariant in tests/test_mining_invariants.py)
+    "b153_freq_items_rollup",
 ]
 
 

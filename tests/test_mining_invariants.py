@@ -129,3 +129,25 @@ def test_cms_estimates_bounded_overestimates(spark, sf_dir):
     for t, e in est.items():
         assert e >= exact[t], (t, e, exact[t])
         assert e <= exact[t] + 2 * n_stream / CMS_WIDTH, (t, e, exact[t])
+
+
+def test_freq_rollup_brackets_exact_weekly_counts(spark, sf_dir):
+    """The mergeable frequent-items sketch's [lower, upper] must
+    bracket the EXACT weekly count for every emitted (week, user):
+    lower ≤ true ≤ upper, with lower ≥ retained-day mass > 0."""
+    rows = registry.QUERIES["b153_freq_items_rollup"](spark, sf_dir).collect()
+    assert rows
+    exact = {
+        (r.week, r.user_id): r.c
+        for r in table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("week", "ts").alias("week"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for r in rows:
+        true = exact[(r.week, r.user_id)]
+        assert r.lower_cnt <= true <= r.upper_cnt, (
+            r.week, r.user_id, r.lower_cnt, true, r.upper_cnt)
+        assert 0 < r.lower_cnt and r.n_days_retained >= 1
