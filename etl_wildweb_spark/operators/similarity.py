@@ -738,3 +738,91 @@ def b137_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "adist", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# ------------------------------------------- random projection (JL)
+
+JL_OUT_DIMS = 16  # projected dimensionality (64 → 16)
+JL_IN_DIMS = 64
+
+
+def _jl_signs(j: int) -> list[int]:
+    """Rademacher ±1 row j of the projection matrix, derived from
+    md5(f"{j}_{i}") first-nibble parity — the b130 slice-split trick.
+    Python's hashlib md5 is the same function both engines expose, so
+    these driver-side literals equal the oracle's SQL-computed signs;
+    the oracle recomputes them IN DuckDB to prove that derivation."""
+    import hashlib
+
+    return [
+        1 if hashlib.md5(f"{j}_{i}".encode()).hexdigest()[0] < "8" else -1
+        for i in range(JL_IN_DIMS)
+    ]
+
+
+def _jl_oracle() -> str:
+    cols = ",\n           ".join(
+        f"CAST(max(CASE WHEN j = {j} THEN y END) AS BIGINT) AS y{j:02d}"
+        for j in range(JL_OUT_DIMS)
+    )
+    return f"""
+    WITH xq AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xp
+      FROM embeddings),
+    sgn AS (
+      SELECT j, i,
+             CASE WHEN substr(md5(CAST(j AS VARCHAR) || '_'
+                              || CAST(i AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE -1 END AS s
+      FROM range({JL_OUT_DIMS}) t1(j), range({JL_IN_DIMS}) t2(i)),
+    proj AS (
+      SELECT xq.vec_id, xq.label, sgn.j,
+             sum(sgn.s * xq.xp[CAST(sgn.i + 1 AS INTEGER)]) AS y
+      FROM xq, sgn GROUP BY 1, 2, 3)
+    SELECT vec_id, label,
+           {cols}
+    FROM proj GROUP BY vec_id, label
+    """
+
+
+@query("b154_jl_projection", oracle=_jl_oracle())
+def b154_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16 with a
+    Rademacher ±1 matrix (Achlioptas 2003, "Database-friendly random
+    projections") — the dimensionality cut an ANN/clustering pipeline
+    takes before index build when vectors are wide.  Inputs are
+    quantized to integer ppm first (b56's exact f32→f64→round recipe),
+    so each projected component is a pure ±1 integer dot product —
+    exact, order-independent, and identical across engines; the
+    conventional 1/√k rescale is a downstream scalar that would only
+    reintroduce float repr, so it is deliberately not applied here.
+    Distance preservation is pinned in tests/test_llmops.py.
+
+    Engine shape: the sign matrix is 16×64 CONSTANT arrays inlined
+    into the projection expressions (zip_with · aggregate per output
+    dim), so the whole operator is one narrow per-row projection —
+    ZERO shuffles, zero joins, whole-stage codegen end to end.  The
+    oracle instead derives the same signs via md5 in SQL and replays
+    the dot products through an explode-join — proving the literal
+    matrix IS the md5 derivation, not a copied constant."""
+    e = table(spark, sf_dir, "embeddings")
+    xp = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+    )
+    base = e.select("vec_id", "label", xp.alias("xp"))
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(
+                "xp",
+                F.lit(_jl_signs(j)),
+                lambda a, s: a * s.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias(f"y{j:02d}")
+        for j in range(JL_OUT_DIMS)
+    ]
+    return base.select("vec_id", "label", *proj_cols)

@@ -223,6 +223,10 @@ PRIORITY_NEXT: list[str] = [
     # [lower, upper] bounds — completes the sketch family
     # (exact-oracled; bracket invariant in tests/test_mining_invariants.py)
     "b153_freq_items_rollup",
+    # round-6: JL Rademacher projection 64→16 over ppm-quantized
+    # embeddings — zero-shuffle narrow projection, md5-derived signs
+    # (exact-oracled; distance preservation in tests/test_llmops.py)
+    "b154_jl_projection",
 ]
 
 

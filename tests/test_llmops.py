@@ -691,3 +691,37 @@ def test_b146_binaryfile_roundtrip_matches_inmemory_decode(spark, sf_dir):
         if r["doc_id"] < 200
     }
     assert got == want and len(got) == 200
+
+
+def test_b154_jl_projection_preserves_distances(spark, sf_dir):
+    """JL with a Rademacher matrix preserves squared distances in
+    expectation: E[‖y_a − y_b‖²] = k·‖x_a − x_b‖² (k = 16 output
+    dims, inputs in the same ppm units).  Check the per-pair ratio
+    ‖Δy‖²/(k·‖Δx‖²) is centered near 1 — loose per-pair bounds (JL
+    variance at k=16 is large) plus a tight bound on the mean."""
+    from etl_wildweb_spark.io import table as _table
+    from etl_wildweb_spark.operators.similarity import JL_OUT_DIMS
+
+    proj = {
+        r.vec_id: [r[f"y{j:02d}"] for j in range(JL_OUT_DIMS)]
+        for r in registry.QUERIES["b154_jl_projection"](spark, sf_dir)
+        .filter(F.col("vec_id") < 40)
+        .collect()
+    }
+    orig = {
+        r.vec_id: [round(x * 1_000_000) for x in r.embedding]
+        for r in _table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 40)
+        .collect()
+    }
+    ratios = []
+    ids = sorted(proj)
+    for a, b in zip(ids, ids[20:]):
+        dx = sum((xa - xb) ** 2 for xa, xb in zip(orig[a], orig[b]))
+        dy = sum((ya - yb) ** 2 for ya, yb in zip(proj[a], proj[b]))
+        assert dx > 0
+        ratios.append(dy / (JL_OUT_DIMS * dx))
+    assert len(ratios) >= 20
+    assert all(0.2 < r < 3.0 for r in ratios), ratios
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.4, mean
