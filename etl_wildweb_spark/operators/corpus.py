@@ -604,3 +604,107 @@ def b150_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM top
         """
     )
+
+
+#: Perplexity gate: flag a document when its mean per-bigram negative
+#: log-likelihood exceeds this many micro-nats (≈ the corpus median, so
+#: the demo flag is non-trivial on both sides; CCNet picks the cut from
+#: held-out percentiles the same way).
+PPL_THRESH_MICRO = 3_390_000
+
+
+@query(
+    "b155_perplexity_filter",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    bg AS (
+      SELECT doc_id, t[CAST(i AS INTEGER)] AS w1,
+             t[CAST(i AS INTEGER) + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+    lm AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+           FROM bg GROUP BY 1, 2),
+    pre AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS pc FROM lm GROUP BY 1),
+    lp AS (
+      SELECT lm.w1, lm.w2,
+             CAST(round(-1000000 * ln(
+               (lm.cnt + 1.0)
+               / (pre.pc + (SELECT count(DISTINCT w2) FROM bg))
+             )) AS BIGINT) AS nll_micro
+      FROM lm JOIN pre USING (w1)),
+    doc AS (
+      SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(lp.nll_micro) AS BIGINT) AS nll_micro_total
+      FROM bg JOIN lp USING (w1, w2) GROUP BY 1)
+    SELECT d.doc_id, d.lang,
+           coalesce(doc.n_bigrams, 0) AS n_bigrams,
+           coalesce(doc.nll_micro_total, 0) AS nll_micro_total,
+           coalesce(doc.nll_micro_total
+                    > {PPL_THRESH_MICRO} * doc.n_bigrams, FALSE)
+             AS high_perplexity
+    FROM documents d LEFT JOIN doc USING (doc_id)
+    """,
+)
+def b155_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality filter (the CCNet gate — Wenzek et al.
+    2020: score each document under a reference language model, cut on
+    perplexity): an add-1-smoothed bigram LM is fit on the corpus
+    (b42's counts), every bigram TYPE gets its negative log-likelihood
+    rounded to integer micro-nats ONCE in the vocabulary²-sized LM
+    table, and each document's total NLL is then a pure integer sum —
+    order-independent and exactly replayable.  The flag compares
+    total_micro > THRESH·n_bigrams by integer cross-multiplication, so
+    no division ever happens; mean-NLL/perplexity is a downstream
+    scalar.
+
+    Scale: two corpus passes, both narrow (bigram explode → LM groupBy
+    map-side combining to vocab²; then per-doc bigram counts joined to
+    the BROADCAST LM table).  Vocabulary size attaches as an
+    uncorrelated scalar subquery.  Documents with no bigrams pass
+    through the left join unflagged — the gate never silently drops
+    rows it could not score (A19's error-channel principle)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.arrays_zip(
+        F.slice(toks, F.lit(1), n - 1), F.slice(toks, F.lit(2), n - 1)
+    )
+    bg = d.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", F.col("b.0").alias("w1"), F.col("b.1").alias("w2")
+    )
+    bg.createOrReplaceTempView("ppl_bg_v")
+    lp = spark.sql(
+        """
+        WITH lm AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+                    FROM ppl_bg_v GROUP BY 1, 2),
+        pre AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS pc FROM lm GROUP BY 1)
+        SELECT lm.w1, lm.w2,
+               -- 1.0D double literals: bare decimals parse as DECIMAL
+               -- in Spark SQL and diverge from the oracle (round-6)
+               CAST(round(-1000000D * ln(
+                 (lm.cnt + 1.0D)
+                 / (pre.pc + (SELECT count(DISTINCT w2) FROM ppl_bg_v))
+               )) AS BIGINT) AS nll_micro
+        FROM lm JOIN pre USING (w1)
+        """
+    )
+    doc = (
+        bg.join(F.broadcast(lp), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("nll_micro").cast("bigint").alias("nll_micro_total"),
+        )
+    )
+    return d.select("doc_id", "lang").join(doc, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("nll_micro_total", F.lit(0))
+        .cast("bigint")
+        .alias("nll_micro_total"),
+        F.coalesce(
+            F.col("nll_micro_total") > PPL_THRESH_MICRO * F.col("n_bigrams"),
+            F.lit(False),
+        ).alias("high_perplexity"),
+    )

@@ -227,6 +227,10 @@ PRIORITY_NEXT: list[str] = [
     # embeddings — zero-shuffle narrow projection, md5-derived signs
     # (exact-oracled; distance preservation in tests/test_llmops.py)
     "b154_jl_projection",
+    # round-6: CCNet-style bigram-LM perplexity gate — per-type
+    # integer micro-NLL, integer doc sums, cross-multiplied flag
+    # (exact-oracled)
+    "b155_perplexity_filter",
 ]
 
 
