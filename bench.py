@@ -132,6 +132,13 @@ BENCH_QUERIES = [
     "b144_leakage_safe_split",
     "b145_zorder_layout",
     "b147_mad_outliers",
+    "b149_semdedup",
+    "b150_bm25_rank",
+    "b151_dsir_weights",
+    "b152_triangle_count",
+    "b153_freq_items_rollup",
+    "b154_jl_projection",
+    "b155_perplexity_filter",
 ]
 
 

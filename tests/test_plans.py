@@ -282,6 +282,10 @@ _NESTED_LOOP_OK = {
     "b30_ann_lsh_observed",
     "b40_centroid_assign",
     "b97_kmeans_update",
+    # centroid-set broadcast (SEMDEDUP_K = 8 rows) against the corpus —
+    # the same bounded scoring cross join as b40/b30; the pair join
+    # itself is an equi-join on cluster_id
+    "b149_semdedup",
 }
 
 # Streaming / connector / side-effecting queries execute eagerly or
