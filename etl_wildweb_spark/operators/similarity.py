@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, dot
-from ..io import table
+from ..io import lift_parallelism, table
 from ..registry import query
 
 TOP_K = 10
@@ -812,7 +812,12 @@ def b154_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
     )
-    base = e.select("vec_id", "label", xp.alias("xp"))
+    # lift_parallelism: 16 x 64 multiply-adds per row is CPU-bound and
+    # narrow; on a 2-split local scan it serialized on 2 cores (3.1x at
+    # the 16x probe, ~1x after)
+    base = lift_parallelism(e, "vec_id").select(
+        "vec_id", "label", xp.alias("xp")
+    )
     proj_cols = [
         F.aggregate(
             F.zip_with(

@@ -1037,3 +1037,80 @@ def substring_dedup(d: DataFrame, k: int = _SUB_K) -> DataFrame:
         )
     )
     return untouched_out.unionByName(touched_out)
+
+
+# ------------------------------------------------------- BPE training
+
+BPE_MERGES = 20  # merge rounds learned by the demo (the algorithm, not
+#                  the vocab size, is what's under test)
+
+
+@query("b156_bpe_train")  # iterative argmax loop → not SQL-expressible;
+# exact-equality pin vs a pure-Python reference BPE in tests/test_llmops.py
+def b156_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units"): learn the first
+    {BPE_MERGES} merges from the corpus by repeatedly merging the most
+    frequent adjacent symbol pair.  Output: (merge_rank, left, right,
+    pair_freq) — the merges.txt a tokenizer ships.
+
+    The scale insight (and why this is feasible on 100 TB): BPE trains
+    on the WORD-FREQUENCY DICTIONARY, not the raw text.  The corpus is
+    touched exactly once (word-count groupBy, map-side combinable to
+    vocabulary size); every merge round then runs on the vocab-sized
+    dictionary — pair explode ≤ avg word length per entry, pair
+    groupBy bounded by symbol-pair vocabulary, and the argmax is a
+    2-row TakeOrdered collected as the O(1) per-round scalar (the
+    b131/b97 iterative-loop contract).  Merge application is one
+    regexp_replace pass over the dictionary — Java regex's leftmost
+    non-overlapping replacement is exactly reference BPE's
+    (?<!\\S)pair(?!\\S) greedy-left semantics, so the learned table is
+    bit-identical to the sequential reference implementation.
+    Tie-break: (freq DESC, left ASC, right ASC).  Each round ends in a
+    vocab-sized localCheckpoint to stop lineage growth."""
+    import re as _re
+
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        # symbols: characters space-joined, with the </w> end marker
+        .select(
+            F.concat(
+                F.array_join(F.split(F.col("w"), ""), " "), F.lit(" </w>")
+            ).alias("sym"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rank in range(BPE_MERGES):
+        pair_toks = F.split("sym", " ")
+        n = F.size(pair_toks)
+        pairs = F.arrays_zip(
+            F.slice(pair_toks, F.lit(1), n - 1),
+            F.slice(pair_toks, F.lit(2), n - 1),
+        )
+        best = (
+            words.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(
+                F.col("p.0").alias("left"), F.col("p.1").alias("right")
+            )
+            .agg(F.sum("freq").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, pf = best[0].left, best[0].right, best[0].pair_freq
+        merges.append((rank, left, right, int(pf)))
+        pat = r"(?<!\S)" + _re.escape(left) + " " + _re.escape(right) + r"(?!\S)"
+        words = words.select(
+            F.regexp_replace("sym", pat, left + right).alias("sym"), "freq"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank INT, left STRING, right STRING, pair_freq BIGINT"
+    )

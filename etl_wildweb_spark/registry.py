@@ -231,6 +231,10 @@ PRIORITY_NEXT: list[str] = [
     # integer micro-NLL, integer doc sums, cross-multiplied flag
     # (exact-oracled)
     "b155_perplexity_filter",
+    # round-6: BPE merge-table training — vocab-sized iterative loop,
+    # corpus touched once (rows-only; exact equality vs the sequential
+    # reference algorithm in tests/test_llmops.py)
+    "b156_bpe_train",
 ]
 
 

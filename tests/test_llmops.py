@@ -725,3 +725,47 @@ def test_b154_jl_projection_preserves_distances(spark, sf_dir):
     assert all(0.2 < r < 3.0 for r in ratios), ratios
     mean = sum(ratios) / len(ratios)
     assert 0.7 < mean < 1.4, mean
+
+
+def test_b156_bpe_train_equals_reference_bpe(spark, sf_dir):
+    """The distributed BPE trainer must learn EXACTLY the merge table
+    of the sequential reference algorithm (Sennrich et al. 2016) run
+    on the same word-frequency dictionary — same pairs, same order,
+    same frequencies, same (freq DESC, left, right) tie-break."""
+    import re
+    from collections import Counter
+
+    from etl_wildweb_spark.io import table as _table
+    from etl_wildweb_spark.operators.text import BPE_MERGES
+
+    got = sorted(
+        (r.merge_rank, r.left, r.right, r.pair_freq)
+        for r in registry.QUERIES["b156_bpe_train"](spark, sf_dir).collect()
+    )
+
+    running = Counter()
+    for r in _table(spark, sf_dir, "documents").select("text").collect():
+        for w in r.text.split(" "):
+            if w:
+                running[" ".join(list(w)) + " </w>"] += 1
+    want = []
+    for rank in range(BPE_MERGES):
+        pairs: Counter = Counter()
+        for sym, freq in running.items():
+            toks = sym.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        (left, right), pf = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rank, left, right, pf))
+        pat = re.compile(
+            r"(?<!\S)" + re.escape(left) + " " + re.escape(right) + r"(?!\S)"
+        )
+        merged = Counter()
+        for sym, freq in running.items():
+            merged[pat.sub(left + right, sym)] += freq
+        running = merged
+    assert got == sorted(want), (got[:5], sorted(want)[:5])
