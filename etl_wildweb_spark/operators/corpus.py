@@ -713,3 +713,63 @@ def b155_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("high_perplexity"),
     )
+
+
+@query(
+    "b157_inverted_index",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    pos AS (
+      SELECT doc_id, t[CAST(i AS INTEGER)] AS token, CAST(i AS BIGINT) AS p
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+    posting AS (
+      SELECT token, doc_id,
+             CAST(count(*) AS BIGINT) AS tf,
+             CAST(min(p) AS BIGINT) AS first_pos,
+             array_to_string(list_sort(list(p)), ',') AS positions
+      FROM pos GROUP BY 1, 2),
+    df AS (SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+           FROM posting GROUP BY 1)
+    SELECT posting.token, posting.doc_id, posting.tf, posting.first_pos,
+           posting.positions, df.doc_freq
+    FROM posting JOIN df USING (token)
+    WHERE df.doc_freq * 10 <= (SELECT count(*) FROM documents)
+    """,
+)
+def b157_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index build — the search/RAG index stage: one
+    row per (term, doc) posting with term frequency, first position,
+    the full sorted position list (serialized — phrase queries need
+    positions), and the term's document frequency.  Rare-term postings
+    only (df·10 ≤ N — an integer cross-multiplied cut that scales with
+    the corpus): stopword-class terms are exactly the rows a
+    positional index stores differently (block-compressed, or not at
+    all), so the demo pins the selective part of the index.
+
+    Scale: posexplode is narrow; the posting groupBy is the single
+    row-scale shuffle, keyed (token, doc_id) — co-partitioned with how
+    an index shard is actually written (term-sharded, doc-sorted
+    within term); the position list is bounded by per-doc term
+    frequency, never corpus size; df is a vocabulary-sized broadcast
+    join.  The df filter prunes the fat head BEFORE the join output
+    materializes."""
+    d = table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "token")
+    ).select("doc_id", "token", (F.col("p0") + 1).cast("bigint").alias("p"))
+    posting = pos.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.min("p").cast("bigint").alias("first_pos"),
+        F.array_join(F.array_sort(F.collect_list("p")), ",").alias("positions"),
+    )
+    df = posting.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_freq")
+    )
+    d.createOrReplaceTempView("docs_invidx_v")
+    # uncorrelated scalar subquery (b43's pattern): the corpus count
+    # resolves as its own tiny stage at EXECUTION time — no driver-side
+    # count() at plan-build time, so schema introspection stays lazy
+    return posting.join(F.broadcast(df), "token").filter(
+        F.expr("doc_freq * 10 <= (SELECT count(*) FROM docs_invidx_v)")
+    )

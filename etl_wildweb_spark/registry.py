@@ -235,6 +235,10 @@ PRIORITY_NEXT: list[str] = [
     # corpus touched once (rows-only; exact equality vs the sequential
     # reference algorithm in tests/test_llmops.py)
     "b156_bpe_train",
+    # round-6: positional inverted index — (term, doc) postings with
+    # sorted position lists, corpus-relative rare-term cut
+    # (exact-oracled)
+    "b157_inverted_index",
 ]
 
 
