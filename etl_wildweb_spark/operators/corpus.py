@@ -773,3 +773,67 @@ def b157_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return posting.join(F.broadcast(df), "token").filter(
         F.expr("doc_freq * 10 <= (SELECT count(*) FROM docs_invidx_v)")
     )
+
+
+@query(
+    "b158_pmi_assoc",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (SELECT t[CAST(i AS INTEGER)] AS w1,
+                  t[CAST(i AS INTEGER) + 1] AS w2
+           FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)),
+    cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+            FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1 FROM cnt GROUP BY 1),
+    c2 AS (SELECT w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM cnt GROUP BY 1),
+    scored AS (
+      SELECT cnt.w1, cnt.w2, cnt.cnt, c1.c1, c2.c2,
+             CAST(round(1000000 * ln(
+               CAST((SELECT sum(cnt) FROM cnt) * cnt.cnt AS DOUBLE)
+               / CAST(c1.c1 * c2.c2 AS DOUBLE))) AS BIGINT) AS pmi_micro
+      FROM cnt JOIN c1 USING (w1) JOIN c2 USING (w2)
+      WHERE cnt.cnt >= 5)
+    SELECT w1, w2, cnt, c1, c2, pmi_micro
+    FROM scored ORDER BY pmi_micro DESC, w1, w2 LIMIT 50
+    """,
+)
+def b158_pmi_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information collocation mining — the corpus
+    analyst's association scorer (Church & Hanks 1990): pmi(w₁,w₂) =
+    ln(N·c₁₂ / (c₁·c₂)) over adjacent-bigram counts, top-50 pairs with
+    support ≥ 5.  The ln argument is a ratio of two EXACT BIGINT
+    products cast to double (both < 2⁵³, so the conversion is
+    lossless and identical in both engines); the result rounds to
+    integer micro-nats — the usual 1-ulp-immune grain.
+
+    Scale: bigram counts map-side combine to vocabulary²; the marginal
+    tables c₁/c₂ are vocabulary-sized broadcasts; N attaches as an
+    uncorrelated scalar subquery; the top-50 plans as
+    TakeOrderedAndProject — no global window anywhere."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.arrays_zip(
+        F.slice(toks, F.lit(1), n - 1), F.slice(toks, F.lit(2), n - 1)
+    )
+    bg = lift_parallelism(d, "doc_id").select(
+        F.explode(bigrams).alias("b")
+    ).select(F.col("b.0").alias("w1"), F.col("b.1").alias("w2"))
+    bg.createOrReplaceTempView("pmi_bg_v")
+    return spark.sql(
+        """
+        WITH cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+                     FROM pmi_bg_v GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1 FROM cnt GROUP BY 1),
+        c2 AS (SELECT w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM cnt GROUP BY 1),
+        scored AS (
+          SELECT cnt.w1, cnt.w2, cnt.cnt, c1.c1, c2.c2,
+                 CAST(round(1000000D * ln(
+                   CAST((SELECT sum(cnt) FROM cnt) * cnt.cnt AS DOUBLE)
+                   / CAST(c1.c1 * c2.c2 AS DOUBLE))) AS BIGINT) AS pmi_micro
+          FROM cnt JOIN c1 USING (w1) JOIN c2 USING (w2)
+          WHERE cnt.cnt >= 5)
+        SELECT w1, w2, cnt, c1, c2, pmi_micro
+        FROM scored ORDER BY pmi_micro DESC, w1, w2 LIMIT 50
+        """
+    )

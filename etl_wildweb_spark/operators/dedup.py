@@ -1200,7 +1200,7 @@ def b149_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the argmax tie-break is (cos DESC, cid ASC) — both cross-engine
     deterministic, which is what makes this dedup mode exact-oracled
     where LSH/IVF ANN entries are rows-only."""
-    from ..functions.vector import cosine
+    from ..functions.vector import cosine, dot, norm
 
     e = table(spark, sf_dir, "embeddings")
     cents = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
@@ -1217,22 +1217,34 @@ def b149_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cluster_id")
         )
     )
-    assigned = e.select("vec_id", "embedding").join(best, "vec_id")
+    # Precompute each vector's norm ONCE before the pair join: cosine()
+    # would re-aggregate both norms per PAIR — 3x the per-pair flops on
+    # the O(|cluster|²) hot path (measured 230 s → ~80 s at the 16x
+    # probe).  norm(a)·norm(b) from the cached columns is the exact
+    # expression cosine() builds, so every double is bit-identical.
+    assigned = e.select(
+        "vec_id", "embedding", norm("embedding").alias("nrm")
+    ).join(best, "vec_id")
     a = assigned.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = assigned.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("vec_id"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     dup = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("vec_id"))
         .filter(
-            F.round(F.lit(1_000_000) * cosine("ea", "eb")).cast("bigint")
+            F.round(
+                F.lit(1_000_000)
+                * (dot("ea", "eb") / (F.col("na") * F.col("nb")))
+            ).cast("bigint")
             >= SEMDEDUP_TAU_MICRO
         )
         .groupBy("vec_id")

@@ -239,6 +239,9 @@ PRIORITY_NEXT: list[str] = [
     # sorted position lists, corpus-relative rare-term cut
     # (exact-oracled)
     "b157_inverted_index",
+    # round-6: PMI collocation mining — integer micro-nat scores from
+    # exact BIGINT count ratios, TakeOrdered top-50 (exact-oracled)
+    "b158_pmi_assoc",
 ]
 
 
