@@ -1256,3 +1256,102 @@ def b149_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_sem_dups", F.lit(0)).cast("bigint").alias("n_sem_dups"),
         F.col("n_sem_dups").isNull().alias("keep"),
     )
+
+
+# --------------------------------------------- containment (subset) dup
+
+#: Containment threshold as an exact rational (integer cross-multiply
+#: everywhere; see the b29 prefix-length lesson on float thresholds).
+_C_NUM, _C_DEN = 9, 10
+
+
+@query(
+    "b159_containment_dedup",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_size,
+           CAST(len(a.s) AS BIGINT) AS size_a,
+           CAST((1000000 * len(list_intersect(a.s, b.s)))
+                // len(a.s) AS BIGINT) AS containment_ppm
+    FROM g a JOIN g b ON a.doc_id <> b.doc_id
+    WHERE {_C_DEN} * len(list_intersect(a.s, b.s)) >= {_C_NUM} * len(a.s)
+    """,
+)
+def b159_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment dedup: find documents whose 3-gram set is
+    ≥ 90% contained in ANOTHER document's — the subset/quote/superset
+    duplicates that symmetric Jaccard misses (a snippet pasted into a
+    10× longer page has Jaccard ≈ 0.1 but containment ≈ 1.0).
+    Asymmetric by design: (id_a ⊂ id_b) and (id_b ⊂ id_a) are separate
+    findings.
+
+    Prefix principle, containment form: if |A∩B| ≥ t·|A| then B holds
+    one of A's first |A| − ⌈t·|A|⌉ + 1 rarest grams — so the candidate
+    join is A's PREFIX index against B's FULL posting list (asymmetric,
+    unlike b29_ngram_jaccard's prefix×prefix), and the exact verify
+    equals the O(n²) brute-force oracle.  The full-posting side is the
+    price of asymmetry; it stays feasible because the prefix side
+    carries only rarest-gram entries, bounding per-gram fan-out.
+    All index arithmetic is integer (⌈t·|A|⌉ via `div`), all join keys
+    are xxhash64 longs (collisions only ADD candidates — the verify
+    removes them), and the emitted containment is integer ppm."""
+    d = lift_parallelism(table(spark, sf_dir, "documents"), "doc_id")
+    sh = with_shingles(d).select("doc_id", "s").cache()
+    g = (
+        sh.select("doc_id", F.explode("s").alias("gram"))
+        .select("doc_id", F.xxhash64("gram").alias("gh"))
+        .cache()
+    )
+    freq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.partitionBy("doc_id").orderBy("df", "gh"))
+    prefix = (
+        g.join(freq, "gh")
+        .join(sizes, "doc_id")
+        .withColumn("rk", rk)
+        .filter(
+            F.col("rk")
+            <= F.col("set_size")
+            - F.expr(
+                f"cast(({_C_NUM} * set_size + {_C_DEN - 1})"
+                f" div {_C_DEN} as int)"
+            )
+            + 1
+        )
+        .select(F.col("doc_id").alias("id_a"), "gh")
+    )
+    full = g.select(F.col("doc_id").alias("id_b"), "gh")
+    cands = (
+        prefix.join(full, "gh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return (
+        cands.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")),
+            "id_b",
+        )
+        .withColumn(
+            "inter_size",
+            F.size(F.array_intersect("sa", "sb")).cast("bigint"),
+        )
+        .withColumn("size_a", F.size("sa").cast("bigint"))
+        .filter(_C_DEN * F.col("inter_size") >= _C_NUM * F.col("size_a"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter_size",
+            "size_a",
+            F.expr("CAST((1000000 * inter_size) div size_a AS BIGINT)").alias(
+                "containment_ppm"
+            ),
+        )
+    )

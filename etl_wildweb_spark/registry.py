@@ -242,6 +242,10 @@ PRIORITY_NEXT: list[str] = [
     # round-6: PMI collocation mining — integer micro-nat scores from
     # exact BIGINT count ratios, TakeOrdered top-50 (exact-oracled)
     "b158_pmi_assoc",
+    # round-6: shingle-containment (subset) dedup — asymmetric prefix×
+    # full-posting candidate join, integer cross-multiplied threshold
+    # (exact-oracled)
+    "b159_containment_dedup",
 ]
 
 
