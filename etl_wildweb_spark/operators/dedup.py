@@ -1225,7 +1225,21 @@ def b149_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = e.select(
         "vec_id", "embedding", norm("embedding").alias("nrm")
     ).join(best, "vec_id")
-    a = assigned.select(
+    # Explicit-width hash repartition on the probe side: AQE coalesces
+    # the tiny post-join frame to ~1 partition (rows are few), but each
+    # probe row fans out to |cluster| pairs in the join's map task — a
+    # 64M-pair explosion serialized on one core at the 16x probe.  An
+    # explicit width survives AQE; the exchange carries only the small
+    # pre-explosion rows.
+    a = assigned.repartition(
+        assigned.sparkSession.sparkContext.defaultParallelism,
+        # derived key, NOT bare vec_id: assigned is already
+        # hash(vec_id)-partitioned from the groupBy, so Catalyst would
+        # collapse a same-key repartition and AQE then coalesces the
+        # original exchange to ~1 partition — resurrecting the
+        # single-core explosion this exchange exists to prevent
+        F.pmod(F.xxhash64("vec_id"), F.lit(1024)),
+    ).select(
         F.col("cluster_id"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("ea"),
@@ -1237,8 +1251,14 @@ def b149_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
+    # Broadcast the build side: a shuffle join on cluster_id caps
+    # parallelism at k tasks (k=8 here — 2 of 32 cores busy at the 16x
+    # probe); broadcasting keeps the probe side in its scan partitions
+    # so the O(|cluster|²) pair work spreads over every core.  Bounded:
+    # the build side is the cluster-assigned sample (|corpus| rows in
+    # the demo, a per-cluster-capped sample at 100 TB where k ~ √n).
     dup = (
-        a.join(b, "cluster_id")
+        a.join(F.broadcast(b), "cluster_id")
         .filter(F.col("id_a") < F.col("vec_id"))
         .filter(
             F.round(
