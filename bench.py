@@ -139,6 +139,10 @@ BENCH_QUERIES = [
     "b153_freq_items_rollup",
     "b154_jl_projection",
     "b155_perplexity_filter",
+    "b156_bpe_train",
+    "b157_inverted_index",
+    "b158_pmi_assoc",
+    "b159_containment_dedup",
 ]
 
 

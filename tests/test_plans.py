@@ -472,3 +472,23 @@ def test_b136_dynamic_partition_pruning_reaches_scan(spark, sf_dir):
         assert part_lines and "dynamicpruning" in part_lines[0], part_lines
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_b149_pair_stage_keeps_pinned_width_and_broadcast(plans):
+    """SemDeDup's pair join must keep BOTH halves of the round-6 fix:
+    (a) the probe side's derived-key REPARTITION_BY_NUM exchange — a
+    bare same-key repartition is collapsed by Catalyst and the stage
+    re-serializes on one core under AQE coalescing (SCALE.md round-6
+    extension, lesson 3); (b) a broadcast build side — a shuffle join
+    on cluster_id caps parallelism at k tasks."""
+    p = plans("b149_semdedup")
+    assert "REPARTITION_BY_NUM" in p, "probe-side pinned-width exchange gone"
+    assert audit.node_count(p, "BroadcastExchange") >= 2  # centroids + build side
+
+
+def test_b150_top20_is_take_ordered(plans):
+    """BM25's global top-20 must plan as TakeOrderedAndProject — a
+    global rank window over all matching docs would be a one-partition
+    sort of the whole scored corpus."""
+    p = plans("b150_bm25_rank")
+    assert audit.node_count(p, "TakeOrderedAndProject") >= 1, p[:500]
