@@ -17,7 +17,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..functions.exact import davg, sql_davg
-from ..io import table
+from ..io import lift_parallelism, table
 from ..registry import query
 
 #: Stopword set for ratio features (tiny, deterministic, shared with the
@@ -1113,4 +1113,54 @@ def b156_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "merge_rank INT, left STRING, right STRING, pair_freq BIGINT"
+    )
+
+
+@query("b160_bpe_apply")  # consumes b156's learned merges → rows-only;
+# encode ≡ sequential reference encode pinned in tests/test_llmops.py
+def b160_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding with the merge table b156 learned — the apply half
+    of the tokenizer pair: every document's words are split to
+    characters(+</w>) and the {BPE_MERGES} merges replay IN RANK ORDER;
+    output is per-document token statistics (token count before/after,
+    compression ppm).
+
+    Engine shape: the merge table is tiny and the ENCODER IS DATA —
+    the 20 learned (left, right) pairs compile into 20 chained
+    regexp_replace expressions over the word-symbol column, one narrow
+    whole-stage-codegen pass over the corpus, zero shuffles beyond the
+    final per-doc aggregate.  Same greedy-left replacement semantics
+    as training (and as the reference encoder), so encode(train_corpus)
+    is bit-identical to the sequential implementation.  At 100 TB the
+    merge list is a broadcast scalar (real vocabs: ~50k merges compile
+    to a trie UDF instead — the plan shape, corpus-narrow, is
+    unchanged)."""
+    merges = [
+        (r.left, r.right)
+        for r in b156_bpe_train(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    d = table(spark, sf_dir, "documents")
+    words = lift_parallelism(d, "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    sym = F.concat(F.array_join(F.split(F.col("w"), ""), " "), F.lit(" </w>"))
+    col = sym
+    import re as _re
+
+    for left, right in merges:
+        pat = (
+            r"(?<!\S)" + _re.escape(left) + " " + _re.escape(right) + r"(?!\S)"
+        )
+        col = F.regexp_replace(col, pat, left + right)
+    enc = words.select(
+        "doc_id",
+        F.size(F.split(sym, " ")).cast("bigint").alias("n_chars_sym"),
+        F.size(F.split(col, " ")).cast("bigint").alias("n_tokens"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.sum("n_chars_sym").alias("symbols_before"),
+        F.sum("n_tokens").alias("tokens_after"),
+        F.expr(
+            "CAST((1000000 * sum(n_tokens)) div sum(n_chars_sym) AS BIGINT)"
+        ).alias("compression_ppm"),
     )

