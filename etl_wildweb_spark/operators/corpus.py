@@ -837,3 +837,82 @@ def b158_pmi_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored ORDER BY pmi_micro DESC, w1, w2 LIMIT 50
         """
     )
+
+
+@query(
+    "b161_source_novelty",
+    oracle="""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS t
+                  FROM documents),
+    g AS (
+      SELECT DISTINCT source,
+             t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1]
+               || ' ' || t[CAST(i AS INTEGER) + 2] AS gram
+      FROM (SELECT source, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+    firsts AS (SELECT gram, min(source) AS first_source FROM g GROUP BY 1),
+    per AS (
+      SELECT g.source,
+             CAST(count(*) AS BIGINT) AS n_grams_distinct,
+             CAST(sum(CASE WHEN firsts.first_source = g.source
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM g JOIN firsts USING (gram) GROUP BY 1)
+    SELECT source, n_grams_distinct, n_novel,
+           CAST((1000000 * n_novel) // n_grams_distinct AS BIGINT)
+             AS novelty_ppm
+    FROM per
+    """,
+)
+def b161_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-diversity attribution per source — the dataset-mixing
+    question "which source still adds NEW text?": every distinct
+    3-gram is attributed to the first source (by source order) that
+    contains it, and each source reports its distinct-gram count, its
+    first-occurrence count, and the novelty ratio in ppm.  A source
+    whose novelty_ppm collapses is already covered by the sources
+    before it — the greedy submodular-coverage signal data-mixing
+    uses.
+
+    Scale: one explode → (source, gram) DISTINCT (the row-scale
+    shuffle, map-side combinable); first-occurrence is a min() over
+    the gram-keyed table — same key, so Catalyst reuses the
+    partitioning with NO second exchange of gram strings; per-source
+    rollup is source-cardinality-sized.  Integer ppm division via
+    `div` — no floats anywhere."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, F.lit(1), n - 2),
+        F.zip_with(
+            F.slice(toks, F.lit(2), n - 2),
+            F.slice(toks, F.lit(3), n - 2),
+            lambda b, c: F.concat_ws(" ", b, c),
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    g = (
+        lift_parallelism(d, "doc_id")
+        .select("source", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    firsts = g.groupBy("gram").agg(F.min("source").alias("first_source"))
+    per = (
+        g.join(firsts, "gram")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams_distinct"),
+            F.sum(
+                F.when(F.col("first_source") == F.col("source"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_grams_distinct",
+        "n_novel",
+        F.expr("CAST((1000000 * n_novel) div n_grams_distinct AS BIGINT)").alias(
+            "novelty_ppm"
+        ),
+    )

@@ -250,6 +250,9 @@ PRIORITY_NEXT: list[str] = [
     # regexp chain, one narrow pass (rows-only; encode ≡ reference in
     # tests/test_llmops.py)
     "b160_bpe_apply",
+    # round-6: marginal-diversity attribution — first-occurrence gram
+    # ownership per source, integer ppm novelty (exact-oracled)
+    "b161_source_novelty",
 ]
 
 
