@@ -831,3 +831,89 @@ def b154_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(JL_OUT_DIMS)
     ]
     return base.select("vec_id", "label", *proj_cols)
+
+
+# ------------------------------------- late interaction (MaxSim)
+
+MAXSIM_QUERIES = 5  # query vectors: the lowest vec_ids
+MAXSIM_SUB = 4  # sub-vectors per embedding (64 dims → 4 × 16)
+MAXSIM_TOP_K = 10
+
+
+def _maxsim_oracle() -> str:
+    def cos(qi: int, dj: int) -> str:
+        qa, qb = 16 * qi + 1, 16 * (qi + 1)
+        da, db = 16 * dj + 1, 16 * (dj + 1)
+        return (
+            f"list_cosine_similarity(q.embedding[{qa}:{qb}]::DOUBLE[],"
+            f" c.embedding[{da}:{db}]::DOUBLE[])"
+        )
+
+    per_i = " + ".join(
+        "greatest(" + ", ".join(cos(i, j) for j in range(MAXSIM_SUB)) + ")"
+        for i in range(MAXSIM_SUB)
+    )
+    return f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             CAST(round(1000000 * ({per_i})) AS BIGINT) AS maxsim_micro
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {MAXSIM_QUERIES})
+    SELECT query_id, doc_id, maxsim_micro, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY maxsim_micro DESC, doc_id) AS rnk FROM scored)
+    WHERE rnk <= {MAXSIM_TOP_K}
+    """
+
+
+@query("b162_maxsim_late_interaction", oracle=_maxsim_oracle())
+def b162_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (MaxSim) retrieval scoring — the ColBERT
+    operator (Khattab & Zaharia 2020): treat each embedding as 4
+    sub-vectors of 16 dims (the multi-vector stand-in this corpus
+    affords), score(q, d) = Σᵢ maxⱼ cos(qᵢ, dⱼ), and rank the corpus
+    per query.  The sum runs over a FIXED i-order and rounds once to
+    integer micro, so ranking and tie-breaks are cross-engine exact —
+    the first late-interaction operator in the registry, next to
+    single-vector b30 and token-level b150.
+
+    Engine shape: identical to b30_cosine_topk — the query set
+    broadcasts, the corpus never shuffles for scoring, and the
+    per-query top-k carries Partial+Final WindowGroupLimit so each map
+    task forwards ≤ k rows.  The 16 sub-cosines per pair are one
+    codegen'd expression tree; at real multi-vector scale the inner
+    max runs per (query-token, doc) over an IVF-pruned candidate set —
+    same plan with a cell equi-join in front (b30_ann_ivf's shape)."""
+    from ..functions.vector import cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < MAXSIM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = lift_parallelism(e, "vec_id").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("ce")
+    )
+
+    def sub(col: str, i: int):
+        return F.slice(F.col(col), 16 * i + 1, 16)
+
+    per_i = None
+    for i in range(MAXSIM_SUB):
+        best = F.greatest(
+            *[cosine(sub("qe", i), sub("ce", j)) for j in range(MAXSIM_SUB)]
+        )
+        per_i = best if per_i is None else per_i + best
+    w = W.partitionBy("query_id").orderBy(F.desc("maxsim_micro"), "doc_id")
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.lit(1_000_000) * per_i).cast("bigint").alias(
+                "maxsim_micro"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= MAXSIM_TOP_K)
+    )

@@ -253,6 +253,9 @@ PRIORITY_NEXT: list[str] = [
     # round-6: marginal-diversity attribution — first-occurrence gram
     # ownership per source, integer ppm novelty (exact-oracled)
     "b161_source_novelty",
+    # round-6: ColBERT-style MaxSim late-interaction top-k — fixed-order
+    # micro-rounded sum of per-sub-vector maxes (exact-oracled)
+    "b162_maxsim_late_interaction",
 ]
 
 

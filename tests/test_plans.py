@@ -286,6 +286,9 @@ _NESTED_LOOP_OK = {
     # the same bounded scoring cross join as b40/b30; the pair join
     # itself is an equi-join on cluster_id
     "b149_semdedup",
+    # broadcast query-set cross join (MAXSIM_QUERIES = 5 rows) — b30's
+    # bounded scoring pattern
+    "b162_maxsim_late_interaction",
 }
 
 # Streaming / connector / side-effecting queries execute eagerly or
