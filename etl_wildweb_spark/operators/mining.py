@@ -1064,3 +1064,76 @@ def b153_freq_items_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("week_eps")
     )
+
+
+@query(
+    "b163_grouped_trend",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(date_diff('second',
+                  min(ts) OVER (PARTITION BY event_type), ts) AS HUGEINT)
+               AS x,
+             CAST(round(value * 1000000) AS HUGEINT) AS y
+      FROM events),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM base GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(round(86400.0
+                       * (CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE)))
+                     AS BIGINT) END AS slope_micro_per_day
+    FROM m
+    """,
+)
+def b163_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend: the least-squares slope of value over time
+    for every event_type, in micro-value-units per day — the "is this
+    metric drifting" reducer next to b125's seasonal z-score and
+    b147's robust outliers.  slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    with every moment an EXACT integer sum (x = whole seconds since
+    the group's first event, y = integer micro-values; sums in
+    DECIMAL(38,0)/HUGEINT — b104's moment pattern, order-independent).
+    The only floats are the final ratio of two exact integers ≤ 1e25
+    (lossless-ordered double conversions in both engines) and one
+    round at micro-per-day grain.
+
+    Sizing: x ≤ 2.6e6 s (a 30-day window), y ≤ 1e9 µunits → n·Σxy ≤
+    2.6e25 at 1e5 rows/group, inside DECIMAL(38,0) headroom up to
+    ~1e12-row groups.  Scale: the min-ts window partitions BY
+    event_type (group-wide parallelism); one moment aggregation
+    map-side combines to a group-count-sized table; no joins."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    base = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.min("ts").over(w))
+        ).cast(D38).alias("x"),
+        F.round(F.col("value") * 1_000_000).cast(D38).alias("y"),
+    )
+    m = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(D38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(D38).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.when(den == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.round(
+                F.lit(86400.0) * (num.cast("double") / den.cast("double"))
+            ).cast("bigint")
+        )
+        .alias("slope_micro_per_day"),
+    )

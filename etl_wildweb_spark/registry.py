@@ -256,6 +256,9 @@ PRIORITY_NEXT: list[str] = [
     # round-6: ColBERT-style MaxSim late-interaction top-k — fixed-order
     # micro-rounded sum of per-sub-vector maxes (exact-oracled)
     "b162_maxsim_late_interaction",
+    # round-6: per-group OLS trend slope — b104-style exact integer
+    # moments, one final lossless double ratio (exact-oracled)
+    "b163_grouped_trend",
 ]
 
 
