@@ -71,4 +71,9 @@ def test_priority_oracle_coverage():
         # tests/test_wildweb.py)
         "b36_file_ingest",
         "wildweb_envelope_e2e",
+        # round-6 extension: iterative tokenizer pair (argmax loop /
+        # learned-merge replay — not SQL-expressible; bit-identical to
+        # the sequential reference algorithm in tests/test_llmops.py)
+        "b156_bpe_train",
+        "b160_bpe_apply",
     }
