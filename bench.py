@@ -143,6 +143,10 @@ BENCH_QUERIES = [
     "b157_inverted_index",
     "b158_pmi_assoc",
     "b159_containment_dedup",
+    "b160_bpe_apply",
+    "b161_source_novelty",
+    "b162_maxsim_late_interaction",
+    "b163_grouped_trend",
 ]
 
 
