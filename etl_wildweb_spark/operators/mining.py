@@ -1137,3 +1137,105 @@ def b163_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("slope_micro_per_day"),
     )
+
+
+@query(
+    "b164_ab_test",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                             1, 8)) AS BIGINT) % 2 = 0
+                  THEN 'a' ELSE 'b' END AS arm,
+             CAST(round(value * 1000000) AS HUGEINT) AS y
+      FROM events),
+    m AS (
+      SELECT event_type, arm,
+             CAST(count(*) AS HUGEINT) AS n,
+             sum(y) AS s, sum(y * y) AS ssq
+      FROM tagged GROUP BY 1, 2),
+    w AS (
+      SELECT a.event_type,
+             CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+             CAST(round((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
+                      - (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)))
+               AS BIGINT) AS mean_diff_micro,
+             CAST(round(1000000.0 * (
+               ((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
+                - (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)))
+               * ((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
+                  - (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)))
+               / ((((CAST(a.ssq AS DOUBLE)
+                     - (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
+                       * CAST(a.s AS DOUBLE))
+                    + (CAST(b.ssq AS DOUBLE)
+                       - (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+                         * CAST(b.s AS DOUBLE)))
+                   / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) - 2.0))
+                  * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE)))
+             )) AS BIGINT) AS z2_micro
+      FROM m a JOIN m b ON a.event_type = b.event_type
+      WHERE a.arm = 'a' AND b.arm = 'b')
+    SELECT event_type, n_a, n_b, mean_diff_micro, z2_micro,
+           z2_micro > 3841459 AS significant
+    FROM w
+    """,
+)
+def b164_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B significance per event_type: users hash-split
+    50/50 by md5 (the deterministic, engine-portable bucketing every
+    experimentation platform uses — b34's trick), then a pooled-
+    variance two-sample test t² = (μ_a−μ_b)² / (s_p²·(1/n_a+1/n_b)),
+    flagged at the χ²₁ 95% cut (3.841459).  The moments (n, Σy, Σy²)
+    are EXACT integer sums in DECIMAL(38,0)/HUGEINT; the statistic is
+    assembled from them in double with the identical expression tree
+    in both engines and rounded once to micro — so the significance
+    flag compares integers (the b147/b149 decision-predicate rule).
+
+    Scale: one (event_type, arm) moment aggregation — map-side
+    combinable to 2·|event types| rows; the a×b pairing is a join on
+    that tiny table.  No second pass over events, no window, no skew
+    exposure (arms are hash-balanced by construction)."""
+    ev = table(spark, sf_dir, "events")
+    from .sampling import hash_bucket
+
+    tagged = ev.select(
+        "event_type",
+        F.when(hash_bucket(F.col("user_id"), 2) == 0, "a")
+        .otherwise("b")
+        .alias("arm"),
+        F.round(F.col("value") * 1_000_000).cast(D38).alias("y"),
+    )
+    m = tagged.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast(D38).alias("ssq"),
+    )
+    a = m.filter(F.col("arm") == "a").select(
+        "event_type",
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ssq").alias("ssqa"),
+    )
+    b = m.filter(F.col("arm") == "b").select(
+        "event_type",
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("ssq").alias("ssqb"),
+    )
+    j = a.join(b, "event_type")
+    dna = F.col("na").cast("double")
+    dnb = F.col("nb").cast("double")
+    dsa = F.col("sa").cast("double")
+    dsb = F.col("sb").cast("double")
+    dqa = F.col("ssqa").cast("double")
+    dqb = F.col("ssqb").cast("double")
+    mean_diff = (dsa / dna) - (dsb / dnb)
+    pooled = ((dqa - (dsa / dna) * dsa) + (dqb - (dsb / dnb) * dsb)) / (
+        dna + dnb - F.lit(2.0)
+    )
+    z2 = mean_diff * mean_diff / (pooled * (F.lit(1.0) / dna + F.lit(1.0) / dnb))
+    out = j.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(mean_diff).cast("bigint").alias("mean_diff_micro"),
+        F.round(F.lit(1_000_000.0) * z2).cast("bigint").alias("z2_micro"),
+    )
+    return out.withColumn("significant", F.col("z2_micro") > 3_841_459)

@@ -259,6 +259,9 @@ PRIORITY_NEXT: list[str] = [
     # round-6: per-group OLS trend slope — b104-style exact integer
     # moments, one final lossless double ratio (exact-oracled)
     "b163_grouped_trend",
+    # round-6: A/B significance from exact integer moments — md5 arm
+    # split, pooled-variance t², integer micro decision (exact-oracled)
+    "b164_ab_test",
 ]
 
 
