@@ -9,7 +9,7 @@ exact integer microseconds (unix_micros), never float seconds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
@@ -1371,4 +1371,143 @@ def b152_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+
+
+@query("b165_markov_attribution")  # rows-only: the absorbing-chain solve
+# is iterative linear algebra; numpy-replay + share invariants in
+# tests/test_mining_invariants.py
+def b165_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016 — the
+    data-driven alternative to b80's rule-based last-touch/linear):
+    each user's journey is the ordered event chain up to their first
+    'purchase' (conversion) or its absence (null); channel c's removal
+    effect is 1 − P(conv | c's transitions redirected to null), and
+    attribution shares are the normalized effects.
+
+    Division of labor at scale: the CORPUS-SIZED work — ordering each
+    user's events and counting (prev → next) transitions — is one
+    window + one groupBy over the event stream; the absorbing-chain
+    probabilities then live on a |channels|²-sized matrix, solved
+    driver-side by damped power iteration (bounded: channel
+    cardinality, like b84's node-sized PageRank state — an O(1)
+    driver hop by the engine's collect rules).  Output: per-channel
+    conversion-path counts, removal effect, and share, in ppm."""
+    import numpy as np
+
+    ev = table(spark, sf_dir, "events")
+    # Journey = the user's ordered CHANNEL events strictly before their
+    # first 'purchase' (the conversion event itself is not a channel);
+    # chain = [__start__, c1, ..., ck, __conv__|__null__].  Built as a
+    # per-user sorted array so empty journeys (a purchase with no prior
+    # touch) still contribute their __start__ → end edge.
+    conv = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("conv_ts")
+    )
+    chans = (
+        ev.join(conv, "user_id")
+        .filter(
+            (F.col("event_type") != "purchase")
+            & (F.col("conv_ts").isNull() | (F.col("ts") < F.col("conv_ts")))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x.getField("event_type"),
+            ).alias("chan_seq")
+        )
+    )
+    chain = (
+        conv.join(chans, "user_id", "left")
+        .select(
+            F.concat(
+                F.array(F.lit("__start__")),
+                F.coalesce("chan_seq", F.array()),
+                F.array(
+                    F.when(F.col("conv_ts").isNotNull(), "__conv__").otherwise(
+                        "__null__"
+                    )
+                ),
+            ).alias("c")
+        )
+    )
+    n_ = F.size("c")
+    pairs = F.arrays_zip(
+        F.slice("c", F.lit(1), n_ - 1), F.slice("c", F.lit(2), n_ - 1)
+    )
+    trans = (
+        chain.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.0").alias("src"), F.col("p.1").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rows = trans.collect()  # |channels+3|² bounded — O(1) driver hop
+    states = sorted(
+        {r.src for r in rows}
+        | {r.dst for r in rows}
+        # always present even when the data lacks one (e.g. every user
+        # converts in a small window → no observed __null__ edge)
+        | {"__start__", "__conv__", "__null__"}
+    )
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    counts = np.zeros((n, n))
+    for r in rows:
+        counts[idx[r.src], idx[r.dst]] = r.n
+    absorbing = {"__conv__", "__null__"}
+
+    def p_conv(removed: str | None) -> float:
+        P = counts.copy()
+        with np.errstate(invalid="ignore"):
+            P = np.divide(P, P.sum(axis=1, keepdims=True),
+                          out=np.zeros_like(P), where=P.sum(axis=1, keepdims=True) > 0)
+        if removed is not None:
+            # removal semantics (Anderl et al.): every visit to the
+            # removed channel becomes a null conversion — its INCOMING
+            # probability mass moves to __null__ (never renormalized
+            # onto surviving channels, which would understate the
+            # effect), and its outgoing row is unreachable
+            P[:, idx["__null__"]] += P[:, idx[removed]]
+            P[:, idx[removed]] = 0.0
+            P[idx[removed], :] = 0.0
+        for s in absorbing:
+            P[idx[s], :] = 0.0
+            P[idx[s], idx[s]] = 1.0
+        # dead ends (no observed outgoing edge) absorb to null
+        dead = P.sum(axis=1) == 0
+        P[dead, idx["__null__"]] = 1.0
+        v = np.zeros(n)
+        v[idx["__start__"]] = 1.0
+        for _ in range(200):  # fixed rounds: deterministic
+            v = v @ P
+        return float(v[idx["__conv__"]])
+
+    base = p_conv(None)
+    channels = [
+        s for s in states if s not in absorbing and s != "__start__"
+    ]
+    effects = {
+        c: max(0.0, 1.0 - (p_conv(c) / base if base > 0 else 0.0))
+        for c in channels
+    }
+    tot = sum(effects.values()) or 1.0
+    conv_paths = {r.src: r.n for r in rows if r.dst == "__conv__"}
+    out = [
+        (
+            c,
+            int(conv_paths.get(c, 0)),
+            int(round(1_000_000 * effects[c])),
+            int(round(1_000_000 * effects[c] / tot)),
+        )
+        for c in sorted(channels)
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel STRING, n_converting_paths BIGINT, "
+        "removal_effect_ppm BIGINT, attribution_share_ppm BIGINT",
     )

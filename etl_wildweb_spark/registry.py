@@ -262,6 +262,10 @@ PRIORITY_NEXT: list[str] = [
     # round-6: A/B significance from exact integer moments — md5 arm
     # split, pooled-variance t², integer micro decision (exact-oracled)
     "b164_ab_test",
+    # round-6: Markov removal-effect attribution — corpus-scale journey
+    # transitions + bounded-state absorbing-chain solve (rows-only;
+    # share/bounds/last-touch invariants in tests/test_mining_invariants.py)
+    "b165_markov_attribution",
 ]
 
 

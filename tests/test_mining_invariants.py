@@ -151,3 +151,46 @@ def test_freq_rollup_brackets_exact_weekly_counts(spark, sf_dir):
         assert r.lower_cnt <= true <= r.upper_cnt, (
             r.week, r.user_id, r.lower_cnt, true, r.upper_cnt)
         assert 0 < r.lower_cnt and r.n_days_retained >= 1
+
+
+def test_markov_attribution_shares_and_bounds(spark, sf_dir):
+    """Removal-effect attribution invariants: every effect lies in
+    [0, 1e6] ppm, shares are a normalization (sum to 1e6 within
+    per-channel rounding slack), converting-path counts equal the
+    exact last-touch recount, and the op is deterministic."""
+    q = registry.QUERIES["b165_markov_attribution"]
+    rows = sorted(tuple(r) for r in q(spark, sf_dir).collect())
+    assert rows == sorted(tuple(r) for r in q(spark, sf_dir).collect())
+    assert rows
+    share_sum = sum(r[3] for r in rows)
+    assert abs(share_sum - 1_000_000) <= len(rows), rows
+    for _, n_paths, effect, share in rows:
+        assert 0 <= effect <= 1_000_000
+        assert 0 <= share <= 1_000_000
+        assert n_paths >= 0
+    # exact last-touch recount: the channel immediately before each
+    # user's first purchase
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    conv = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "conv_ts"
+        )
+    )
+    pre = (
+        ev.join(conv, "user_id")
+        .filter(F.col("conv_ts").isNotNull() & (F.col("ts") < F.col("conv_ts")))
+        .filter(F.col("event_type") != "purchase")
+    )
+    lastw = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    last = (
+        pre.withColumn("rn", F.row_number().over(lastw))
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .count()
+    )
+    want = {r.event_type: r["count"] for r in last.collect()}
+    got = {r[0]: r[1] for r in rows}
+    for ch, n_paths in got.items():
+        assert n_paths == want.get(ch, 0), (ch, n_paths, want)

@@ -76,4 +76,8 @@ def test_priority_oracle_coverage():
         # the sequential reference algorithm in tests/test_llmops.py)
         "b156_bpe_train",
         "b160_bpe_apply",
+        # round-6 extension: absorbing-chain attribution (iterative
+        # linear algebra on the bounded transition matrix; invariants
+        # in tests/test_mining_invariants.py)
+        "b165_markov_attribution",
     }
