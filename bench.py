@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "b161_source_novelty",
     "b162_maxsim_late_interaction",
     "b163_grouped_trend",
+    "b164_ab_test",
+    "b165_markov_attribution",
 ]
 
 
