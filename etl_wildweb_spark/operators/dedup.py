@@ -576,19 +576,38 @@ def b29_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     real scale block on b30's hyperplane-LSH bucket id or IVF cell, or
     route near-dup through b29_minhash/b30_ann_*; label stays here
     because the DuckDB oracle pins exactness within it."""
-    from ..functions.vector import cosine
+    from ..functions.vector import dot, norm
 
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea")
+    # b149's two-part pair-stage treatment (SCALE.md round-6 extension,
+    # lessons 2-3): norms once per VECTOR (cosine() re-aggregates both
+    # per pair — 3x the flops on the quadratic path; dot/(na·nb) builds
+    # the exact same doubles, so the emitted cos_sim is bit-identical),
+    # a derived-key pinned-width exchange on the probe side (AQE sizes
+    # the stage by its tiny input and serializes the pair explosion on
+    # one core), and a broadcast build side (a shuffle join on 10
+    # label keys caps parallelism at 10 tasks).  862 s → 23 s at the
+    # 16x probe.
+    base = e.select("vec_id", "label", "embedding", norm("embedding").alias("nrm"))
+    a = base.repartition(
+        e.sparkSession.sparkContext.defaultParallelism,
+        F.pmod(F.xxhash64("vec_id"), F.lit(1024)),
+    ).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb")
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     return (
-        a.join(b, ["label"])
+        a.join(F.broadcast(b), ["label"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine("ea", "eb"))
+        .withColumn("cos_sim", dot("ea", "eb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos_sim") >= 0.95)
         .select("id_a", "id_b", "cos_sim")
     )
