@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "b163_grouped_trend",
     "b164_ab_test",
     "b165_markov_attribution",
+    "b166_spatial_cell_join",
 ]
 
 

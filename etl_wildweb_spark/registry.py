@@ -266,6 +266,10 @@ PRIORITY_NEXT: list[str] = [
     # transitions + bounded-state absorbing-chain solve (rows-only;
     # share/bounds/last-touch invariants in tests/test_mining_invariants.py)
     "b165_markov_attribution",
+    # round-6: grid-cell spatial proximity join — the reference's geo
+    # domain; 3x3 neighborhood equi-join, exact integer micro-degree
+    # distance predicate (exact-oracled)
+    "b166_spatial_cell_join",
 ]
 
 
@@ -290,6 +294,7 @@ def load_all() -> None:
         skew,
         corpus,
         dedup,
+        geo,
         merge,
         mining,
         multimodal,
