@@ -1336,6 +1336,10 @@ def b159_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are xxhash64 longs (collisions only ADD candidates — the verify
     removes them), and the emitted containment is integer ppm."""
     d = lift_parallelism(table(spark, sf_dir, "documents"), "doc_id")
+    # shingle/gram frames feed multiple consumers (df counts, sizes,
+    # prefix index, exact verify) — cached like b29_ngram_jaccard's
+    # (the NGram pass is the expensive stage; at cluster scale this is
+    # a persist(MEMORY_AND_DISK) under an explicit lifecycle owner)
     sh = with_shingles(d).select("doc_id", "s").cache()
     g = (
         sh.select("doc_id", F.explode("s").alias("gram"))
