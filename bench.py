@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "b164_ab_test",
     "b165_markov_attribution",
     "b166_spatial_cell_join",
+    "b167_geo_knn",
+    "b168_geofence_rollup",
 ]
 
 

@@ -141,3 +141,173 @@ def b166_spatial_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(GEO_RADIUS_MICRO).cast("bigint") * GEO_RADIUS_MICRO
         )
     )
+
+
+GEO_KNN_K = 3
+
+
+@query(
+    "b167_geo_knn",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id,
+             {_SQL_COORD.format(salt="lat", n=GEO_SPAN_MICRO)} AS lat,
+             {_SQL_COORD.format(salt="lon", n=GEO_SPAN_MICRO)} AS lon
+      FROM events),
+    cells AS (
+      SELECT event_id, lat, lon,
+             lat // {GEO_RADIUS_MICRO} AS cx,
+             lon // {GEO_RADIUS_MICRO} AS cy
+      FROM pts),
+    probes AS (
+      SELECT event_id, lat, lon, cx + dx.dx AS px, cy + dy.dy AS py
+      FROM cells, (VALUES (-1), (0), (1)) dx(dx), (VALUES (-1), (0), (1)) dy(dy)),
+    cand AS (
+      SELECT a.event_id AS id_a, b.event_id AS id_b,
+             (a.lat - b.lat) * (a.lat - b.lat)
+               + (a.lon - b.lon) * (a.lon - b.lon) AS dist2
+      FROM probes a JOIN cells b
+        ON a.px = b.cx AND a.py = b.cy AND a.event_id <> b.event_id),
+    ranked AS (
+      SELECT id_a, id_b, CAST(dist2 AS BIGINT) AS dist2_microdeg2,
+             row_number() OVER (PARTITION BY id_a
+                                ORDER BY dist2, id_b) AS rnk
+      FROM cand
+      WHERE dist2 <= {GEO_RADIUS_MICRO}::BIGINT * {GEO_RADIUS_MICRO})
+    SELECT id_a, id_b, dist2_microdeg2, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {GEO_KNN_K}
+    """,
+)
+def b167_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point k-nearest-neighbors within the proximity radius —
+    "which active incidents are closest to this one" (dispatcher
+    dedup/assignment).  Same grid-cell candidate machinery as b166,
+    then a per-point rank window over candidates only: the window
+    partitions BY point, so parallelism is point-cardinality-wide and
+    each partition holds ≤ the 3×3-cell candidate count, never the
+    corpus.  Points with fewer than k in-radius neighbors emit fewer
+    rows (the truncation is part of the spec — beyond-radius neighbors
+    are a different query; expand the ring for unbounded k-NN).
+    Distance ties break on neighbor id — integer-deterministic."""
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        _coord(F.col("event_id"), "lat").alias("lat"),
+        _coord(F.col("event_id"), "lon").alias("lon"),
+    )
+    cells = pts.select(
+        "event_id",
+        "lat",
+        "lon",
+        F.expr(f"lat div {GEO_RADIUS_MICRO}").alias("cx"),
+        F.expr(f"lon div {GEO_RADIUS_MICRO}").alias("cy"),
+    )
+    d = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    probes = (
+        cells.select(
+            F.col("event_id").alias("id_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            "cx",
+            "cy",
+            F.explode(d).alias("dx"),
+        )
+        .select(
+            "id_a",
+            "lat_a",
+            "lon_a",
+            (F.col("cx") + F.col("dx")).alias("px"),
+            "cy",
+            F.explode(d).alias("dy"),
+        )
+        .select(
+            "id_a", "lat_a", "lon_a", "px", (F.col("cy") + F.col("dy")).alias("py")
+        )
+    )
+    build = cells.select(
+        F.col("event_id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cx").alias("px"),
+        F.col("cy").alias("py"),
+    )
+    dist2 = (F.col("lat_a") - F.col("lat_b")) * (
+        F.col("lat_a") - F.col("lat_b")
+    ) + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("id_a").orderBy("dist2_microdeg2", "id_b")
+    return (
+        probes.join(build, ["px", "py"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", dist2.cast("bigint").alias("dist2_microdeg2"))
+        .filter(
+            F.col("dist2_microdeg2")
+            <= F.lit(GEO_RADIUS_MICRO).cast("bigint") * GEO_RADIUS_MICRO
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= GEO_KNN_K)
+    )
+
+
+#: Literal geofence zones (micro-degrees): four dispatch regions over
+#: the demo span + everything else falls through to 'outside'.
+GEO_ZONES = (
+    ("zone_nw", 0, 25_000_000, 0, 25_000_000),
+    ("zone_ne", 0, 25_000_000, 25_000_000, 50_000_000),
+    ("zone_sw", 25_000_000, 50_000_000, 0, 25_000_000),
+    ("zone_core", 20_000_000, 30_000_000, 20_000_000, 30_000_000),
+)
+
+
+def _zone_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lat >= {a} AND lat < {b} AND lon >= {c} AND lon < {d} "
+        f"THEN '{z}'"
+        for z, a, b, c, d in GEO_ZONES
+    )
+    return f"CASE {whens} ELSE 'outside' END"
+
+
+@query(
+    "b168_geofence_rollup",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id, event_type,
+             {_SQL_COORD.format(salt="lat", n=GEO_SPAN_MICRO)} AS lat,
+             {_SQL_COORD.format(salt="lon", n=GEO_SPAN_MICRO)} AS lon
+      FROM events)
+    SELECT {_zone_case_sql()} AS zone, event_type,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(min(lat) AS BIGINT) AS min_lat,
+           CAST(max(lat) AS BIGINT) AS max_lat
+    FROM pts GROUP BY 1, 2
+    """,
+)
+def b168_geofence_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence tagging + rollup: every point classified into literal
+    dispatch zones (first-match-wins CASE — zone_core overlaps are
+    decided by declaration order, the geofencing convention) and
+    rolled up per (zone, incident type).  Because the zones are
+    literals, classification compiles to a pure projection — ZERO
+    joins, zero shuffles before the final rollup; this is the scalable
+    form for any boundary set small enough to inline or broadcast
+    (real polygon fencing swaps the CASE for a cell-indexed polygon
+    table join — b166's plan with a polygon-verify stage).  Integer
+    micro-degree compares throughout."""
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "event_type",
+        _coord(F.col("event_id"), "lat").alias("lat"),
+        _coord(F.col("event_id"), "lon").alias("lon"),
+    )
+    return (
+        pts.withColumn("zone", F.expr(_zone_case_sql()))
+        .groupBy("zone", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min("lat").cast("bigint").alias("min_lat"),
+            F.max("lat").cast("bigint").alias("max_lat"),
+        )
+    )

@@ -270,6 +270,12 @@ PRIORITY_NEXT: list[str] = [
     # domain; 3x3 neighborhood equi-join, exact integer micro-degree
     # distance predicate (exact-oracled)
     "b166_spatial_cell_join",
+    # round-6: in-radius k-NN via the same cell machinery — per-point
+    # rank window over cell candidates only (exact-oracled)
+    "b167_geo_knn",
+    # round-6: geofence tagging + rollup — literal zones compile to a
+    # pure projection, zero pre-rollup shuffles (exact-oracled)
+    "b168_geofence_rollup",
 ]
 
 
