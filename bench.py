@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "b166_spatial_cell_join",
     "b167_geo_knn",
     "b168_geofence_rollup",
+    "b169_tile_pyramid",
+    "b170_trajectory_segments",
 ]
 
 

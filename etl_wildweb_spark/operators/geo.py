@@ -311,3 +311,132 @@ def b168_geofence_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lat").cast("bigint").alias("max_lat"),
         )
     )
+
+
+#: Tile pyramid resolutions (cell edge in micro-degrees): 10°, 1°, 0.1°.
+GEO_PYRAMID = (10_000_000, 1_000_000, 100_000)
+
+
+@query(
+    "b169_tile_pyramid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id, event_type,
+             {_SQL_COORD.format(salt="lat", n=GEO_SPAN_MICRO)} AS lat,
+             {_SQL_COORD.format(salt="lon", n=GEO_SPAN_MICRO)} AS lon
+      FROM events),
+    lv AS (
+      SELECT pts.*, l.res
+      FROM pts, (VALUES {", ".join(f"({r})" for r in GEO_PYRAMID)}) l(res))
+    SELECT CAST(res AS BIGINT) AS res,
+           CAST(lat // res AS BIGINT) AS cell_x,
+           CAST(lon // res AS BIGINT) AS cell_y,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM lv GROUP BY 1, 2, 3
+    """,
+)
+def b169_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution tile pyramid: point counts per cell at 10°/1°/
+    0.1° — the zoom-level pre-aggregation behind every incident map
+    (and the same shape as an H3/S2 resolution ladder).  One explode
+    ×|levels| then a single (res, cell) rollup: map-side combining
+    collapses to the tile count per level, so the shuffle carries
+    tiles, not points.  Coarser levels could equally be derived by
+    MERGING the finest level's tiles (cell÷10 arithmetic — the
+    incremental-rollup path b60/b140/b143 use); the explode form is
+    chosen here because it exercises one pass over the source and
+    keeps every level exact-oracled from raw points."""
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "event_type",
+        _coord(F.col("event_id"), "lat").alias("lat"),
+        _coord(F.col("event_id"), "lon").alias("lon"),
+    )
+    lv = pts.select(
+        "event_type",
+        "lat",
+        "lon",
+        F.explode(F.array(*[F.lit(r) for r in GEO_PYRAMID])).alias("res"),
+    )
+    return (
+        lv.groupBy(
+            F.col("res").cast("bigint").alias("res"),
+            F.expr("lat div res").cast("bigint").alias("cell_x"),
+            F.expr("lon div res").cast("bigint").alias("cell_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.count_distinct("event_type").cast("bigint").alias("n_types"),
+        )
+    )
+
+
+@query(
+    "b170_trajectory_segments",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             {_SQL_COORD.format(salt="lat", n=GEO_SPAN_MICRO)} AS lat,
+             {_SQL_COORD.format(salt="lon", n=GEO_SPAN_MICRO)} AS lon
+      FROM events),
+    seg AS (
+      SELECT user_id, event_id,
+             lag(lat) OVER w AS lat0, lag(lon) OVER w AS lon0,
+             lag(ts) OVER w AS t0, lat, lon, ts
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id,
+           CAST((lat - lat0) * (lat - lat0)
+                + (lon - lon0) * (lon - lon0) AS BIGINT) AS dist2_microdeg2,
+           CAST(date_diff('second', t0, ts) AS BIGINT) AS dt_s
+    FROM seg WHERE lat0 IS NOT NULL AND date_diff('second', t0, ts) > 0
+    """,
+)
+def b170_trajectory_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory segmentation: consecutive position fixes per entity
+    become movement segments with exact integer squared displacement
+    and whole-second duration — the telemetry primitive under speed
+    gates, stop detection, and track simplification (a moving incident
+    resource in the reference's domain).  One lag window partitioned
+    BY entity (entity-cardinality parallelism, never global);
+    zero-duration segments (same-timestamp fixes) are excluded so a
+    downstream speed = dist/dt is always well-defined.  Speed
+    thresholds compare dist² against (v·dt)² — integer
+    cross-multiplication, no division, no floats (the b104/b147
+    decision-predicate rule)."""
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        _coord(F.col("event_id"), "lat").alias("lat"),
+        _coord(F.col("event_id"), "lon").alias("lon"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = pts.select(
+        "user_id",
+        "event_id",
+        F.lag("lat").over(w).alias("lat0"),
+        F.lag("lon").over(w).alias("lon0"),
+        F.lag("ts").over(w).alias("t0"),
+        "lat",
+        "lon",
+        "ts",
+    )
+    dt = F.unix_timestamp("ts") - F.unix_timestamp("t0")
+    dist2 = (F.col("lat") - F.col("lat0")) * (F.col("lat") - F.col("lat0")) + (
+        F.col("lon") - F.col("lon0")
+    ) * (F.col("lon") - F.col("lon0"))
+    return (
+        seg.filter(F.col("lat0").isNotNull() & (dt > 0))
+        .select(
+            "user_id",
+            "event_id",
+            dist2.cast("bigint").alias("dist2_microdeg2"),
+            dt.cast("bigint").alias("dt_s"),
+        )
+    )

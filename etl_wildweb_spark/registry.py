@@ -276,6 +276,12 @@ PRIORITY_NEXT: list[str] = [
     # round-6: geofence tagging + rollup — literal zones compile to a
     # pure projection, zero pre-rollup shuffles (exact-oracled)
     "b168_geofence_rollup",
+    # round-6: multi-resolution tile pyramid — one pass, tile-sized
+    # shuffle (exact-oracled)
+    "b169_tile_pyramid",
+    # round-6: trajectory segmentation — per-entity lag window, exact
+    # integer displacement²/duration (exact-oracled)
+    "b170_trajectory_segments",
 ]
 
 
