@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "b168_geofence_rollup",
     "b169_tile_pyramid",
     "b170_trajectory_segments",
+    "b171_kaplan_meier",
 ]
 
 

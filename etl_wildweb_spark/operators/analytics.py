@@ -1511,3 +1511,110 @@ def b165_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel STRING, n_converting_paths BIGINT, "
         "removal_effect_ppm BIGINT, attribution_share_ppm BIGINT",
     )
+
+
+@query(
+    "b171_kaplan_meier",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, min(ts) AS origin,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS conv
+      FROM events GROUP BY 1),
+    horizon AS (SELECT max(ts) AS h FROM events),
+    t AS (
+      SELECT user_id,
+             CASE WHEN conv IS NOT NULL
+                  THEN date_diff('day', origin, conv)
+                  ELSE date_diff('day', origin, (SELECT h FROM horizon))
+             END AS t_day,
+             (conv IS NOT NULL) AS observed
+      FROM u),
+    days AS (
+      SELECT t_day,
+             CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM t GROUP BY 1),
+    risk AS (
+      SELECT t_day, d,
+             CAST((SELECT count(*) FROM t) AS BIGINT)
+               - CAST(coalesce(sum(leaving) OVER (ORDER BY t_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_risk
+      FROM days),
+    steps AS (
+      SELECT t_day, d, n_risk,
+             CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+                  WHEN d < n_risk THEN CAST(round(1000000 * ln(
+                       CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+                     AS BIGINT)
+             END AS step_micro
+      FROM risk)
+    SELECT CAST(t_day AS BIGINT) AS t_day, d AS n_events, n_risk,
+           CAST(sum(step_micro) OVER (ORDER BY t_day) AS BIGINT)
+             AS log_surv_micro
+    FROM steps
+    """,
+)
+def b171_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of time-to-conversion: each
+    user's clock starts at their first event; conversion = first
+    purchase; non-converters are right-censored at the corpus horizon.
+    Per day t: n_risk (still unconverted and uncensored), n_events
+    (conversions), and the cumulative log-survival ln S(t) =
+    Σ_{i≤t} ln((nᵢ−dᵢ)/nᵢ) in integer micro-nats — each step is the
+    ln of an exact integer ratio rounded ONCE, so the cumulative sum
+    is exact and order-independent within the day table.  A day where
+    everyone remaining converts (d = n) emits NULL (S hits exactly 0 —
+    log-scale sentinel left to the consumer).
+
+    Scale: per-user reduction (one groupBy), then ALL survival math
+    runs on the day table — bounded by the observation window (≤ a few
+    thousand days for any real corpus), which is the documented
+    single-partition-window bound class (b45's value-domain rule); the
+    at-risk count is a cumulative window over those days, not a
+    per-user scan."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("origin"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "conv"
+        ),
+    )
+    u.createOrReplaceTempView("km_users_v")
+    ev.createOrReplaceTempView("km_events_v")
+    return spark.sql(
+        """
+        WITH t AS (
+          SELECT user_id,
+                 CASE WHEN conv IS NOT NULL THEN datediff(conv, origin)
+                      ELSE datediff((SELECT max(ts) FROM km_events_v), origin)
+                 END AS t_day,
+                 (conv IS NOT NULL) AS observed
+          FROM km_users_v),
+        days AS (
+          SELECT t_day,
+                 CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS leaving
+          FROM t GROUP BY 1),
+        risk AS (
+          SELECT t_day, d,
+                 CAST((SELECT count(*) FROM t) AS BIGINT)
+                   - CAST(coalesce(sum(leaving) OVER (
+                       PARTITION BY 'all' ORDER BY t_day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS n_risk
+          FROM days),
+        steps AS (
+          SELECT t_day, d, n_risk,
+                 CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+                      WHEN d < n_risk THEN CAST(round(1000000D * ln(
+                           CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+                         AS BIGINT)
+                 END AS step_micro
+          FROM risk)
+        SELECT CAST(t_day AS BIGINT) AS t_day, d AS n_events, n_risk,
+               CAST(sum(step_micro) OVER (PARTITION BY 'all'
+                 ORDER BY t_day) AS BIGINT) AS log_surv_micro
+        FROM steps
+        """
+    )

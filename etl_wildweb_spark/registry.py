@@ -282,6 +282,9 @@ PRIORITY_NEXT: list[str] = [
     # round-6: trajectory segmentation — per-entity lag window, exact
     # integer displacement²/duration (exact-oracled)
     "b170_trajectory_segments",
+    # round-6: Kaplan-Meier time-to-conversion — per-user reduction,
+    # day-table survival math, integer micro-log steps (exact-oracled)
+    "b171_kaplan_meier",
 ]
 
 
