@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "b169_tile_pyramid",
     "b170_trajectory_segments",
     "b171_kaplan_meier",
+    "b172_knn_label_vote",
 ]
 
 

@@ -917,3 +917,94 @@ def b162_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= MAXSIM_TOP_K)
     )
+
+
+# --------------------------------------------- kNN label prediction
+
+KNN_VOTE_K = 5
+KNN_VOTE_QUERIES = 20  # the lowest vec_ids are held out as the "test set"
+
+
+@query(
+    "b172_knn_label_vote",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id < {KNN_VOTE_QUERIES}),
+    c AS (SELECT vec_id, embedding, label FROM embeddings
+          WHERE vec_id >= {KNN_VOTE_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.label AS neighbor_label,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                               c.embedding::DOUBLE[]) DESC,
+                        c.vec_id) AS rnk
+      FROM q JOIN c ON true),
+    votes AS (
+      SELECT query_id, true_label, neighbor_label,
+             CAST(count(*) AS BIGINT) AS n_votes
+      FROM scored WHERE rnk <= {KNN_VOTE_K}
+      GROUP BY 1, 2, 3),
+    pick AS (
+      SELECT query_id, true_label, neighbor_label AS predicted, n_votes,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY n_votes DESC, neighbor_label) AS p
+      FROM votes)
+    SELECT query_id, CAST(true_label AS INTEGER) AS true_label,
+           CAST(predicted AS INTEGER) AS predicted, n_votes,
+           predicted = true_label AS correct
+    FROM pick WHERE p = 1
+    """,
+)
+def b172_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction by neighbor majority vote — the
+    weak-supervision / label-propagation primitive (and the standard
+    embedding-quality probe: if neighbors can't predict the label, the
+    space is noise).  The {KNN_VOTE_QUERIES} lowest ids are held out;
+    each is scored against the rest, its top-{KNN_VOTE_K} neighbors
+    vote, ties break on the smaller label — every step integer- or
+    order-deterministic, so the whole classifier is exact-oracled.
+
+    Engine shape: b30's broadcast-query scoring (the corpus never
+    shuffles), per-query rank windows carrying Partial+Final
+    WindowGroupLimit, then two query-count-sized aggregations.  At
+    scale the scoring join swaps in the IVF/LSH candidate pruning
+    (b30_ann_*) with the identical vote tail."""
+    from ..functions.vector import cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < KNN_VOTE_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qe"),
+    )
+    c = lift_parallelism(
+        e.filter(F.col("vec_id") >= KNN_VOTE_QUERIES), "vec_id"
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("ce"),
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    votes = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cos_sim", cosine("qe", "ce"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= KNN_VOTE_K)
+        .groupBy("query_id", "true_label", "neighbor_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"))
+    )
+    wp = W.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), "neighbor_label"
+    )
+    return (
+        votes.withColumn("p", F.row_number().over(wp))
+        .filter(F.col("p") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("neighbor_label").cast("int").alias("predicted"),
+            "n_votes",
+            (F.col("neighbor_label") == F.col("true_label")).alias("correct"),
+        )
+    )

@@ -285,6 +285,9 @@ PRIORITY_NEXT: list[str] = [
     # round-6: Kaplan-Meier time-to-conversion — per-user reduction,
     # day-table survival math, integer micro-log steps (exact-oracled)
     "b171_kaplan_meier",
+    # round-6: kNN label vote — b30's broadcast scoring + deterministic
+    # majority, the weak-supervision primitive (exact-oracled)
+    "b172_knn_label_vote",
 ]
 
 

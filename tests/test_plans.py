@@ -289,6 +289,8 @@ _NESTED_LOOP_OK = {
     # broadcast query-set cross join (MAXSIM_QUERIES = 5 rows) — b30's
     # bounded scoring pattern
     "b162_maxsim_late_interaction",
+    # broadcast query-set cross join (KNN_VOTE_QUERIES = 20 rows)
+    "b172_knn_label_vote",
 }
 
 # Streaming / connector / side-effecting queries execute eagerly or
