@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "b170_trajectory_segments",
     "b171_kaplan_meier",
     "b172_knn_label_vote",
+    "b173_dbscan_complexes",
 ]
 
 

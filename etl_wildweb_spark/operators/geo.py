@@ -440,3 +440,182 @@ def b170_trajectory_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             dt.cast("bigint").alias("dt_s"),
         )
     )
+
+
+DBSCAN_MIN_PTS = 3  # core threshold: ≥ this many neighbors incl. self
+
+
+def _geo_pairs_sql() -> str:
+    """Shared candidate/verify SQL (both directions) for the oracle."""
+    return f"""
+    pts AS (
+      SELECT event_id,
+             {_SQL_COORD.format(salt="lat", n=GEO_SPAN_MICRO)} AS lat,
+             {_SQL_COORD.format(salt="lon", n=GEO_SPAN_MICRO)} AS lon
+      FROM events),
+    cells AS (
+      SELECT event_id, lat, lon,
+             lat // {GEO_RADIUS_MICRO} AS cx, lon // {GEO_RADIUS_MICRO} AS cy
+      FROM pts),
+    probes AS (
+      SELECT event_id, lat, lon, cx + dx.dx AS px, cy + dy.dy AS py
+      FROM cells, (VALUES (-1), (0), (1)) dx(dx), (VALUES (-1), (0), (1)) dy(dy)),
+    nbr AS (
+      SELECT a.event_id AS id_a, b.event_id AS id_b
+      FROM probes a JOIN cells b ON a.px = b.cx AND a.py = b.cy
+      WHERE a.event_id <> b.event_id
+        AND (a.lat - b.lat) * (a.lat - b.lat)
+            + (a.lon - b.lon) * (a.lon - b.lon)
+            <= {GEO_RADIUS_MICRO}::BIGINT * {GEO_RADIUS_MICRO}),
+    core AS (
+      SELECT id_a AS event_id FROM nbr GROUP BY 1
+      HAVING count(*) + 1 >= {DBSCAN_MIN_PTS})
+    """
+
+
+@query(
+    "b173_dbscan_complexes",
+    oracle=f"""
+    WITH RECURSIVE {_geo_pairs_sql()},
+    core_edges AS (
+      SELECT nbr.id_a AS src, nbr.id_b AS dst FROM nbr
+      WHERE nbr.id_a IN (SELECT event_id FROM core)
+        AND nbr.id_b IN (SELECT event_id FROM core)),
+    reach(node, lab) AS (
+      SELECT event_id, event_id FROM core
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN core_edges e ON e.src = r.node),
+    core_cluster AS (
+      SELECT node AS event_id, min(lab) AS cluster_id FROM reach GROUP BY 1),
+    border AS (
+      SELECT nbr.id_a AS event_id, min(cc.cluster_id) AS cluster_id
+      FROM nbr JOIN core_cluster cc ON nbr.id_b = cc.event_id
+      WHERE nbr.id_a NOT IN (SELECT event_id FROM core)
+      GROUP BY 1)
+    SELECT event_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           'core' AS role
+    FROM core_cluster
+    UNION ALL
+    SELECT event_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           'border' AS role
+    FROM border
+    """,
+)
+def b173_dbscan_complexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering over incident points (eps = the b166
+    radius, minPts = {DBSCAN_MIN_PTS}) — "which reports are one fire
+    COMPLEX": core points have ≥ minPts in-radius points (incl. self),
+    complexes are connected components over core-core proximity, and
+    border points attach to their minimum-id adjacent complex; noise
+    stays out.  Min-label CC makes the clustering deterministic, so
+    the whole algorithm — including the recursive closure — replays
+    exactly in DuckDB's WITH RECURSIVE.
+
+    Engine shape: this is pure composition — b166's cell-join produces
+    the ε-neighborhood edges (never the n² pair space), the core
+    filter is one groupBy on those edges, and the clustering is the
+    shared connected_components harness (iterative min-label with
+    per-round localCheckpoint; big-star swap documented there for
+    billion-edge graphs).  The per-round state is core-point-sized —
+    a vanishing fraction of the corpus by the density definition."""
+    from .dedup import connected_components
+
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        _coord(F.col("event_id"), "lat").alias("lat"),
+        _coord(F.col("event_id"), "lon").alias("lon"),
+    )
+    cells = pts.select(
+        "event_id",
+        "lat",
+        "lon",
+        F.expr(f"lat div {GEO_RADIUS_MICRO}").alias("cx"),
+        F.expr(f"lon div {GEO_RADIUS_MICRO}").alias("cy"),
+    )
+    d = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    probes = (
+        cells.select(
+            F.col("event_id").alias("id_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            "cx",
+            "cy",
+            F.explode(d).alias("dx"),
+        )
+        .select(
+            "id_a",
+            "lat_a",
+            "lon_a",
+            (F.col("cx") + F.col("dx")).alias("px"),
+            "cy",
+            F.explode(d).alias("dy"),
+        )
+        .select(
+            "id_a", "lat_a", "lon_a", "px", (F.col("cy") + F.col("dy")).alias("py")
+        )
+    )
+    build = cells.select(
+        F.col("event_id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cx").alias("px"),
+        F.col("cy").alias("py"),
+    )
+    dist2 = (F.col("lat_a") - F.col("lat_b")) * (
+        F.col("lat_a") - F.col("lat_b")
+    ) + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+    nbr = (
+        probes.join(build, ["px", "py"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            dist2 <= F.lit(GEO_RADIUS_MICRO).cast("bigint") * GEO_RADIUS_MICRO
+        )
+        .select("id_a", "id_b")
+        # the edge list feeds THREE consumers (core filter, CC, border
+        # attach) and the upstream cell join is the expensive stage —
+        # materialize once (the connected_components checkpoint rule)
+        .localCheckpoint(eager=True)
+    )
+    core = (
+        nbr.groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") + 1 >= DBSCAN_MIN_PTS)
+        .select(F.col("id_a").alias("event_id"))
+    )
+    core_edges = (
+        nbr.join(core.withColumnRenamed("event_id", "id_a"), "id_a")
+        .join(core.withColumnRenamed("event_id", "id_b"), "id_b")
+        .select("id_a", "id_b")
+    )
+    # isolated cores (no core neighbor) still form singleton complexes:
+    # union self-loops so connected_components sees every core node
+    cc_in = core_edges.unionByName(
+        core.select(
+            F.col("event_id").alias("id_a"), F.col("event_id").alias("id_b")
+        )
+    )
+    core_cluster = connected_components(cc_in).select(
+        F.col("node").alias("event_id"), "cluster_id"
+    )
+    border = (
+        nbr.join(
+            core.withColumnRenamed("event_id", "id_a"), "id_a", "left_anti"
+        )
+        .join(
+            core_cluster.withColumnRenamed("event_id", "id_b"), "id_b"
+        )
+        .groupBy(F.col("id_a").alias("event_id"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    return core_cluster.select(
+        "event_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.lit("core").alias("role"),
+    ).unionByName(
+        border.select(
+            "event_id",
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.lit("border").alias("role"),
+        )
+    )

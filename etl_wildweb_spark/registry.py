@@ -288,6 +288,10 @@ PRIORITY_NEXT: list[str] = [
     # round-6: kNN label vote — b30's broadcast scoring + deterministic
     # majority, the weak-supervision primitive (exact-oracled)
     "b172_knn_label_vote",
+    # round-6: DBSCAN fire-complex clustering — b166's ε-edges + core
+    # filter + min-label CC + border attach, all replayed by DuckDB's
+    # recursive CTE (exact-oracled)
+    "b173_dbscan_complexes",
 ]
 
 
