@@ -1491,8 +1491,11 @@ def b165_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     channels = [
         s for s in states if s not in absorbing and s != "__start__"
     ]
+    # base == 0 (a corpus with no conversions) must yield zero effect
+    # for every channel — `1 - 0` would hand each channel an equal
+    # nonzero share despite nothing to attribute (ADVICE r6).
     effects = {
-        c: max(0.0, 1.0 - (p_conv(c) / base if base > 0 else 0.0))
+        c: max(0.0, 1.0 - p_conv(c) / base) if base > 0 else 0.0
         for c in channels
     }
     tot = sum(effects.values()) or 1.0

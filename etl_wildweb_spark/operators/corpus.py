@@ -880,12 +880,16 @@ def b161_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     `div` — no floats anywhere."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    n = F.size(toks)
+    # slice() throws INVALID_PARAMETER_VALUE.LENGTH on a negative
+    # length, so a 1- or 2-token doc (n-2 ≤ 0) would crash the whole
+    # query at runtime; clamp to 0 so short docs contribute zero grams
+    # — exactly what the oracle's range(1, len(t)-1) yields (ADVICE r6).
+    n = F.greatest(F.size(toks) - 2, F.lit(0))
     grams = F.zip_with(
-        F.slice(toks, F.lit(1), n - 2),
+        F.slice(toks, F.lit(1), n),
         F.zip_with(
-            F.slice(toks, F.lit(2), n - 2),
-            F.slice(toks, F.lit(3), n - 2),
+            F.slice(toks, F.lit(2), n),
+            F.slice(toks, F.lit(3), n),
             lambda b, c: F.concat_ws(" ", b, c),
         ),
         lambda a, bc: F.concat_ws(" ", a, bc),

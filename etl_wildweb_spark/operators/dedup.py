@@ -1179,8 +1179,9 @@ SEMDEDUP_K = 8  # deterministic seed centroids: the lowest vec_ids
         SELECT e.vec_id, c.cid, e.embedding,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(
-                            e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                 ORDER BY CAST(round(1000000 * list_cosine_similarity(
+                            e.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                            AS BIGINT) DESC,
                           c.cid ASC) AS rn
         FROM embeddings e CROSS JOIN c) e
       WHERE rn = 1),
@@ -1225,14 +1226,26 @@ def b149_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
+    # The assignment argmax ranks on INTEGER micro-cosine, not the raw
+    # double: ordering raw doubles across engines relies on Spark's and
+    # DuckDB's accumulation orders agreeing to the last ulp at every
+    # near-tie — the exact failure mode the keep/drop predicate below
+    # already avoids (ADVICE r6; b162_maxsim is the house pattern).
+    # Ties resolve on the deterministic lowest-cid rule in both engines.
     best = (
         e.select("vec_id", "embedding")
         .join(F.broadcast(cents))
-        .select("vec_id", "cid", cosine("embedding", "ce").alias("cos_sim"))
+        .select(
+            "vec_id",
+            "cid",
+            F.round(F.lit(1_000_000) * cosine("embedding", "ce"))
+            .cast("bigint")
+            .alias("mcos"),
+        )
         .groupBy("vec_id")
         .agg(
             F.max_by(
-                "cid", F.struct(F.col("cos_sim"), (-F.col("cid")).alias("nc"))
+                "cid", F.struct(F.col("mcos"), (-F.col("cid")).alias("nc"))
             ).alias("cluster_id")
         )
     )

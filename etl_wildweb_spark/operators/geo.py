@@ -514,11 +514,16 @@ def b173_dbscan_complexes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine shape: this is pure composition — b166's cell-join produces
     the ε-neighborhood edges (never the n² pair space), the core
     filter is one groupBy on those edges, and the clustering is the
-    shared connected_components harness (iterative min-label with
-    per-round localCheckpoint; big-star swap documented there for
-    billion-edge graphs).  The per-round state is core-point-sized —
-    a vanishing fraction of the corpus by the density definition."""
-    from .dedup import connected_components
+    LARGE-STAR/SMALL-STAR contraction (connected_components_bigstar,
+    Kiveris et al. SoCC'14): dense fire complexes are near-clique and
+    ε-chains along a fire front are path-shaped, and big-star's
+    O(log n) rounds are immune to that diameter — the round-6 16x
+    density probe showed the min-label loop's O(diameter) rounds
+    dominating wall time (8.1 s → 517 s; SCALE.md).  Both harnesses
+    emit component-min labels, so the DuckDB WITH RECURSIVE oracle is
+    unchanged.  The per-round state is core-point-sized — a vanishing
+    fraction of the corpus by the density definition."""
+    from .dedup import connected_components_bigstar
 
     ev = table(spark, sf_dir, "events")
     pts = ev.select(
@@ -595,7 +600,7 @@ def b173_dbscan_complexes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("id_a"), F.col("event_id").alias("id_b")
         )
     )
-    core_cluster = connected_components(cc_in).select(
+    core_cluster = connected_components_bigstar(cc_in).select(
         F.col("node").alias("event_id"), "cluster_id"
     )
     border = (

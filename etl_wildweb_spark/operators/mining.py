@@ -1160,6 +1160,11 @@ def b163_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
                       - (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)))
                AS BIGINT) AS mean_diff_micro,
+             CASE WHEN a.n + b.n <= 2
+                    OR (a.n * a.ssq - a.s * a.s = 0
+                        AND b.n * b.ssq - b.s * b.s = 0)
+             THEN NULL
+             ELSE
              CAST(round(1000000.0 * (
                ((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
                 - (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)))
@@ -1173,11 +1178,11 @@ def b163_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * CAST(b.s AS DOUBLE)))
                    / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) - 2.0))
                   * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE)))
-             )) AS BIGINT) AS z2_micro
+             )) AS BIGINT) END AS z2_micro
       FROM m a JOIN m b ON a.event_type = b.event_type
       WHERE a.arm = 'a' AND b.arm = 'b')
     SELECT event_type, n_a, n_b, mean_diff_micro, z2_micro,
-           z2_micro > 3841459 AS significant
+           coalesce(z2_micro > 3841459, FALSE) AS significant
     FROM w
     """,
 )
@@ -1191,6 +1196,14 @@ def b164_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled from them in double with the identical expression tree
     in both engines and rounded once to micro — so the significance
     flag compares integers (the b147/b149 decision-predicate rule).
+
+    Degenerate groups get an explicit NULL statistic instead of
+    NaN/Inf (ADVICE r6): one row per arm (n_a+n_b ≤ 2, zero degrees of
+    freedom) or zero pooled variance (both arms constant — checked on
+    the EXACT integer moments n·Σy² − (Σy)², never the cancellation-
+    prone double) → z2_micro NULL, significant false.  An event_type
+    present in only one arm has no A/B contrast at all and is dropped
+    by the inner a×b pairing — deliberate, mirrored in the oracle.
 
     Scale: one (event_type, arm) moment aggregation — map-side
     combinable to 2·|event types| rows; the a×b pairing is a join on
@@ -1231,11 +1244,25 @@ def b164_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         dna + dnb - F.lit(2.0)
     )
     z2 = mean_diff * mean_diff / (pooled * (F.lit(1.0) / dna + F.lit(1.0) / dnb))
+    # degeneracy on EXACT decimal moments: n·Σy² − (Σy)² == 0 ⟺ the
+    # arm is constant (the double ssq − (s/n)·s carries cancellation
+    # residue and could disagree with DuckDB at exactly the wrong time)
+    degenerate = (
+        (F.col("na") + F.col("nb") <= 2)
+        | (
+            (F.col("na") * F.col("ssqa") - F.col("sa") * F.col("sa") == 0)
+            & (F.col("nb") * F.col("ssqb") - F.col("sb") * F.col("sb") == 0)
+        )
+    )
     out = j.select(
         "event_type",
         F.col("na").cast("bigint").alias("n_a"),
         F.col("nb").cast("bigint").alias("n_b"),
         F.round(mean_diff).cast("bigint").alias("mean_diff_micro"),
-        F.round(F.lit(1_000_000.0) * z2).cast("bigint").alias("z2_micro"),
+        F.when(degenerate, F.lit(None).cast("bigint"))
+        .otherwise(F.round(F.lit(1_000_000.0) * z2).cast("bigint"))
+        .alias("z2_micro"),
     )
-    return out.withColumn("significant", F.col("z2_micro") > 3_841_459)
+    return out.withColumn(
+        "significant", F.coalesce(F.col("z2_micro") > 3_841_459, F.lit(False))
+    )

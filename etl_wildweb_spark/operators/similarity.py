@@ -618,7 +618,14 @@ def b134_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: the code assignment depends on float argmin over the
     data-derived codebook — expressible in DuckDB only by replaying
     the same float pipeline, which would test DuckDB, not the
-    operator."""
+    operator.
+
+    Output shape: the 8 four-bit codes are packed big-endian into ONE
+    BIGINT (code_0·16⁷ + … + code_7; max 16⁸−1 = 2³²−1, no overflow) —
+    registered queries never emit top-level array/map columns (the
+    driver's canonicalizer sorts pandas frames and ndarray cells are
+    unhashable; guarded by tests/test_registry.py).  b137 consumes the
+    unpacked array form internally."""
     e = table(spark, sf_dir, "embeddings")
     cb_rows = [r.asDict() for r in pq_codebooks(e).collect()]
     from pyspark.sql.types import (
@@ -637,8 +644,15 @@ def b134_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("recon_err", DoubleType(), False),
         ]
     )
-    return e.select("vec_id", "embedding").mapInPandas(
+    enc = e.select("vec_id", "embedding").mapInPandas(
         _pq_encode_batches(cb_rows), schema=schema
+    )
+    return enc.select(
+        "vec_id",
+        F.expr(
+            "aggregate(codes, 0L, (acc, c) -> acc * 16L + cast(c as bigint))"
+        ).alias("packed_codes"),
+        "recon_err",
     )
 
 
@@ -936,8 +950,9 @@ KNN_VOTE_QUERIES = 20  # the lowest vec_ids are held out as the "test set"
       SELECT q.vec_id AS query_id, q.label AS true_label,
              c.label AS neighbor_label,
              row_number() OVER (PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
-                                               c.embedding::DOUBLE[]) DESC,
+               ORDER BY CAST(round(1000000 * list_cosine_similarity(
+                          q.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                          AS BIGINT) DESC,
                         c.vec_id) AS rnk
       FROM q JOIN c ON true),
     votes AS (
@@ -964,6 +979,10 @@ def b172_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     each is scored against the rest, its top-{KNN_VOTE_K} neighbors
     vote, ties break on the smaller label — every step integer- or
     order-deterministic, so the whole classifier is exact-oracled.
+    The neighbor rank orders on INTEGER micro-cosine (not the raw
+    double): a 1-ulp cross-engine skew at a near-tie would flip a
+    neighbor in/out of the vote set (ADVICE r6; the b147/b149/b162
+    integer-decision-predicate rule), micro ties resolve on vec_id.
 
     Engine shape: b30's broadcast-query scoring (the corpus never
     shuffles), per-query rank windows carrying Partial+Final
@@ -985,10 +1004,13 @@ def b172_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("ce"),
     )
-    wr = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    wr = W.partitionBy("query_id").orderBy(F.desc("mcos"), "neighbor_id")
     votes = (
         c.crossJoin(F.broadcast(q))
-        .withColumn("cos_sim", cosine("qe", "ce"))
+        .withColumn(
+            "mcos",
+            F.round(F.lit(1_000_000) * cosine("qe", "ce")).cast("bigint"),
+        )
         .withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= KNN_VOTE_K)
         .groupBy("query_id", "true_label", "neighbor_label")

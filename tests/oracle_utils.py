@@ -52,8 +52,28 @@ def rows_multiset(cols, rows):
     )
 
 
+def assert_driver_sortable(name: str, schema) -> None:
+    """No registered query may emit a top-level array/map column: the
+    driver's canonicalizer sorts the pandas frame and ndarray/dict
+    cells are unhashable (b134's round-6 red).  Pack into BIGINT
+    (b134), array_join (b157), or explode instead."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    assert not bad, (
+        f"{name}: top-level array/map output column(s) {bad} crash the "
+        "driver's pandas canonicalizer — pack (BIGINT), array_join, or "
+        "explode before returning"
+    )
+
+
 def compare(spark, sf_dir: str, name: str, query_fn, oracle: str):
     sdf = query_fn(spark, sf_dir)
+    assert_driver_sortable(name, sdf.schema)
     s_cols = list(sdf.columns)
     s_rows = [tuple(r) for r in sdf.collect()]
 

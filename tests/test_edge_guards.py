@@ -1,0 +1,166 @@
+"""Degenerate-input guards from ADVICE r6 — each test plants the exact
+shape the advisor flagged (short docs, one-row arms, constant arms,
+single-arm event types, zero-conversion corpora) and proves the engine
+either matches the oracle on it or takes the guarded branch, instead of
+crashing / NaN-ing / hallucinating attribution."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from etl_wildweb_spark import registry
+from etl_wildweb_spark.io import TABLES
+
+from .oracle_utils import compare
+
+registry.load_all()
+
+
+def _planted_dir(tmp_path, sf_dir: str, overrides: dict[str, pd.DataFrame]) -> str:
+    """A corpus dir that symlinks every real table except the planted
+    overrides, which are written as single parquet FILES (both loaders
+    read {dir}/{t}.parquet; DuckDB's view needs a file, not a dir)."""
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for t in TABLES:
+        if t not in overrides:
+            os.symlink(
+                os.path.join(sf_dir, f"{t}.parquet"), str(d / f"{t}.parquet")
+            )
+    for t, pdf in overrides.items():
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        # events.ts must ship as TIMESTAMP(MICROS) — pandas ns would
+        # write TIMESTAMP(NANOS), which the two engines truncate on
+        # different paths
+        if "ts" in pdf.columns:
+            i = tbl.schema.get_field_index("ts")
+            tbl = tbl.set_column(
+                i, "ts", tbl.column("ts").cast(pa.timestamp("us"))
+            )
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def _arm(user_id: int) -> str:
+    """Python replica of sampling.hash_bucket(key, 2): md5 of the
+    decimal string, first 8 hex chars, 32-bit int, % 2."""
+    h = int(hashlib.md5(str(user_id).encode()).hexdigest()[:8], 16)
+    return "a" if h % 2 == 0 else "b"
+
+
+def _events(rows) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "event_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": pd.array([r[2] for r in rows], dtype="int64"),
+            "event_type": [r[3] for r in rows],
+            "value": [float(r[4]) for r in rows],
+            "props": ["{}" for _ in rows],
+        }
+    )
+
+
+def test_b161_short_docs_contribute_zero_grams(spark, sf_dir, tmp_path):
+    """A 1-token (or empty) document must yield no trigrams — not an
+    INVALID_PARAMETER_VALUE.LENGTH crash from slice(toks, 1, -1)
+    (ADVICE r6 medium).  Full oracle parity on the planted corpus."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(6), dtype="int64"),
+            "text": [
+                "",  # splits to [''] — size 1
+                "one",
+                "two tokens",
+                "three token doc",
+                "alpha beta gamma delta",
+                "alpha beta gamma epsilon zeta",
+            ],
+            "lang": ["en"] * 6,
+            "source": ["s1", "s1", "s1", "s2", "s2", "s1"],
+            "n_chars": pd.array([0, 3, 10, 15, 22, 29], dtype="int64"),
+        }
+    )
+    planted = _planted_dir(tmp_path, sf_dir, {"documents": docs})
+    name = "b161_source_novelty"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    # and the short docs really did contribute nothing: only the two
+    # 3+-token docs per source carry grams (s1: the 5-token doc's 3;
+    # s2: 1 from the 3-token doc + 2 from the 4-token doc)
+    out = {
+        r.source: (r.n_grams_distinct, r.n_novel)
+        for r in registry.QUERIES[name](spark, planted).collect()
+    }
+    # "alpha beta gamma" occurs in both sources -> attributed to s1
+    assert out == {"s1": (3, 3), "s2": (3, 2)}
+
+
+def test_b164_degenerate_arms_yield_null_not_naninf(spark, sf_dir, tmp_path):
+    """One row per arm (zero degrees of freedom) and constant-value
+    arms (zero pooled variance) must emit z2_micro NULL / significant
+    false — not NaN/Inf crossing a non-ANSI bigint cast (ADVICE r6).
+    Single-arm event types are dropped by the a×b pairing.  Checked by
+    full oracle parity plus explicit branch assertions."""
+    # two users per arm with known md5 arms
+    a_users = [u for u in range(100) if _arm(u) == "a"][:3]
+    b_users = [u for u in range(100) if _arm(u) == "b"][:3]
+    t0 = "2024-01-01T00:00:0{}"
+    rows = []
+    eid = 0
+
+    def add(user, etype, value):
+        nonlocal eid
+        rows.append((eid, t0.format(eid % 10), user, etype, value))
+        eid += 1
+
+    # case 1: one row per arm -> n_a + n_b = 2 -> NULL
+    add(a_users[0], "pair_single", 1.25)
+    add(b_users[0], "pair_single", 9.75)
+    # case 2: both arms constant -> zero pooled variance -> NULL
+    for u in a_users + b_users:
+        add(u, "flatline", 42.0)
+    # case 3: healthy contrast -> real statistic
+    for i, u in enumerate(a_users):
+        add(u, "healthy", 10.0 + i)
+        add(u, "healthy", 11.0 + i)
+    for i, u in enumerate(b_users):
+        add(u, "healthy", 20.0 + 2 * i)
+        add(u, "healthy", 22.0 + i)
+    # case 4: only arm a present -> dropped entirely
+    for u in a_users:
+        add(u, "lonely_arm", 5.0)
+
+    planted = _planted_dir(tmp_path, sf_dir, {"events": _events(rows)})
+    name = "b164_ab_test"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = {r.event_type: r for r in registry.QUERIES[name](spark, planted).collect()}
+    assert set(got) == {"pair_single", "flatline", "healthy"}  # lonely_arm dropped
+    assert got["pair_single"].z2_micro is None
+    assert got["pair_single"].significant is False
+    assert got["flatline"].z2_micro is None
+    assert got["flatline"].significant is False
+    assert got["healthy"].z2_micro is not None and got["healthy"].z2_micro > 0
+
+
+def test_b165_zero_conversions_zero_attribution(spark, sf_dir, tmp_path):
+    """A corpus with no 'purchase' events has nothing to attribute:
+    every channel's removal effect and share must be 0 — not the equal
+    nonzero split the unguarded `else 0.0` produced (ADVICE r6)."""
+    rows = []
+    for eid, (user, etype) in enumerate(
+        [(1, "view"), (1, "click"), (2, "view"), (2, "signup"), (3, "click")]
+    ):
+        rows.append((eid, f"2024-01-01T00:00:0{eid}", user, etype, 1.0))
+    planted = _planted_dir(tmp_path, sf_dir, {"events": _events(rows)})
+    out = registry.QUERIES["b165_markov_attribution"](spark, planted).collect()
+    assert out, "channels must still be listed"
+    for r in out:
+        assert r.n_converting_paths == 0
+        assert r.removal_effect_ppm == 0, r
+        assert r.attribution_share_ppm == 0, r

@@ -521,16 +521,24 @@ def test_pq_encode_invariants(spark, sf_dir):
     """b134 rows-only proof: codes in range, bit-identical to a pure
     numpy replay of the same codebook, deterministic across runs, and
     reconstruction error never worse than always picking code 0 (the
-    argmin property made observable)."""
+    argmin property made observable).  The registered query packs the
+    8 four-bit codes big-endian into one BIGINT (driver canonicalizer
+    can't sort array cells) — unpack here to compare."""
     import numpy as np
 
     from etl_wildweb_spark.io import table
     from etl_wildweb_spark.operators import similarity as S
 
+    def unpack(packed):
+        return tuple(
+            (packed >> (4 * (S.PQ_SUBSPACES - 1 - s))) & 0xF
+            for s in range(S.PQ_SUBSPACES)
+        )
+
     e = table(spark, sf_dir, "embeddings")
-    out1 = {r.vec_id: (tuple(r.codes), r.recon_err)
+    out1 = {r.vec_id: (unpack(r.packed_codes), r.recon_err)
             for r in S.b134_pq_encode(spark, sf_dir).collect()}
-    out2 = {r.vec_id: (tuple(r.codes), r.recon_err)
+    out2 = {r.vec_id: (unpack(r.packed_codes), r.recon_err)
             for r in S.b134_pq_encode(spark, sf_dir).collect()}
     assert out1 == out2  # deterministic
     assert out1, "empty encode output"

@@ -64,6 +64,9 @@ def test_oracle_output_types_hash_stable(sf_dir, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, sf_dir, name):
+    from .oracle_utils import assert_driver_sortable
+
     df = registry.QUERIES[name](spark, sf_dir)
+    assert_driver_sortable(name, df.schema)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
