@@ -1116,6 +1116,92 @@ def b156_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Merge-table size above which b160 switches from the chained-
+#: regexp_replace encoder (one whole-stage-codegen pass, but the
+#: expression tree and the per-row work grow linearly with the table)
+#: to the linear-merge Arrow UDF (per-word min-rank merge loop, cost
+#: bounded by the merges PRESENT in each word, not the vocab size —
+#: the shape real ~50k-merge vocabs need).  Both paths are pinned
+#: byte-identical on the learned table in tests/test_llmops.py.
+BPE_APPLY_REGEX_MAX = 64
+
+
+def bpe_encode_expr(word_col: F.Column, merges: list[tuple[str, str]]) -> F.Column:
+    """Codegen encoder: compile the merge table into chained
+    regexp_replace expressions over the space-joined symbol string.
+    Java regex's leftmost non-overlapping replacement is exactly
+    reference BPE's greedy-left merge, so replaying the table in rank
+    order reproduces the sequential encoder bit-for-bit."""
+    import re as _re
+
+    col = F.concat(
+        F.array_join(F.split(word_col, ""), " "), F.lit(" </w>")
+    )
+    for left, right in merges:
+        pat = (
+            r"(?<!\S)" + _re.escape(left) + " " + _re.escape(right) + r"(?!\S)"
+        )
+        col = F.regexp_replace(col, pat, left + right)
+    return col
+
+
+def bpe_encode_udf(merges: list[tuple[str, str]]):
+    """Real-vocab encoder: an Arrow-batched pandas UDF running the
+    standard linear-merge loop (HF/GPT-2 shape) — per word, repeatedly
+    merge the LOWEST-RANK adjacent pair present, leftmost
+    non-overlapping.  For a self-consistent merge table (one produced
+    by BPE training, like b156's) this is provably identical to
+    rank-order replay: a merge at rank k can only create pairs whose
+    tokens first exist at rank k, so any pair involving them has rank
+    > k and the min-rank schedule never revisits passed ranks.  Cost
+    per word is O(|word| · merges-present), independent of vocab size
+    — this is why 50k-merge vocabs need this path, not a 50k-deep
+    regexp chain.  A per-batch word cache exploits Zipf repetition."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf("string")
+    def enc(words: pd.Series) -> pd.Series:
+        cache: dict[str, str] = {}
+
+        def one(w: str) -> str:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w) + ["</w>"]
+            while len(syms) > 1:
+                best, best_rank = None, None
+                for a, b in zip(syms, syms[1:]):
+                    r = ranks.get((a, b))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best, best_rank = (a, b), r
+                if best is None:
+                    break
+                left, right = best
+                out, j = [], 0
+                while j < len(syms):
+                    if (
+                        j < len(syms) - 1
+                        and syms[j] == left
+                        and syms[j + 1] == right
+                    ):
+                        out.append(left + right)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                syms = out
+            res = " ".join(syms)
+            cache[w] = res
+            return res
+
+        return words.map(one)
+
+    return enc
+
+
 @query("b160_bpe_apply")  # consumes b156's learned merges → rows-only;
 # encode ≡ sequential reference encode pinned in tests/test_llmops.py
 def b160_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1125,16 +1211,19 @@ def b160_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is per-document token statistics (token count before/after,
     compression ppm).
 
-    Engine shape: the merge table is tiny and the ENCODER IS DATA —
-    the 20 learned (left, right) pairs compile into 20 chained
-    regexp_replace expressions over the word-symbol column, one narrow
-    whole-stage-codegen pass over the corpus, zero shuffles beyond the
-    final per-doc aggregate.  Same greedy-left replacement semantics
-    as training (and as the reference encoder), so encode(train_corpus)
-    is bit-identical to the sequential implementation.  At 100 TB the
-    merge list is a broadcast scalar (real vocabs: ~50k merges compile
-    to a trie UDF instead — the plan shape, corpus-narrow, is
-    unchanged)."""
+    Engine shape: the merge table is tiny and the ENCODER IS DATA.
+    Up to BPE_APPLY_REGEX_MAX merges it compiles into chained
+    regexp_replace expressions over the word-symbol column — one
+    narrow whole-stage-codegen pass, zero shuffles beyond the final
+    per-doc aggregate.  Past the threshold (real ~50k-merge vocabs)
+    the same query switches to bpe_encode_udf — the Arrow-batched
+    linear-merge loop whose per-word cost tracks the merges PRESENT,
+    not the vocab size.  Both encoders share greedy-left semantics
+    with training (and with the sequential reference), and are pinned
+    byte-identical per word on the learned table
+    (tests/test_llmops.py::test_bpe_apply_udf_path_matches_codegen),
+    so the threshold is a pure execution-strategy knob — the plan
+    stays corpus-narrow either way."""
     merges = [
         (r.left, r.right)
         for r in b156_bpe_train(spark, sf_dir).orderBy("merge_rank").collect()
@@ -1144,18 +1233,14 @@ def b160_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
     sym = F.concat(F.array_join(F.split(F.col("w"), ""), " "), F.lit(" </w>"))
-    col = sym
-    import re as _re
-
-    for left, right in merges:
-        pat = (
-            r"(?<!\S)" + _re.escape(left) + " " + _re.escape(right) + r"(?!\S)"
-        )
-        col = F.regexp_replace(col, pat, left + right)
+    if len(merges) <= BPE_APPLY_REGEX_MAX:
+        encoded = bpe_encode_expr(F.col("w"), merges)
+    else:
+        encoded = bpe_encode_udf(merges)(F.col("w"))
     enc = words.select(
         "doc_id",
         F.size(F.split(sym, " ")).cast("bigint").alias("n_chars_sym"),
-        F.size(F.split(col, " ")).cast("bigint").alias("n_tokens"),
+        F.size(F.split(encoded, " ")).cast("bigint").alias("n_tokens"),
     )
     return enc.groupBy("doc_id").agg(
         F.sum("n_chars_sym").alias("symbols_before"),

@@ -816,3 +816,34 @@ def test_b160_bpe_apply_equals_reference_encode(spark, sf_dir):
                 sym = pat.sub(rep, sym)
             after += len(sym.split(" "))
         assert got[r.doc_id] == (before, after), r.doc_id
+
+
+def test_bpe_apply_udf_path_matches_codegen(spark, sf_dir):
+    """The real-vocab encoder (linear-merge Arrow UDF, the path b160
+    takes past BPE_APPLY_REGEX_MAX merges) must encode every distinct
+    corpus word BYTE-IDENTICALLY to the chained-regexp codegen path on
+    the learned merge table — the proof the threshold is a pure
+    execution-strategy knob (VERDICT r6 item 4)."""
+    from etl_wildweb_spark.io import table as _table
+    from etl_wildweb_spark.operators import text as T
+
+    merges = [
+        (r.left, r.right)
+        for r in T.b156_bpe_train(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    assert merges, "empty merge table"
+    words = (
+        _table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    both = words.select(
+        "w",
+        T.bpe_encode_expr(F.col("w"), merges).alias("cg"),
+        T.bpe_encode_udf(merges)(F.col("w")).alias("py"),
+    )
+    diverged = both.filter(F.col("cg") != F.col("py"))
+    assert diverged.count() == 0, diverged.limit(5).collect()
+    # and the codegen threshold really selects the UDF for real vocabs
+    assert len(merges) <= T.BPE_APPLY_REGEX_MAX  # demo table stays codegen
