@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "b171_kaplan_meier",
     "b172_knn_label_vote",
     "b173_dbscan_complexes",
+    "b174_polygon_geofence",
 ]
 
 

@@ -624,3 +624,199 @@ def b173_dbscan_complexes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("border").alias("role"),
         )
     )
+
+
+# ----------------------------------------- polygon-table geofencing
+
+#: b174 geometry: a polygon TABLE (deterministic md5-derived triangles
+#: ~≤4° across, centers inside the demo span) and a 2° index grid.
+#: Triangles keep the containment predicate exact-integer (three edge
+#: cross-product sign tests, no ray-casting float epsilons); an
+#: arbitrary convex polygon is the same test over more edges, and a
+#: concave one is a fan of these triangles — the plan is unchanged.
+GEOFENCE_POLYS = 12
+GEOFENCE_CELL = 2_000_000
+_GF_DELTA = 2_000_000  # vertex offset from center: ±2°
+_GF_CENTER_SPAN = GEO_SPAN_MICRO - 2 * _GF_DELTA
+
+
+def _poly_vertex(poly_id: F.Column, salt: str, center: bool) -> F.Column:
+    key = F.concat(F.lit("poly"), poly_id.cast("string"), F.lit(salt))
+    if center:
+        return hash_bucket(key, _GF_CENTER_SPAN) + _GF_DELTA
+    return hash_bucket(key, 2 * _GF_DELTA + 1) - _GF_DELTA
+
+
+_SQL_POLY = SQL_BUCKET.replace(
+    "{key}", "'poly' || CAST(id AS VARCHAR) || '{salt}'"
+)
+
+
+def geofence_polygons(spark: SparkSession) -> DataFrame:
+    """The polygon table: (poly_id, x1..y3) integer micro-degree
+    triangle vertices, derived from poly_id via md5 so DuckDB replays
+    them exactly (the _coord convention).  In production this is a
+    real table of fence geometries; everything downstream only needs
+    (poly_id, vertices) rows."""
+    p = spark.range(GEOFENCE_POLYS).select(F.col("id").alias("poly_id"))
+    pid = F.col("poly_id")
+    cx = _poly_vertex(pid, "cx", center=True)
+    cy = _poly_vertex(pid, "cy", center=True)
+    cols = [pid]
+    for i in (1, 2, 3):
+        cols.append((cx + _poly_vertex(pid, f"x{i}", center=False)).alias(f"x{i}"))
+        cols.append((cy + _poly_vertex(pid, f"y{i}", center=False)).alias(f"y{i}"))
+    return p.select(*cols)
+
+
+def _sql_poly_cte() -> str:
+    v = ", ".join(
+        f"({_SQL_POLY.format(salt='cx', n=_GF_CENTER_SPAN)}) + {_GF_DELTA} "
+        f"+ ({_SQL_POLY.format(salt=f'x{i}', n=2 * _GF_DELTA + 1)}) - {_GF_DELTA} AS x{i}, "
+        f"({_SQL_POLY.format(salt='cy', n=_GF_CENTER_SPAN)}) + {_GF_DELTA} "
+        f"+ ({_SQL_POLY.format(salt=f'y{i}', n=2 * _GF_DELTA + 1)}) - {_GF_DELTA} AS y{i}"
+        for i in (1, 2, 3)
+    )
+    return f"SELECT id AS poly_id, {v} FROM range({GEOFENCE_POLYS}) t(id)"
+
+
+#: Sign-test containment over the oriented-edge cross products: inside
+#: (incl. boundary) ⟺ the three cross products do not carry BOTH signs.
+_SQL_INSIDE = """
+  NOT (((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) < 0
+        OR (x3 - x2) * (py - y2) - (y3 - y2) * (px - x2) < 0
+        OR (x1 - x3) * (py - y3) - (y1 - y3) * (px - x3) < 0)
+       AND ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) > 0
+        OR (x3 - x2) * (py - y2) - (y3 - y2) * (px - x2) > 0
+        OR (x1 - x3) * (py - y3) - (y1 - y3) * (px - x3) > 0))
+"""
+
+
+@query(
+    "b174_polygon_geofence",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id,
+             {_SQL_COORD.format(salt="lat", n=GEO_SPAN_MICRO)} AS px,
+             {_SQL_COORD.format(salt="lon", n=GEO_SPAN_MICRO)} AS py
+      FROM events),
+    p AS ({_sql_poly_cte()}),
+    pcells AS (
+      SELECT p.*, gx.cell_x, gy.cell_y
+      FROM p,
+      LATERAL (SELECT unnest(range(least(x1, x2, x3) // {GEOFENCE_CELL},
+                                   greatest(x1, x2, x3) // {GEOFENCE_CELL} + 1))
+               AS cell_x) gx,
+      LATERAL (SELECT unnest(range(least(y1, y2, y3) // {GEOFENCE_CELL},
+                                   greatest(y1, y2, y3) // {GEOFENCE_CELL} + 1))
+               AS cell_y) gy),
+    matched AS (
+      SELECT pts.event_id, pcells.poly_id
+      FROM pts JOIN pcells
+        ON pts.px // {GEOFENCE_CELL} = pcells.cell_x
+       AND pts.py // {GEOFENCE_CELL} = pcells.cell_y
+      WHERE {_SQL_INSIDE}),
+    per_poly AS (
+      SELECT p.poly_id,
+             CAST(coalesce(m.n, 0) AS BIGINT) AS n_points,
+             m.min_event
+      FROM p LEFT JOIN (
+        SELECT poly_id, count(*) AS n, min(event_id) AS min_event
+        FROM matched GROUP BY 1) m ON p.poly_id = m.poly_id)
+    SELECT CAST(poly_id AS BIGINT) AS poly_id, n_points, min_event
+    FROM per_poly
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS poly_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           min(event_id) AS min_event
+    FROM pts WHERE event_id NOT IN (SELECT event_id FROM matched)
+    """,
+)
+def b174_polygon_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-TABLE geofencing — the real-fence upgrade b168's
+    docstring promises: points classified against a table of polygon
+    geometries (not literal rectangles) via the b166 cell-index plan
+    plus an exact-integer containment verify.  Output: one row per
+    polygon with its contained-point count and min event id (zero-hit
+    fences included), plus the poly_id = −1 'outside' row — the full
+    dispatch-coverage report over the reference's point domain
+    (task.ts:126-140).
+
+    Geometry: md5-derived triangles (≤4° across).  Containment is
+    three oriented-edge cross products in BIGINT — inside ⟺ the signs
+    don't disagree (boundary counts as inside) — so the decision is
+    exact integer arithmetic, replayed verbatim by DuckDB: no
+    ray-casting, no float epsilon, no tie ambiguity.
+
+    Engine shape at 100 TB: the polygon table explodes into its
+    covering 2° grid cells (a ×bbox/cell narrow map, ≤9 cells per
+    fence here); points map to their single cell; the candidate join
+    is a BROADCAST hash join on (cell_x, cell_y) — fence tables are
+    KB-to-MB-sized against TB-scale point streams, so the points
+    never shuffle (plan-asserted in tests/test_plans.py).  Each
+    (point, polygon) candidate arises once (a polygon covers a cell
+    once), so there is no post-join distinct; the matched set is
+    materialized once and feeds both the per-fence rollup and the
+    outside anti-join — the multi-consumer checkpoint rule.  Skewed
+    fences (a metro-area polygon) surface as hot cells in ONE
+    equi-join — the b59/b73 salting/AQE machinery applies unchanged."""
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        _coord(F.col("event_id"), "lat").alias("px"),
+        _coord(F.col("event_id"), "lon").alias("py"),
+    ).withColumns(
+        {
+            "cell_x": F.expr(f"px div {GEOFENCE_CELL}"),
+            "cell_y": F.expr(f"py div {GEOFENCE_CELL}"),
+        }
+    )
+    polys = geofence_polygons(spark)
+    pcells = polys.withColumn(
+        "cell_x",
+        F.explode(
+            F.sequence(
+                F.expr(f"least(x1, x2, x3) div {GEOFENCE_CELL}"),
+                F.expr(f"greatest(x1, x2, x3) div {GEOFENCE_CELL}"),
+            )
+        ),
+    ).withColumn(
+        "cell_y",
+        F.explode(
+            F.sequence(
+                F.expr(f"least(y1, y2, y3) div {GEOFENCE_CELL}"),
+                F.expr(f"greatest(y1, y2, y3) div {GEOFENCE_CELL}"),
+            )
+        ),
+    )
+    matched = (
+        pts.join(F.broadcast(pcells), ["cell_x", "cell_y"])
+        .filter(F.expr(_SQL_INSIDE))
+        .select("event_id", "poly_id")
+        # feeds the per-fence rollup AND the outside anti-join — the
+        # multi-consumer materialization rule (see b173's nbr)
+        .localCheckpoint(eager=True)
+    )
+    per_poly = polys.select("poly_id").join(
+        matched.groupBy("poly_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min("event_id").alias("min_event"),
+        ),
+        "poly_id",
+        "left",
+    ).select(
+        F.col("poly_id").cast("bigint").alias("poly_id"),
+        F.coalesce("n_points", F.lit(0)).cast("bigint").alias("n_points"),
+        "min_event",
+    )
+    outside = (
+        pts.join(matched.select("event_id"), "event_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min("event_id").alias("min_event"),
+        )
+        .select(
+            F.lit(-1).cast("bigint").alias("poly_id"), "n_points", "min_event"
+        )
+    )
+    return per_poly.unionByName(outside)

@@ -174,7 +174,13 @@ ADDITIONS_PER_ROUND_CAP = 10
 #: commit that registers it).  Round 7 is a consolidation round — the
 #: 36 round-6 entries below moved into PRIORITY; new round-7 additions
 #: (≤ ADDITIONS_PER_ROUND_CAP) append at the end.
-PRIORITY_NEXT: list[str] = []
+PRIORITY_NEXT: list[str] = [
+    # round-7: polygon-TABLE geofencing — the b166 cell-index plan with
+    # an exact-integer triangle containment verify; broadcast fence
+    # cells, points never shuffle (exact-oracled; plan-asserted in
+    # tests/test_plans.py)
+    "b174_polygon_geofence",
+]
 
 
 

@@ -497,3 +497,57 @@ def test_b150_top20_is_take_ordered(plans):
     sort of the whole scored corpus."""
     p = plans("b150_bm25_rank")
     assert audit.node_count(p, "TakeOrderedAndProject") >= 1, p[:500]
+
+
+def test_b174_geofence_points_never_shuffle(spark, sf_dir):
+    """The polygon-geofence candidate stage must be a BROADCAST hash
+    join on the cell keys with ZERO shuffle exchanges: the fence-cell
+    table is KB-sized against the TB-scale point stream, so a
+    sort-merge (or any point-side exchange) here re-shuffles the whole
+    corpus on a 12-row dim.  Asserted on the pre-rollup stage directly
+    (the registered query materializes it via localCheckpoint, which
+    hides the join from the final plan)."""
+    from pyspark.sql import functions as F
+
+    from etl_wildweb_spark.io import table
+    from etl_wildweb_spark.operators import geo
+
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        geo._coord(F.col("event_id"), "lat").alias("px"),
+        geo._coord(F.col("event_id"), "lon").alias("py"),
+    ).withColumns(
+        {
+            "cell_x": F.expr(f"px div {geo.GEOFENCE_CELL}"),
+            "cell_y": F.expr(f"py div {geo.GEOFENCE_CELL}"),
+        }
+    )
+    pcells = geo.geofence_polygons(spark).withColumn(
+        "cell_x",
+        F.explode(
+            F.sequence(
+                F.expr(f"least(x1, x2, x3) div {geo.GEOFENCE_CELL}"),
+                F.expr(f"greatest(x1, x2, x3) div {geo.GEOFENCE_CELL}"),
+            )
+        ),
+    ).withColumn(
+        "cell_y",
+        F.explode(
+            F.sequence(
+                F.expr(f"least(y1, y2, y3) div {geo.GEOFENCE_CELL}"),
+                F.expr(f"greatest(y1, y2, y3) div {geo.GEOFENCE_CELL}"),
+            )
+        ),
+    )
+    matched = (
+        pts.join(F.broadcast(pcells), ["cell_x", "cell_y"])
+        .filter(F.expr(geo._SQL_INSIDE))
+        .select("event_id", "poly_id")
+    )
+    p = matched._sc._jvm.PythonSQLUtils.explainString(
+        matched._jdf.queryExecution(), "formatted"
+    )
+    assert audit.node_count(p, "BroadcastHashJoin") >= 1, p
+    assert audit.node_count(p, "SortMergeJoin") == 0
+    assert audit.exchanges(p)["shuffle"] == 0, audit.exchanges(p)
