@@ -1045,47 +1045,58 @@ BPE_MERGES = 20  # merge rounds learned by the demo (the algorithm, not
 #                  the vocab size, is what's under test)
 
 
-@query("b156_bpe_train")  # iterative argmax loop → not SQL-expressible;
-# exact-equality pin vs a pure-Python reference BPE in tests/test_llmops.py
-def b156_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE merge-table training (Sennrich et al. 2016, "Neural Machine
-    Translation of Rare Words with Subword Units"): learn the first
-    {BPE_MERGES} merges from the corpus by repeatedly merging the most
-    frequent adjacent symbol pair.  Output: (merge_rank, left, right,
-    pair_freq) — the merges.txt a tokenizer ships.
+#: Word-dictionary size above which b156's merge loop runs as the
+#: distributed per-round Spark plan instead of the driver-side
+#: sequential loop.  Real tokenizer training dictionaries are
+#: 100k-10M entries — a bounded driver collect by the engine's
+#: collect rules (codebooks, merge argmax, convergence scalars), and
+#: the sequential loop is the reference algorithm itself, so the
+#: driver path is both the fast path and the semantics anchor; the
+#: distributed path exists for dictionaries that genuinely don't fit
+#: (equivalence pinned in tests/test_llmops.py).
+BPE_TRAIN_DRIVER_MAX = 1_000_000
 
-    The scale insight (and why this is feasible on 100 TB): BPE trains
-    on the WORD-FREQUENCY DICTIONARY, not the raw text.  The corpus is
-    touched exactly once (word-count groupBy, map-side combinable to
-    vocabulary size); every merge round then runs on the vocab-sized
-    dictionary — pair explode ≤ avg word length per entry, pair
-    groupBy bounded by symbol-pair vocabulary, and the argmax is a
-    2-row TakeOrdered collected as the O(1) per-round scalar (the
-    b131/b97 iterative-loop contract).  Merge application is one
-    regexp_replace pass over the dictionary — Java regex's leftmost
-    non-overlapping replacement is exactly reference BPE's
-    (?<!\\S)pair(?!\\S) greedy-left semantics, so the learned table is
-    bit-identical to the sequential reference implementation.
-    Tie-break: (freq DESC, left ASC, right ASC).  Each round ends in a
-    vocab-sized localCheckpoint to stop lineage growth."""
+
+def _bpe_train_driver(dic: dict[str, int]) -> list[tuple[int, str, str, int]]:
+    """Sequential reference BPE over the collected word dictionary —
+    merge loop identical to Sennrich et al.'s published algorithm.
+    Distinct words stay distinct symbol strings under merging (their
+    concatenations never change), so plain dict rebuilds are safe."""
     import re as _re
 
-    d = table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-        # symbols: characters space-joined, with the </w> end marker
-        .select(
-            F.concat(
-                F.array_join(F.split(F.col("w"), ""), " "), F.lit(" </w>")
-            ).alias("sym"),
-            "freq",
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(BPE_MERGES):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, freq in dic.items():
+            toks = sym.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        (left, right), pf = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )
-        .localCheckpoint(eager=True)
-    )
-    merges = []
+        merges.append((rank, left, right, int(pf)))
+        pat = _re.compile(
+            r"(?<!\S)" + _re.escape(left) + " " + _re.escape(right) + r"(?!\S)"
+        )
+        dic = {pat.sub(left + right, sym): freq for sym, freq in dic.items()}
+    return merges
+
+
+def _bpe_train_distributed(words) -> list[tuple[int, str, str, int]]:
+    """Per-round Spark merge loop for dictionaries too large to
+    collect: pair explode ≤ avg word length per entry, pair groupBy
+    bounded by symbol-pair vocabulary, argmax as a 1-row TakeOrdered
+    (the b131/b97 iterative-loop contract), merge application as one
+    regexp_replace pass over the dictionary, vocab-sized
+    localCheckpoint per round against lineage growth.  Java regex's
+    leftmost non-overlapping replacement is exactly the reference's
+    greedy-left semantics, so this path is bit-identical to
+    _bpe_train_driver (pinned in tests)."""
+    import re as _re
+
+    merges: list[tuple[int, str, str, int]] = []
     for rank in range(BPE_MERGES):
         pair_toks = F.split("sym", " ")
         n = F.size(pair_toks)
@@ -1111,6 +1122,52 @@ def b156_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         words = words.select(
             F.regexp_replace("sym", pat, left + right).alias("sym"), "freq"
         ).localCheckpoint(eager=True)
+    return merges
+
+
+@query("b156_bpe_train")  # iterative argmax loop → not SQL-expressible;
+# exact-equality pin vs a pure-Python reference BPE in tests/test_llmops.py
+def b156_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units"): learn the first
+    {BPE_MERGES} merges from the corpus by repeatedly merging the most
+    frequent adjacent symbol pair.  Output: (merge_rank, left, right,
+    pair_freq) — the merges.txt a tokenizer ships.
+
+    The scale insight (and why this is feasible on 100 TB): BPE trains
+    on the WORD-FREQUENCY DICTIONARY, not the raw text.  The corpus is
+    touched exactly once (word-count groupBy, map-side combinable to
+    vocabulary size); the merge loop then runs on the vocab-sized
+    dictionary.  Under BPE_TRAIN_DRIVER_MAX entries the dictionary
+    collects to the driver and the loop is the sequential reference
+    algorithm itself (a bounded driver hop — this is also how real
+    tokenizer trainers run, and it removes 2·BPE_MERGES scheduling
+    round-trips measured at ~0.2 s each); above it the identical loop
+    runs distributed per round (_bpe_train_distributed, equivalence
+    pinned).  Tie-break: (freq DESC, left ASC, right ASC) both
+    paths."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        # symbols: characters space-joined, with the </w> end marker
+        .select(
+            F.concat(
+                F.array_join(F.split(F.col("w"), ""), " "), F.lit(" </w>")
+            ).alias("sym"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_vocab = words.count()
+    if n_vocab <= BPE_TRAIN_DRIVER_MAX:
+        merges = _bpe_train_driver(
+            {r.sym: r.freq for r in words.collect()}
+        )
+    else:
+        merges = _bpe_train_distributed(words)
     return spark.createDataFrame(
         merges, "merge_rank INT, left STRING, right STRING, pair_freq BIGINT"
     )
@@ -1237,11 +1294,24 @@ def b160_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         encoded = bpe_encode_expr(F.col("w"), merges)
     else:
         encoded = bpe_encode_udf(merges)(F.col("w"))
-    enc = words.select(
-        "doc_id",
-        F.size(F.split(sym, " ")).cast("bigint").alias("n_chars_sym"),
-        F.size(F.split(encoded, " ")).cast("bigint").alias("n_tokens"),
+    # Encode the DISTINCT vocabulary, not every word instance: word
+    # frequencies are Zipf, so the merge-chain work (the expensive
+    # expression) runs |vocab| times instead of |corpus words| times
+    # (measured 270k instances / 31 distinct at sf0.1).  The encoded
+    # vocab joins back into the instance stream — AQE broadcasts it
+    # when small and falls back to a hash join for multi-million-word
+    # vocabularies; either way the corpus side is one narrow join +
+    # one map-side-combined per-doc aggregate.
+    vocab_enc = (
+        words.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.size(F.split(sym, " ")).cast("bigint").alias("n_chars_sym"),
+            F.size(F.split(encoded, " ")).cast("bigint").alias("n_tokens"),
+        )
     )
+    enc = words.join(vocab_enc, "w")
     return enc.groupBy("doc_id").agg(
         F.sum("n_chars_sym").alias("symbols_before"),
         F.sum("n_tokens").alias("tokens_after"),

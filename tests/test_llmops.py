@@ -847,3 +847,17 @@ def test_bpe_apply_udf_path_matches_codegen(spark, sf_dir):
     assert diverged.count() == 0, diverged.limit(5).collect()
     # and the codegen threshold really selects the UDF for real vocabs
     assert len(merges) <= T.BPE_APPLY_REGEX_MAX  # demo table stays codegen
+
+
+def test_bpe_train_driver_path_matches_distributed(spark, sf_dir, monkeypatch):
+    """b156's two merge-loop paths — the collected driver loop (the
+    sequential reference algorithm, taken under BPE_TRAIN_DRIVER_MAX)
+    and the per-round distributed Spark loop (the huge-dictionary
+    path) — must learn the IDENTICAL merge table from the corpus."""
+    from etl_wildweb_spark.operators import text as T
+
+    driver = [tuple(r) for r in T.b156_bpe_train(spark, sf_dir).collect()]
+    monkeypatch.setattr(T, "BPE_TRAIN_DRIVER_MAX", -1)
+    dist = [tuple(r) for r in T.b156_bpe_train(spark, sf_dir).collect()]
+    assert driver == dist
+    assert len(driver) == T.BPE_MERGES
