@@ -1206,19 +1206,39 @@ def b131_dag_path_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    closure = nodes.localCheckpoint(eager=True)
+    # Right-size the loop state's partitioning (the connected_components
+    # rule): closure state is node-sized — orders of magnitude below the
+    # corpus — and a checkpoint FREEZES its partitioning, so without
+    # this every one of the ~2·log₂(max id) rounds schedules
+    # corpus-width tasks over a few thousand rows.
+    n_nodes = nodes.count()
+    width = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, n_nodes // 100_000 + 1),
+    )
+    closure = nodes.repartition(width, "u").localCheckpoint(eager=True)
     frontier = closure
     for _ in range(70):  # ≥ log₂(max bigint): diameter bound, not data
+        # LAZY checkpoint + FULL count = one job per round (the
+        # connected_components rule: an unrestricted count touches
+        # every partition, materializing the checkpoint in the job
+        # that uses it — eager + limit(1).count() is two jobs and the
+        # short-circuit can leave partitions unmaterialized).
         new = (
             parents_of(frontier)
             .join(closure, "u", "left_anti")
-            .localCheckpoint(eager=True)
+            .repartition(width, "u")
+            .localCheckpoint(eager=False)
         )
         # scalar convergence check (driver-side count of a node-sized
         # frontier — bounded, annotated)
-        if new.limit(1).count() == 0:
+        if new.count() == 0:
             break
-        closure = closure.unionByName(new).localCheckpoint(eager=True)
+        closure = (
+            closure.unionByName(new)
+            .repartition(width, "u")
+            .localCheckpoint(eager=True)
+        )
         frontier = new
 
     edges = (
@@ -1231,14 +1251,25 @@ def b131_dag_path_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("p"),
         )
+        .repartition(width, "u")
         .localCheckpoint(eager=True)
     )
     pc = closure.filter(F.col("u") == 0).select(
         "u", F.lit(1).cast("bigint").alias("n_paths")
-    ).localCheckpoint(eager=True)
-    unresolved = closure.filter(F.col("u") > 0).localCheckpoint(eager=True)
+    ).repartition(width, "u").localCheckpoint(eager=True)
+    unresolved = (
+        closure.filter(F.col("u") > 0)
+        .repartition(width, "u")
+        .localCheckpoint(eager=True)
+    )
+    # one up-front scalar count, then tracked arithmetically per round
+    # (n_unresolved -= n_ready) — removes the per-round limit(1).count()
+    # job; the DP invariant (every round resolves the full next level,
+    # depth ≤ log₂(max id)) guarantees n_ready > 0 while any id is
+    # unresolved, asserted below against silent stalls.
+    n_unresolved = unresolved.count()
     for _ in range(70):
-        if unresolved.limit(1).count() == 0:  # scalar check, annotated
+        if n_unresolved == 0:
             break
         j = (
             unresolved.join(edges, "u")
@@ -1255,15 +1286,26 @@ def b131_dag_path_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
+        # lazy checkpoint + full count: one job materializes the round
         ready = (
             j.filter(F.col("n_missing") == 0)
             .select("u", "n_paths")
+            .repartition(width, "u")
+            .localCheckpoint(eager=False)
+        )
+        n_ready = ready.count()
+        assert n_ready > 0, "DAG DP stalled with unresolved ids"
+        pc = (
+            pc.unionByName(ready)
+            .repartition(width, "u")
             .localCheckpoint(eager=True)
         )
-        pc = pc.unionByName(ready).localCheckpoint(eager=True)
-        unresolved = unresolved.join(ready, "u", "left_anti").localCheckpoint(
-            eager=True
+        unresolved = (
+            unresolved.join(ready, "u", "left_anti")
+            .repartition(width, "u")
+            .localCheckpoint(eager=True)
         )
+        n_unresolved -= n_ready
     return nodes.join(pc, "u").selectExpr(
         "u AS user_id", "CAST(n_paths AS BIGINT) AS n_paths"
     )
