@@ -1167,7 +1167,8 @@ def banded_richer_counts(spark, s: DataFrame, c: DataFrame, nb: int = 64) -> Dat
            quantile_cont(l_quantity, 0.25) AS q25,
            quantile_cont(l_quantity, 0.50) AS q50,
            quantile_cont(l_quantity, 0.75) AS q75,
-           round(median(l_extendedprice), 2) AS med_price
+           median(CAST(round(l_extendedprice * 100) AS BIGINT))
+             AS med_price_cents
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -1179,16 +1180,22 @@ def b10_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     is `approx_percentile` (t-digest-style sketch, mergeable map-side,
     bounded memory) — kept exact here because the oracle can hash-check
     exactness; the approx twin gets a rows-only check like
-    b10_approx_distinct.  Interpolated values on integer-valued
-    l_quantity are exact halves → bit-identical cross-engine; the price
-    median is rounded on both sides (interpolation of arbitrary
-    doubles is engine-order sensitive at the last ulp)."""
+    b10_approx_distinct.  Interpolated values on integer inputs are
+    exact halves → bit-identical cross-engine: l_quantity is
+    integer-valued as stored, and the price median runs over integer
+    CENTS (round(price·100)) for the same reason — an even-count
+    median of raw doubles interpolates (x₁+x₂)/2 with a last-ulp
+    engine skew, and round(·, 2) flips at a .005 boundary exactly
+    where that skew lands (caught by the sf0.001 size-sensitivity
+    sweep: 52724.245 → .24 vs .25)."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
         F.percentile("l_quantity", F.lit(0.50)).alias("q50"),
         F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
-        F.round(F.median("l_extendedprice"), 2).alias("med_price"),
+        F.median(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("med_price_cents"),
     )
 
 
