@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "b172_knn_label_vote",
     "b173_dbscan_complexes",
     "b174_polygon_geofence",
+    "b175_ivfpq_search",
 ]
 
 

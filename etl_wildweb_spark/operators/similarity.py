@@ -557,12 +557,15 @@ def pq_codebooks(vectors: DataFrame) -> DataFrame:
     )
 
 
-def _pq_encode_batches(codebook_rows, with_err: bool = True):
+def _pq_encode_batches(codebook_rows, with_err: bool = True, keep: tuple = ()):
     """mapInPandas factory closed over the collected codebook (a
     PQ_SUBSPACES×PQ_K×PQ_SUBDIM float array — ~4 KB, shipped by value
     in the task closure like broadcast hyperplanes).  ``with_err=False``
     skips the reconstruction gather + squared-error sum and emits only
-    (vec_id, codes) — the ADC search path needs nothing else."""
+    (vec_id, codes) — the ADC search path needs nothing else.  ``keep``
+    names input columns passed through unchanged AHEAD of vec_id (b175
+    carries the IVF cell alongside the codes this way — the output
+    schema must list them in the same order)."""
     import numpy as np
     import pandas as pd
 
@@ -573,7 +576,8 @@ def _pq_encode_batches(codebook_rows, with_err: bool = True):
     def gen(batches):
         for pdf in batches:
             if len(pdf) == 0:
-                cols = {"vec_id": [], "codes": []}
+                cols = {k: [] for k in keep}
+                cols.update({"vec_id": [], "codes": []})
                 if with_err:
                     cols["recon_err"] = []
                 yield pd.DataFrame(cols)
@@ -587,7 +591,8 @@ def _pq_encode_batches(codebook_rows, with_err: bool = True):
             diff = vs[:, :, None, :] - cb[None, :, :, :]
             d2 = np.einsum("nskd,nskd->nsk", diff, diff)
             codes = d2.argmin(axis=2).astype(np.int32)  # ties → lowest code
-            cols = {"vec_id": pdf["vec_id"].values, "codes": list(codes)}
+            cols = {k: pdf[k].values for k in keep}
+            cols.update({"vec_id": pdf["vec_id"].values, "codes": list(codes)})
             if with_err:
                 recon = cb[np.arange(PQ_SUBSPACES)[None, :], codes]
                 cols["recon_err"] = (
@@ -751,6 +756,133 @@ def b137_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "adist", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def _adc_pair_batches(dt_rows, query_ids):
+    """mapInPandas factory for CELL-PRUNED ADC: unlike
+    _adc_score_batches (which scores every query against every corpus
+    batch — the full-scan b137 shape), each input row here is one
+    (query_id, vec_id, codes) candidate produced by the IVF cell join,
+    and the distance is the 8-lookup sum from that query's own table.
+    dt_rows: (n_queries, PQ_SUBSPACES, PQ_K) float64 (~10 KB, shipped
+    by value)."""
+    import numpy as np
+    import pandas as pd
+
+    dt = np.asarray(dt_rows, dtype=np.float64)
+    qindex = {int(q): i for i, q in enumerate(query_ids)}
+
+    def gen(batches):
+        subs = np.arange(PQ_SUBSPACES)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "adist": []}
+                )
+                continue
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )  # (n, SUBS)
+            qi = np.asarray([qindex[int(q)] for q in pdf["query_id"]])
+            adist = dt[qi[:, None], subs[None, :], codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].values,
+                    "neighbor_id": pdf["vec_id"].values,
+                    "adist": adist,
+                }
+            )
+
+    return gen
+
+
+@query("b175_ivfpq_search")  # approximate by construction → rows-only
+def b175_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL IVF-PQ — the composition b137's docstring promises, and
+    the operating shape of billion-vector ANN (FAISS's IVFPQ index):
+    b30's IVF coarse quantizer routes, b134's PQ codes compress, and
+    ADC scoring runs ONLY inside each query's N_PROBE probed cells.
+    Per query the work is (corpus/​N_CELLS)·N_PROBE code rows × 8 table
+    lookups — both the scan fraction and the bytes-per-vector shrink
+    independently, which is what makes the product feasible at 10⁹
+    vectors.
+
+    Engine shape at 100 TB: the code table is written PARTITIONED BY
+    CELL (here: one narrow encode pass carrying the cell assignment
+    through mapInPandas — no join to re-attach it); queries broadcast
+    their (cell, query_id) probe list; the candidate join is a
+    broadcast equi-join on cell (partition-pruned scan in the
+    partitioned-table form); scoring is one Arrow-batched narrow map
+    over candidates; top-k via the rank window's Partial+Final
+    WindowGroupLimit.  The float corpus is read exactly twice (cell
+    assignment + encode), never shuffled, never read at query time.
+
+    Rows-only: both constituent approximations are already pinned
+    individually; tests/test_llmops.py pins the COMPOSITION — a full
+    numpy replay (route → encode → ADC → top-k over the Spark-computed
+    centroids) must reproduce every returned row, ids and distances
+    alike, so there is no recall threshold to flake on.  Honest
+    accuracy note: on this worst-case corpus (unclustered gaussians,
+    16-seed codebook) the composed recall sits at the probed-fraction
+    baseline — IVF needs cluster structure and the tiny demo codebook
+    quantizes coarsely; real embedding corpora supply both, which is
+    why FAISS defaults to exactly this index."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(e, dim=64)
+    cb_rows = [r.asDict() for r in pq_codebooks(e).collect()]
+    # corpus side: cell assignment + PQ encode in ONE narrow pass each;
+    # the cell column rides through the encoder (keep=), standing in
+    # for the partitioned-by-cell code table of the at-scale layout
+    codes = (
+        assign_cells(e, cents, n_probe=1)
+        .select("cell", "vec_id", "embedding")
+        .mapInPandas(
+            _pq_encode_batches(cb_rows, with_err=False, keep=("cell",)),
+            schema="cell int, vec_id long, codes array<int> not null",
+        )
+    )
+    # query side: probe list (cell, query_id) + per-query ADC distance
+    # tables from the collected codebook (both bounded driver hops)
+    qrows = sorted(
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    qids = [r.vec_id for r in qrows]
+    cb = np.zeros((PQ_SUBSPACES, PQ_K, PQ_SUBDIM), dtype=np.float64)
+    for r in cb_rows:
+        cb[r["sub"], r["code"]] = r["centroid"]
+    qs = np.asarray([r.embedding for r in qrows], dtype=np.float64).reshape(
+        len(qrows), PQ_SUBSPACES, PQ_SUBDIM
+    )
+    diff = qs[:, :, None, :] - cb[None, :, :, :]
+    dt = np.einsum("qscd,qscd->qsc", diff, diff)
+    probes = assign_cells(
+        e.filter(F.col("vec_id") < N_QUERIES), cents, n_probe=N_PROBE
+    ).select("cell", F.col("vec_id").alias("query_id"))
+    cand = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "codes")
+    )
+    scored = cand.mapInPandas(
+        _adc_pair_batches(dt.tolist(), qids),
+        schema="query_id long, neighbor_id long, adist double",
+    )
+    w = W.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adist",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
     )
 
 

@@ -180,6 +180,10 @@ PRIORITY_NEXT: list[str] = [
     # cells, points never shuffle (exact-oracled; plan-asserted in
     # tests/test_plans.py)
     "b174_polygon_geofence",
+    # round-7: full IVF-PQ — b30's routing × b134's codes × cell-pruned
+    # ADC, the billion-vector index shape (rows-only; the composition
+    # is pinned by full numpy replay in tests/test_llmops.py)
+    "b175_ivfpq_search",
 ]
 
 

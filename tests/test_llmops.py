@@ -861,3 +861,75 @@ def test_bpe_train_driver_path_matches_distributed(spark, sf_dir, monkeypatch):
     dist = [tuple(r) for r in T.b156_bpe_train(spark, sf_dir).collect()]
     assert driver == dist
     assert len(driver) == T.BPE_MERGES
+
+
+def test_ivfpq_composition_identity(spark, sf_dir):
+    """b175 = IVF routing × PQ codes × cell-pruned ADC, pinned by FULL
+    numpy replay: using the Spark-computed centroids (collected once),
+    replay the corpus cell assignment, the PQ encode, the per-query
+    distance tables, the probed-cell candidate filter, and the
+    (adist, id) top-k — every returned row must match, ids and
+    distances alike (codes ≡ numpy is already proven by the b134 pin;
+    assignment ties resolve on the lowest cell id in both)."""
+    import numpy as np
+
+    from etl_wildweb_spark.io import table
+    from etl_wildweb_spark.operators import similarity as S
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = S.ivf_centroids(e, dim=64)
+    # Spark-side assignments (n_probe=1 corpus cells, N_PROBE query
+    # probes) — collected so the replay uses the engine's own routing
+    # rather than re-deriving float cosines in numpy
+    corpus_cell = {
+        r.vec_id: r.cell
+        for r in S.assign_cells(e, cents, n_probe=1)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    probes: dict[int, set] = {}
+    for r in (
+        S.assign_cells(
+            e.filter(F.col("vec_id") < S.N_QUERIES), cents, n_probe=S.N_PROBE
+        )
+        .select("vec_id", "cell")
+        .collect()
+    ):
+        probes.setdefault(r.vec_id, set()).add(r.cell)
+    cb = np.zeros((S.PQ_SUBSPACES, S.PQ_K, S.PQ_SUBDIM))
+    for r in S.pq_codebooks(e).collect():
+        cb[r.sub, r.code] = np.asarray(r.centroid, dtype=np.float32)
+    raw = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in e.select("vec_id", "embedding").collect()
+    }
+
+    def pq_codes(v):
+        vs = v.astype(np.float32).reshape(S.PQ_SUBSPACES, S.PQ_SUBDIM)
+        d2 = ((vs[:, None, :] - cb.astype(np.float32)) ** 2).sum(axis=2)
+        return d2.argmin(axis=1)
+
+    codes = {vid: pq_codes(v) for vid, v in raw.items()}
+    subs = np.arange(S.PQ_SUBSPACES)
+    expected = {}
+    for q, cells in probes.items():
+        qv = raw[q].reshape(S.PQ_SUBSPACES, S.PQ_SUBDIM)
+        dt = ((qv[:, None, :] - cb) ** 2).sum(axis=2)  # (SUBS, K)
+        cand = [
+            (float(dt[subs, codes[v]].sum()), v)
+            for v in raw
+            if v != q and corpus_cell[v] in cells
+        ]
+        cand.sort()
+        expected[q] = cand[: S.TOP_K]
+
+    out = S.b175_ivfpq_search(spark, sf_dir).collect()
+    got: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.query_id, r.rnk)):
+        got.setdefault(r.query_id, []).append((r.adist, r.neighbor_id))
+    assert set(got) == set(expected)
+    for q in expected:
+        assert len(got[q]) == len(expected[q]) == S.TOP_K, q
+        for (ga, gv), (ea, ev) in zip(got[q], expected[q]):
+            assert gv == ev, (q, gv, ev)
+            assert abs(ga - ea) < 1e-9, (q, gv, ga, ea)

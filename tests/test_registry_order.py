@@ -74,6 +74,10 @@ def test_priority_oracle_coverage():
         # bounded transition matrix; invariants in
         # tests/test_mining_invariants.py)
         "b165_markov_attribution",
+        # round-7 addition: full IVF-PQ composition (approximate by
+        # construction; numpy-replay composition identity in
+        # tests/test_llmops.py)
+        "b175_ivfpq_search",
     }
 
 
