@@ -280,6 +280,9 @@ _NESTED_LOOP_OK = {
     "b30_ann_lsh",
     "b30_ann_ivf_observed",
     "b30_ann_lsh_observed",
+    # same bounded N_CELLS-row centroid broadcast as b30_ann_ivf (the
+    # routing stage); the candidate scoring join is an equi-join on cell
+    "b175_ivfpq_search",
     "b40_centroid_assign",
     "b97_kmeans_update",
     # centroid-set broadcast (SEMDEDUP_K = 8 rows) against the corpus —
