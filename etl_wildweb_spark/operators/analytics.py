@@ -546,9 +546,13 @@ def b77_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH chan AS (
       SELECT event_id, ts, user_id, event_type, value,
-             CASE CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) % 4
-               WHEN 0 THEN 'search' WHEN 1 THEN 'social'
-               WHEN 2 THEN 'email'  ELSE 'ads' END AS channel
+             CASE WHEN regexp_extract(props, '([0-9]+)', 1) = ''
+                  THEN 'untagged'
+                  ELSE CASE CAST(regexp_extract(props, '([0-9]+)', 1)
+                              AS BIGINT) % 4
+                    WHEN 0 THEN 'search' WHEN 1 THEN 'social'
+                    WHEN 2 THEN 'email'  ELSE 'ads' END
+             END AS channel
       FROM events),
     tagged AS (
       SELECT *,
@@ -587,17 +591,24 @@ def b80_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = table(spark, sf_dir, "events")
+    # digitless props would make the ANSI cast of regexp_extract's ''
+    # a data-dependent whole-query crash (caught by the degenerate-
+    # corpus sweep; DuckDB's CAST('' AS BIGINT) dies the same way) —
+    # those events carry an explicit 'untagged' channel instead, CASE
+    # short-circuiting keeps the cast off the empty string per row
+    digits = F.regexp_extract("props", r"([0-9]+)", 1)
     chan = e.select(
         "event_id", "ts", "user_id", "event_type", "value",
-        (
-            F.regexp_extract("props", r"([0-9]+)", 1).cast("bigint") % 4
-        ).alias("k4"),
-    ).withColumn(
-        "channel",
-        F.element_at(
-            F.array(*[F.lit(c) for c in ("search", "social", "email", "ads")]),
-            F.col("k4").cast("int") + 1,
-        ),
+        F.when(digits == "", F.lit("untagged"))
+        .otherwise(
+            F.element_at(
+                F.array(
+                    *[F.lit(c) for c in ("search", "social", "email", "ads")]
+                ),
+                (digits.cast("bigint") % 4).cast("int") + 1,
+            )
+        )
+        .alias("channel"),
     )
     w = (
         W.partitionBy("user_id")

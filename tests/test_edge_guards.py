@@ -164,3 +164,25 @@ def test_b165_zero_conversions_zero_attribution(spark, sf_dir, tmp_path):
         assert r.n_converting_paths == 0
         assert r.removal_effect_ppm == 0, r
         assert r.attribution_share_ppm == 0, r
+
+
+def test_b80_digitless_props_get_untagged_channel(spark, sf_dir, tmp_path):
+    """props with no digits made regexp_extract return '' and the ANSI
+    cast crash the whole query in BOTH engines (degenerate-corpus
+    sweep, round 7).  Such events now carry an explicit 'untagged'
+    channel; full oracle parity on the planted corpus plus the branch
+    assertion."""
+    rows = [
+        (0, "2024-01-01T00:00:00", 1, "view", 1.0),      # props '{}' → untagged
+        (1, "2024-01-01T00:00:01", 1, "purchase", 10.0),
+        (2, "2024-01-01T00:00:02", 2, "view", 1.0),
+        (3, "2024-01-01T00:00:03", 2, "purchase", 20.0),
+    ]
+    ev = _events(rows)
+    ev.loc[2, "props"] = '{"k": 7}'  # user 2's touch stays tagged
+    planted = _planted_dir(tmp_path, sf_dir, {"events": ev})
+    name = "b80_attribution"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = {r.channel: r.n_purchases
+           for r in registry.QUERIES[name](spark, planted).collect()}
+    assert got.get("untagged") == 1, got  # user 1's purchase
