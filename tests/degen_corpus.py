@@ -1,0 +1,89 @@
+"""Degenerate-CONTENT corpus builder — the hostile-cell twin of the
+size-sensitivity sweep (both documented in .claude/skills/verify).
+
+Plants edge-shaped rows over the sf0.001 base: empty/1-token/unicode/
+identical documents, same-timestamp events, zero values, single-row
+event types, digitless props, duplicate embeddings.  Round 7's run of
+the full oracle suite against this corpus caught b80's ANSI-cast crash
+(digitless props) that three scales of well-formed data never hit.
+
+Usage:
+    python tests/degen_corpus.py [dest_dir]          # default /tmp/degen
+    SPARK_GRAFT_TEST_SF_DIR=<dest> python -m pytest tests/test_oracle.py -q
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+BASE = "/root/testdata/sf0.001"
+
+_DOC_ROWS = """
+    (9000, '', 'en', 'web', 0),
+    (9001, 'one', 'en', 'web', 3),
+    (9002, 'two tokens', 'de', 'books', 10),
+    (9003, 'a b', 'fr', 'books', 3),
+    (9004, 'x x x x x x x x x x x x x x x x x x x x', 'en', 'web', 39),
+    (9005, 'x x x x x x x x x x x x x x x x x x x x', 'en', 'web', 39),
+    (9006, 'der schnelle braune fuchs springt über den faulen hund äöü ß',
+     'de', 'cc', 61),
+    (9007, '数据 表 的 行 和 列 在 查询 中 被 过滤 和 排序', 'zh', 'cc', 25),
+    (9008,
+     'supercalifragilisticexpialidocioussupercalifragilisticexpialidocious',
+     'en', 'cc', 69),
+    (9009, 'a', 'en', 'web', 1)
+"""
+
+_EVENT_ROWS = """
+    (90000, TIMESTAMP '2024-06-01 00:00:00', 9000, 'view',  0.0, '{}'),
+    (90001, TIMESTAMP '2024-06-01 00:00:00', 9000, 'view',  0.0, '{}'),
+    (90002, TIMESTAMP '2024-06-01 00:00:00', 9000, 'click', 0.01, '{}'),
+    (90003, TIMESTAMP '2024-06-01 00:00:01', 9001, 'solo_type', 42.0, '{}'),
+    (90004, TIMESTAMP '2024-06-01 00:00:02', 9002, 'pair_type', 7.0, '{}'),
+    (90005, TIMESTAMP '2024-06-01 00:00:03', 9003, 'pair_type', 7.0, '{}')
+"""
+
+
+def build(dest: str, base: str = BASE) -> str:
+    import duckdb
+
+    os.makedirs(dest, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{base}/documents.parquet')
+      UNION ALL
+      SELECT * FROM (VALUES {_DOC_ROWS}) t(doc_id, text, lang, source, n_chars)
+    ) TO '{dest}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{base}/events.parquet')
+      UNION ALL
+      SELECT * FROM (VALUES {_EVENT_ROWS})
+        t(event_id, ts, user_id, event_type, value, props)
+    ) TO '{dest}/events.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{base}/embeddings.parquet')
+      UNION ALL
+      SELECT 9000 AS vec_id, embedding, label
+      FROM read_parquet('{base}/embeddings.parquet') WHERE vec_id = 100
+      UNION ALL
+      SELECT 9001 AS vec_id, embedding, label
+      FROM read_parquet('{base}/embeddings.parquet') WHERE vec_id = 100
+    ) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        dst = f"{dest}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{base}/{t}.parquet", dst)
+    return dest
+
+
+if __name__ == "__main__":
+    out = build(sys.argv[1] if len(sys.argv) > 1 else "/tmp/degen")
+    print(f"degenerate corpus ready at {out}")
