@@ -1305,7 +1305,11 @@ def b131_dag_path_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         n_ready = ready.count()
-        assert n_ready > 0, "DAG DP stalled with unresolved ids"
+        if n_ready <= 0:
+            # data-dependent convergence invariant — must survive
+            # `python -O` (a stripped assert would silently spin to
+            # the round cap and return partial counts; ADVICE r7)
+            raise RuntimeError("DAG DP stalled with unresolved ids")
         pc = (
             pc.unionByName(ready)
             .repartition(width, "u")

@@ -1152,7 +1152,8 @@ def b163_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT event_type, arm,
              CAST(count(*) AS HUGEINT) AS n,
-             sum(y) AS s, sum(y * y) AS ssq
+             sum(y) AS s, sum(y * y) AS ssq,
+             min(y) AS ymin, max(y) AS ymax
       FROM tagged GROUP BY 1, 2),
     w AS (
       SELECT a.event_type,
@@ -1161,8 +1162,7 @@ def b163_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                       - (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)))
                AS BIGINT) AS mean_diff_micro,
              CASE WHEN a.n + b.n <= 2
-                    OR (a.n * a.ssq - a.s * a.s = 0
-                        AND b.n * b.ssq - b.s * b.s = 0)
+                    OR (a.ymin = a.ymax AND b.ymin = b.ymax)
              THEN NULL
              ELSE
              CAST(round(1000000.0 * (
@@ -1199,9 +1199,11 @@ def b164_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Degenerate groups get an explicit NULL statistic instead of
     NaN/Inf (ADVICE r6): one row per arm (n_a+n_b ≤ 2, zero degrees of
-    freedom) or zero pooled variance (both arms constant — checked on
-    the EXACT integer moments n·Σy² − (Σy)², never the cancellation-
-    prone double) → z2_micro NULL, significant false.  An event_type
+    freedom) or zero pooled variance (both arms constant — checked as
+    min(y) = max(y) on the EXACT integers, which cannot overflow at
+    any scale, unlike the moment form n·Σy² − (Σy)² whose DECIMAL(38,0)
+    products can; never the cancellation-prone double)
+    → z2_micro NULL, significant false.  An event_type
     present in only one arm has no A/B contrast at all and is dropped
     by the inner a×b pairing — deliberate, mirrored in the oracle.
 
@@ -1223,14 +1225,18 @@ def b164_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast(D38).alias("n"),
         F.sum("y").alias("s"),
         F.sum(F.col("y") * F.col("y")).cast(D38).alias("ssq"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
     )
     a = m.filter(F.col("arm") == "a").select(
         "event_type",
         F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ssq").alias("ssqa"),
+        F.col("ymin").alias("ymina"), F.col("ymax").alias("ymaxa"),
     )
     b = m.filter(F.col("arm") == "b").select(
         "event_type",
         F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("ssq").alias("ssqb"),
+        F.col("ymin").alias("yminb"), F.col("ymax").alias("ymaxb"),
     )
     j = a.join(b, "event_type")
     dna = F.col("na").cast("double")
@@ -1244,14 +1250,18 @@ def b164_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         dna + dnb - F.lit(2.0)
     )
     z2 = mean_diff * mean_diff / (pooled * (F.lit(1.0) / dna + F.lit(1.0) / dnb))
-    # degeneracy on EXACT decimal moments: n·Σy² − (Σy)² == 0 ⟺ the
-    # arm is constant (the double ssq − (s/n)·s carries cancellation
-    # residue and could disagree with DuckDB at exactly the wrong time)
+    # degeneracy on EXACT integer extrema: min(y) == max(y) ⟺ the arm
+    # is constant ⟺ its variance is exactly 0.  The moment form
+    # n·Σy² − (Σy)² is equivalent but its DECIMAL(38,0) intermediates
+    # can exceed 38 digits at scale (ANSI throw / silent NULL) while
+    # DuckDB's HUGEINT cannot — min/max has no intermediate at all
+    # (ADVICE r7).  The double ssq − (s/n)·s form is worse still:
+    # cancellation residue could disagree with DuckDB at the boundary.
     degenerate = (
         (F.col("na") + F.col("nb") <= 2)
         | (
-            (F.col("na") * F.col("ssqa") - F.col("sa") * F.col("sa") == 0)
-            & (F.col("nb") * F.col("ssqb") - F.col("sb") * F.col("sb") == 0)
+            (F.col("ymina") == F.col("ymaxa"))
+            & (F.col("yminb") == F.col("ymaxb"))
         )
     )
     out = j.select(

@@ -45,10 +45,21 @@ _EVENT_ROWS = """
 """
 
 
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
 def build(dest: str, base: str = BASE) -> str:
     import duckdb
 
     os.makedirs(dest, exist_ok=True)
+    # drop any previous build's outputs/symlinks first — a stale dest
+    # from an earlier base would otherwise keep its old links and mix
+    # corpora (ADVICE r7)
+    for t in TABLES:
+        p = os.path.join(dest, f"{t}.parquet")
+        if os.path.lexists(p):
+            os.remove(p)
     con = duckdb.connect()
     con.execute(f"""
     COPY (
@@ -78,9 +89,7 @@ def build(dest: str, base: str = BASE) -> str:
     """)
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem"):
-        dst = f"{dest}/{t}.parquet"
-        if not os.path.exists(dst):
-            os.symlink(f"{base}/{t}.parquet", dst)
+        os.symlink(f"{base}/{t}.parquet", f"{dest}/{t}.parquet")
     return dest
 
 
