@@ -159,6 +159,14 @@ BENCH_QUERIES = [
     "b173_dbscan_complexes",
     "b174_polygon_geofence",
     "b175_ivfpq_search",
+    # round-8: tokenizer decode round-trip (vocab-distinct decode +
+    # position-ordered reassembly — NOTE: like b160, re-trains b156's
+    # merge table internally, so its bench time is train + decode
+    # end-to-end), and the stream-stream LEFT SEMI interval join
+    # (b175_ivfpq_observed is not benched separately: it re-runs the
+    # already-benched b175 plus a 10-query exact probe)
+    "b176_bpe_decode",
+    "b177_stream_semi_join",
 ]
 
 

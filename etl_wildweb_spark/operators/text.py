@@ -1319,3 +1319,89 @@ def b160_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * sum(n_tokens)) div sum(n_chars_sym) AS BIGINT)"
         ).alias("compression_ppm"),
     )
+
+
+def bpe_decode_expr(encoded: F.Column) -> F.Column:
+    """Codegen decoder for one encoded word: drop the literal-space
+    token separators (symbol concatenation is merge-invariant, and
+    words — produced by splitting on ' ' — cannot contain one; other
+    whitespace like tabs must survive), then strip the single trailing
+    </w> end-of-word marker.  Inverse of bpe_encode_expr/_udf for ANY
+    merge table."""
+    return F.regexp_replace(F.regexp_replace(encoded, " ", ""), r"</w>$", "")
+
+
+@query(
+    "b176_bpe_decode",
+    oracle="""
+    SELECT doc_id,
+           -- COALESCE: DuckDB's array_to_string is NULL (not '') on
+           -- the empty list an all-spaces/empty document produces
+           COALESCE(array_to_string(list_filter(string_split(text, ' '),
+                                                w -> w <> ''), ' '),
+                    '') AS decoded_text,
+           CAST(len(list_filter(string_split(text, ' '),
+                                w -> w <> '')) AS BIGINT) AS n_words
+    FROM documents
+    """,
+)
+def b176_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer DECODE / round-trip — the half that completes the
+    b156 (train) / b160 (encode) pair: every document is encoded with
+    the learned merge table, then decoded back (token concatenation +
+    </w> → word boundary) and reassembled in word order.  BPE merging
+    never changes a word's symbol concatenation, so decode∘encode is
+    the identity on the space-normalized text — which is what makes
+    this EXACT-oracle-able: the oracle computes the normalized text
+    straight from the corpus with no BPE at all, and the hash match
+    proves the round-trip identity end to end (the whole point of a
+    lossless tokenizer).  Output: (doc_id, decoded_text, n_words),
+    one row per document — empty documents round-trip to ''.
+
+    Engine shape (b160's): encode+decode run over the DISTINCT word
+    vocabulary (Zipf: |vocab| ≪ |word instances|) and join back into
+    the position-tagged instance stream; reassembly is one per-doc
+    sort_array(collect_list(struct(pos, word))) — bounded by document
+    length, the same per-doc state every detokenizer needs.  The
+    corpus is read once; the only shuffles are the vocab distinct,
+    the join back (AQE-broadcast for real vocabs), and the per-doc
+    aggregate."""
+    merges = [
+        (r.left, r.right)
+        for r in b156_bpe_train(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    d = table(spark, sf_dir, "documents")
+    words = (
+        lift_parallelism(d, "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    if len(merges) <= BPE_APPLY_REGEX_MAX:
+        encoded = bpe_encode_expr(F.col("w"), merges)
+    else:
+        encoded = bpe_encode_udf(merges)(F.col("w"))
+    vocab = words.select("w").distinct().select(
+        "w", bpe_decode_expr(encoded).alias("dw")
+    )
+    assembled = (
+        words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "dw"))),
+                    lambda s: s["dw"],
+                ),
+                " ",
+            ).alias("decoded_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+    )
+    return d.select("doc_id").join(assembled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("decoded_text", F.lit("")).alias("decoded_text"),
+        F.coalesce("n_words", F.lit(0).cast("bigint")).alias("n_words"),
+    )

@@ -94,71 +94,69 @@ def capabilities(
 
 #: Explicit verification-priority order.  The driver's correctness
 #: harness checks the FIRST 50 entries of ``__spark_entry__.queries()``
-#: (dict insertion order) per round.  Round 7's window, per VERDICT r6
-#: items 1/2/5/6 — a CONSOLIDATION window: the repaired b134 first
-#: (round-6's one driver red, output now packed-BIGINT), then the
-#: entire round-6 backlog b138–b173 (36 queries, never driver-checked;
-#: includes the streaming composition b138/b148 and the geo family),
-#: then the wildweb_pipeline parity anchor (last hash-confirmed r3),
-#: then 12 of the 16 TPC-H rows whose last green was r02 (the final
-#: four, q19–q22, rotate in next round with the r0/r3 rows-only
-#: cohort: a18_submit_sink, b30_ann_*).
+#: (dict insertion order) per round.  Round 8's window, per VERDICT r7
+#: items 1/2: the two round-7 additions first (the only queries never
+#: driver-checked — b174 hash, b175 rows-only), then the four TPC-H
+#: stragglers whose last green was r02 (the registry's oldest
+#: confirmations), then the entire r03-confirmed cohort (41 of its 44
+#: actives — the 5-rounds-stale tail: tpch_q1/q9, the ANN/rows-only
+#: family b30_*, a18_submit_sink, b33_http_ingest, and the b37–b65
+#: span).  Three of the r03 cohort (b21_tumbling_window, b11_unpivot,
+#: b18_width_bucket) wait one more round — each has an r5/r6-green
+#: sibling in the same operator family — so that PRIORITY stays at 47
+#: and this round's PRIORITY_NEXT additions land INSIDE the 50-slot
+#: window instead of inheriting r7's never-checked lag.
 PRIORITY: list[str] = [
-    # -- the round-6 driver red, repaired (codes packed into BIGINT) --
-    "b134_pq_encode",
-    # -- round-6 additions, never driver-checked (VERDICT r6 item 2) --
-    "b138_stream_pipeline_e2e",
-    "b139_substring_dedup",
-    "b140_kll_quantile_rollup",
-    "b141_theta_retention_sketch",
-    "b142_concat_chunk",
-    "b143_cms_rollup",
-    "b144_leakage_safe_split",
-    "b145_zorder_layout",
-    "b146_binaryfile_ingest",
-    "b147_mad_outliers",
-    "b148_stream_error_channel",
-    "b149_semdedup",
-    "b150_bm25_rank",
-    "b151_dsir_weights",
-    "b152_triangle_count",
-    "b153_freq_items_rollup",
-    "b154_jl_projection",
-    "b155_perplexity_filter",
-    "b156_bpe_train",
-    "b157_inverted_index",
-    "b158_pmi_assoc",
-    "b159_containment_dedup",
-    "b160_bpe_apply",
-    "b161_source_novelty",
-    "b162_maxsim_late_interaction",
-    "b163_grouped_trend",
-    "b164_ab_test",
-    "b165_markov_attribution",
-    "b166_spatial_cell_join",
-    "b167_geo_knn",
-    "b168_geofence_rollup",
-    "b169_tile_pyramid",
-    "b170_trajectory_segments",
-    "b171_kaplan_meier",
-    "b172_knn_label_vote",
-    "b173_dbscan_complexes",
-    # -- reference-parity anchor, two rounds of synth-shape churn since
-    #    its last hash check (VERDICT r6 item 6) --
-    "wildweb_pipeline",
-    # -- oldest re-confirmations: TPC-H last hash-green r02 (12 of 16) --
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
+    # -- round-7 additions, never driver-checked (VERDICT r7 item 1) --
+    "b174_polygon_geofence",
+    "b175_ivfpq_search",
+    # -- oldest confirmations in the registry: last hash-green r02 --
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    # -- the r03 cohort, 5 rounds of session churn since (r7 item 2) --
+    "tpch_q1",
+    "tpch_q9",
+    "b30_cosine_topk",
+    "b30_ann_lsh",
+    "b30_ann_ivf",
+    "b30_ann_lsh_observed",
+    "b30_ann_ivf_observed",
+    "a18_submit_sink",
+    "b33_http_ingest",
+    "b28_incremental_dedup",
+    "b29_cc_bigstar",
+    "b31_repetition_filters",
+    "b31_pii_scan",
+    "b37_contamination",
+    "b38_merge_upsert",
+    "b39_doc_chunk",
+    "b40_centroid_assign",
+    "b41_scd2_history",
+    "b42_bigram_lm",
+    "b43_tfidf_rank",
+    "b45_quality_deciles",
+    "b46_dataset_card",
+    "b47_funnel",
+    "b48_retention",
+    "b49_quality_checks",
+    "b50_grouped_median",
+    "b51_resample_ffill",
+    "b52_sequence_match",
+    "b53_train_val_test",
+    "b55_lateral_topk",
+    "b56_embedding_quantize",
+    "b57_table_fingerprint",
+    "b58_stream_funnel",
+    "b59_salted_join",
+    "b60_hll_mergeable_rollup",
+    "b62_cogroup_merge",
+    "b63_quantile_bands",
+    "b64_stream_stream_left_outer",
+    "b65_map_hof",
+    "b20_variant_funcs",
+    "b11_grouping_id",
 ]
 
 #: Hard cap on per-round additions (VERDICT r6 items 2/7): the driver
@@ -171,19 +169,27 @@ ADDITIONS_PER_ROUND_CAP = 10
 
 #: Candidates for the NEXT round's window: additions made this round
 #: (VERDICT r5 item 7: everything new enters PRIORITY_NEXT in the same
-#: commit that registers it).  Round 7 is a consolidation round — the
-#: 36 round-6 entries below moved into PRIORITY; new round-7 additions
-#: (≤ ADDITIONS_PER_ROUND_CAP) append at the end.
+#: commit that registers it).  Round 8 keeps PRIORITY at 47 so these
+#: land inside the 50-slot window and are driver-checked the same
+#: round they are registered.
 PRIORITY_NEXT: list[str] = [
-    # round-7: polygon-TABLE geofencing — the b166 cell-index plan with
-    # an exact-integer triangle containment verify; broadcast fence
-    # cells, points never shuffle (exact-oracled; plan-asserted in
-    # tests/test_plans.py)
-    "b174_polygon_geofence",
-    # round-7: full IVF-PQ — b30's routing × b134's codes × cell-pruned
-    # ADC, the billion-vector index shape (rows-only; the composition
-    # is pinned by full numpy replay in tests/test_llmops.py)
-    "b175_ivfpq_search",
+    # round-8: observed-recall twin for the full IVF-PQ composition
+    # (VERDICT r7 item 7) — measured recall@K vs exact L2, the
+    # b30_ann_*_observed pattern; rows-only by design (recall is a
+    # float property of an approximation, pinned by pytest bounds)
+    "b175_ivfpq_observed",
+    # round-8: tokenizer decode / round-trip — completes the
+    # b156_bpe_train / b160_bpe_apply pair (VERDICT r7 item 8);
+    # exact-oracled: decode(encode(text)) must equal the
+    # pre-tokenized input byte-for-byte
+    "b176_bpe_decode",
+    # round-8: stream-stream LEFT SEMI interval join with
+    # watermark-bounded state — the one streaming join shape not yet
+    # registered (b23 covers inner, b64 left-outer; VERDICT r7
+    # item 8).  Exact-oracled: semi emits each matched left row once
+    # and nothing at watermark closure, so under availableNow it
+    # equals the batch EXISTS semi join
+    "b177_stream_semi_join",
 ]
 
 

@@ -137,3 +137,61 @@ def b64_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
     return run_to_memory(joined, mode="append")
+
+
+@query(
+    "b177_stream_semi_join",
+    oracle="""
+    SELECT v.event_id AS view_id, v.user_id AS user_id
+    FROM events v
+    WHERE v.event_type = 'view'
+      AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = v.user_id
+          AND p.ts BETWEEN v.ts AND v.ts + INTERVAL 6 HOUR)
+    """,
+)
+def b177_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join — the remaining streaming
+    join shape next to b23 (inner) and b64 (left outer): views that
+    CONVERTED (≥1 purchase by the same user within 6 hours), each view
+    emitted at most once, no purchase columns.  State is bounded
+    exactly like the inner join's — watermark + interval predicate
+    evict both buffers — but the OUTPUT has no watermark-closure
+    dependence: a semi join emits on first match and emits nothing
+    when the watermark closes an unmatched row, so with the whole
+    corpus in one availableNow batch the emitted set equals the batch
+    EXISTS semi join, and the query is full hash-checked (unlike b64,
+    whose null-padded rows depend on the final watermark).
+
+    At scale this is the conversion-funnel prefilter shape: the semi
+    join's output is view-sized at worst and deduplicated in-state, so
+    downstream attribution never sees the view×purchase fan-out."""
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS")),
+        "leftSemi",
+    ).select("view_id", F.col("v_user").alias("user_id"))
+    return run_to_memory(joined, mode="append")

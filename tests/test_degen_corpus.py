@@ -1,0 +1,97 @@
+"""Gated degenerate-content sweep (VERDICT r7 item 3).
+
+Round 7 ran tests/degen_corpus.py manually and caught b80's ANSI-cast
+crash on digitless props — a guarantee that could silently rot as a
+script.  This test rebuilds the planted corpus (empty/1-token/unicode/
+identical documents, same-timestamp events, zero values, single-row
+event types, digitless props, duplicate embeddings) and runs a CURATED
+SAMPLE of the registry against it every suite run:
+
+- the 13 rounding-predicate queries (z-score/MAD outliers, grouped
+  trend, Kaplan-Meier, PMI, BM25, perplexity gate, A/B test, DSIR,
+  source novelty, SemDeDup, kNN vote, MaxSim) — the family where a
+  degenerate group flips an integer decision predicate,
+- the known crash classes (b80 digitless props, b161 short docs — both
+  pinned red-before-fix in round 7),
+- hostile-content representatives of the text/dedup family, and the
+  BPE round-trip (unicode + empty docs hit the tokenizer directly),
+- rows-only executes for the codebook/IVF family (duplicate embeddings
+  stress the deterministic tie-breaks).
+
+Oracled entries get FULL DuckDB parity on the degenerate corpus, not
+just no-crash.  The exhaustive 245-query sweep stays a manual verify
+step (~8 min, .claude/skills/verify); this sample keeps the two round-7
+verification dimensions from rotting between manual runs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_wildweb_spark import registry
+
+from .degen_corpus import build
+from .oracle_utils import compare
+
+registry.load_all()
+
+#: the 13 rounding-predicate queries from the round-7 sf0.1 sweep
+ROUNDING_PREDICATE = [
+    "b104_zscore_outliers",
+    "b147_mad_outliers",
+    "b163_grouped_trend",
+    "b171_kaplan_meier",
+    "b158_pmi_assoc",
+    "b150_bm25_rank",
+    "b155_perplexity_filter",
+    "b164_ab_test",
+    "b151_dsir_weights",
+    "b161_source_novelty",
+    "b149_semdedup",
+    "b172_knn_label_vote",
+    "b162_maxsim_late_interaction",
+]
+
+#: queries whose round-7 degenerate-sweep failure (or near-miss family)
+#: this sample exists to keep pinned
+CRASH_CLASSES = ["b80_attribution"]
+
+#: hostile-content representatives: empty/unicode/identical docs flow
+#: through tokenization, shingling, line-splitting, n-gram LMs, and the
+#: decode round-trip
+HOSTILE_TEXT = [
+    "b31_text_stats",
+    "b31_lang_stats",
+    "b29_minhash_near_dedup",
+    "b69_line_dedup",
+    "b42_bigram_lm",
+    "b176_bpe_decode",
+]
+
+PARITY = ROUNDING_PREDICATE + CRASH_CLASSES + HOSTILE_TEXT
+
+#: rows-only executes: the tokenizer pair on empty/unicode words, the
+#: PQ/IVF family on duplicate embeddings (tie-break stress)
+ROWS_ONLY_EXEC = [
+    "b156_bpe_train",
+    "b160_bpe_apply",
+    "b134_pq_encode",
+    "b175_ivfpq_search",
+]
+
+
+@pytest.fixture(scope="module")
+def degen_dir(tmp_path_factory) -> str:
+    return build(str(tmp_path_factory.mktemp("degen")))
+
+
+@pytest.mark.parametrize("name", PARITY)
+def test_degen_oracle_parity(spark, degen_dir, name):
+    assert name in registry.ORACLES, f"{name} lost its oracle"
+    compare(spark, degen_dir, name, registry.QUERIES[name], registry.ORACLES[name])
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_EXEC)
+def test_degen_rows_only_executes(spark, degen_dir, name):
+    df = registry.QUERIES[name](spark, degen_dir)
+    assert df.count() >= 0

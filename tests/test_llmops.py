@@ -933,3 +933,88 @@ def test_ivfpq_composition_identity(spark, sf_dir):
         for (ga, gv), (ea, ev) in zip(got[q], expected[q]):
             assert gv == ev, (q, gv, ev)
             assert abs(ga - ea) < 1e-9, (q, gv, ga, ea)
+
+
+def test_ivfpq_observed_recall_rows_exact(spark, sf_dir):
+    """b175_ivfpq_observed emits EXACTLY the recall a full replay
+    computes: per query, n_hits = |ANN top-k ∩ exact-L2 top-k| with
+    the exact set derived by SEQUENTIAL float64 accumulation (the same
+    left-to-right order sq_l2 uses, so the replay is bit-identical,
+    not ulp-close) and the same (distance, neighbor_id) tie-break.
+    Also bounds the corpus-wide mean from below: the composition must
+    beat half the probed-fraction baseline N_PROBE/N_CELLS even on
+    worst-case gaussian vectors."""
+    from etl_wildweb_spark.io import table
+    from etl_wildweb_spark.operators import similarity as S
+
+    e = table(spark, sf_dir, "embeddings")
+    raw = {
+        r.vec_id: list(map(float, r.embedding))
+        for r in e.select("vec_id", "embedding").collect()
+    }
+    ann_sets: dict[int, set] = {}
+    for r in S.b175_ivfpq_search(spark, sf_dir).collect():
+        ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def seq_d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    out = {
+        r.query_id: (r.n_hits, r.recall_ppm)
+        for r in S.b175_ivfpq_observed(spark, sf_dir).collect()
+    }
+    assert set(out) == set(ann_sets)
+    total_hits = 0
+    for q, anns in ann_sets.items():
+        ranked = sorted(
+            (seq_d2(raw[q], raw[v]), v) for v in raw if v != q
+        )
+        exact = {v for _, v in ranked[: S.TOP_K]}
+        nh = len(exact & anns)
+        total_hits += nh
+        assert out[q] == (nh, nh * 1_000_000 // S.TOP_K), q
+    mean_recall = total_hits / (len(ann_sets) * S.TOP_K)
+    assert mean_recall >= 0.5 * S.N_PROBE / S.N_CELLS, mean_recall
+
+
+def test_bpe_decode_roundtrip_hostile_words(spark, sf_dir):
+    """bpe_decode_expr inverts BOTH encoder paths on hostile words —
+    unicode, an embedded literal '</w>', an embedded tab, 200-char
+    repeats — under the corpus-trained merge table AND a synthetic
+    table whose merges actually fire on those words.  This is the
+    planted-input twin of b176's corpus-wide oracle (which proves the
+    identity on real data but only over characters the corpus
+    contains)."""
+    from etl_wildweb_spark.operators import text as T
+
+    hostile = [
+        "äöüß",
+        "数据表的行",
+        "a</w>b",
+        "tab\there",
+        "nl\nthere",
+        "x" * 200,
+        "supercalifragilisticexpialidocious",
+        "a",
+    ]
+    trained = [
+        (r.left, r.right)
+        for r in T.b156_bpe_train(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    synthetic = [("x", "x"), ("xx", "xx"), ("a", "</w>"), ("数", "据")]
+    df = spark.createDataFrame([(w,) for w in hostile], "w string")
+    for merges in (trained, synthetic):
+        for enc in (
+            T.bpe_encode_expr(F.col("w"), merges),
+            T.bpe_encode_udf(merges)(F.col("w")),
+        ):
+            got = {
+                r.w: r.dw
+                for r in df.select(
+                    "w", T.bpe_decode_expr(enc).alias("dw")
+                ).collect()
+            }
+            assert got == {w: w for w in hostile}, merges
