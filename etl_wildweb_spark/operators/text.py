@@ -1173,14 +1173,21 @@ def b156_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Merge-table size above which b160 switches from the chained-
-#: regexp_replace encoder (one whole-stage-codegen pass, but the
-#: expression tree and the per-row work grow linearly with the table)
-#: to the linear-merge Arrow UDF (per-word min-rank merge loop, cost
-#: bounded by the merges PRESENT in each word, not the vocab size —
-#: the shape real ~50k-merge vocabs need).  Both paths are pinned
-#: byte-identical on the learned table in tests/test_llmops.py.
-BPE_APPLY_REGEX_MAX = 64
+#: Merge-table size above which b160/b176 switch from the chained-
+#: regexp_replace encoder to the linear-merge Arrow UDF (per-word
+#: min-rank merge loop, cost bounded by the merges PRESENT in each
+#: word, not the vocab size).  Both paths are pinned byte-identical
+#: on the learned table in tests/test_llmops.py.
+#:
+#: Round-8 measurement moved this from 64 to 8: because encoding runs
+#: over the DISTINCT vocabulary (the b160 plan), the UDF's Python cost
+#: is vocab-bounded, while the regex chain pays a PLAN-COMPILE tax
+#: superlinear in the table size on every query — measured apply-only
+#: at sf0.1: 3.49 s for 20 chained regexes vs 0.69 s UDF (flat at 16x
+#: data, so it's compile, not data), 15.0 s at 107 regexes.  The
+#: codegen path only wins for micro tables where compile is
+#: negligible; real ~50k-merge vocabs were always UDF territory.
+BPE_APPLY_REGEX_MAX = 8
 
 
 def bpe_encode_expr(word_col: F.Column, merges: list[tuple[str, str]]) -> F.Column:
@@ -1269,15 +1276,18 @@ def b160_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression ppm).
 
     Engine shape: the merge table is tiny and the ENCODER IS DATA.
-    Up to BPE_APPLY_REGEX_MAX merges it compiles into chained
+    Micro tables (≤ BPE_APPLY_REGEX_MAX merges) compile into chained
     regexp_replace expressions over the word-symbol column — one
-    narrow whole-stage-codegen pass, zero shuffles beyond the final
-    per-doc aggregate.  Past the threshold (real ~50k-merge vocabs)
-    the same query switches to bpe_encode_udf — the Arrow-batched
-    linear-merge loop whose per-word cost tracks the merges PRESENT,
-    not the vocab size.  Both encoders share greedy-left semantics
-    with training (and with the sequential reference), and are pinned
-    byte-identical per word on the learned table
+    narrow whole-stage-codegen pass.  Everything else — including the
+    learned 20-merge demo table — takes bpe_encode_udf, the
+    Arrow-batched linear-merge loop whose per-word cost tracks the
+    merges PRESENT, not the vocab size; since encoding runs over the
+    DISTINCT vocabulary, its Python cost is vocab-bounded while the
+    regex chain pays a plan-compile tax superlinear in the table on
+    every query (see BPE_APPLY_REGEX_MAX for the round-8 numbers).
+    Both encoders share greedy-left semantics with training (and with
+    the sequential reference), and are pinned byte-identical per word
+    on the learned table
     (tests/test_llmops.py::test_bpe_apply_udf_path_matches_codegen),
     so the threshold is a pure execution-strategy knob — the plan
     stays corpus-narrow either way."""

@@ -845,8 +845,10 @@ def test_bpe_apply_udf_path_matches_codegen(spark, sf_dir):
     )
     diverged = both.filter(F.col("cg") != F.col("py"))
     assert diverged.count() == 0, diverged.limit(5).collect()
-    # and the codegen threshold really selects the UDF for real vocabs
-    assert len(merges) <= T.BPE_APPLY_REGEX_MAX  # demo table stays codegen
+    # the threshold selects the UDF even for the 20-merge demo table
+    # (round-8 measurement: the regex chain's plan-compile tax loses
+    # to the vocab-bounded Arrow UDF at every table size ≥ ~10)
+    assert len(merges) > T.BPE_APPLY_REGEX_MAX
 
 
 def test_bpe_train_driver_path_matches_distributed(spark, sf_dir, monkeypatch):
