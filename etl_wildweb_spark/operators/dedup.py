@@ -367,7 +367,11 @@ NGRAM_THRESHOLD = 0.8
 #: pairs).  floor((4s+4)/5) = ⌈4s/5⌉ is exact: the numerator stays
 #: far below 2⁵², where double division is lossless.
 _T_NUM, _T_DEN = 4, 5
-assert _T_NUM / _T_DEN == NGRAM_THRESHOLD
+if _T_NUM / _T_DEN != NGRAM_THRESHOLD:  # survives python -O, unlike assert
+    raise ValueError(
+        f"NGRAM_THRESHOLD {NGRAM_THRESHOLD} != {_T_NUM}/{_T_DEN}: the exact-"
+        "rational prefix math would silently diverge from the float threshold"
+    )
 
 
 @query(
