@@ -68,15 +68,23 @@ HOSTILE_TEXT = [
     "b176_bpe_decode",
 ]
 
-PARITY = ROUNDING_PREDICATE + CRASH_CLASSES + HOSTILE_TEXT
+#: same-timestamp events are b177's hostile shape (interval boundary
+#: p_ts BETWEEN v_ts AND v_ts+6h with p_ts == v_ts, planted rows
+#: 90000-90002)
+HOSTILE_EVENTS = ["b177_stream_semi_join"]
+
+PARITY = ROUNDING_PREDICATE + CRASH_CLASSES + HOSTILE_TEXT + HOSTILE_EVENTS
 
 #: rows-only executes: the tokenizer pair on empty/unicode words, the
-#: PQ/IVF family on duplicate embeddings (tie-break stress)
+#: PQ/IVF family on duplicate embeddings (tie-break stress — including
+#: the observed-recall twin, where a duplicate of a query vector makes
+#: exact-L2 distance ties real, not hypothetical)
 ROWS_ONLY_EXEC = [
     "b156_bpe_train",
     "b160_bpe_apply",
     "b134_pq_encode",
     "b175_ivfpq_search",
+    "b175_ivfpq_observed",
 ]
 
 
