@@ -115,3 +115,38 @@ def test_truncate_minute_matches_model(spark, values):
         # is outside the feed's datetime domain
         if want is not None or got[i] is None:
             assert got[i] == want, (v, got[i], want)
+
+# ------------------------------------------------ BPE decode inverse
+
+# any space-free strings work as words AND merge symbols: BPE merging
+# only ever removes separator spaces, so decode (= concatenate tokens,
+# strip the </w> marker) inverts encode for ANY merge table, valid or
+# not — the invariant b176 rides on.  Spaces are excluded because the
+# word/symbol domain is the output of split-on-' ' by construction.
+_no_space = st.text(min_size=1, max_size=10).filter(lambda s: " " not in s)
+_sym = st.text(min_size=1, max_size=3).filter(lambda s: " " not in s)
+
+
+@given(
+    st.lists(_no_space, min_size=1, max_size=15, unique=True),
+    st.lists(st.tuples(_sym, _sym), max_size=10),
+)
+@settings(max_examples=6, deadline=None)
+def test_bpe_decode_inverts_encode_any_table(spark, words, merges):
+    """decode∘encode ≡ identity for arbitrary unicode words (incl.
+    astral-plane chars, which Java's split('') halves into surrogate
+    pairs and decode must reassemble) under an ARBITRARY merge table,
+    on BOTH encoder paths — the corpus-independent generalization of
+    b176's oracle and the hostile-word pin in test_llmops.py."""
+    from etl_wildweb_spark.operators import text as T
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    for enc in (
+        T.bpe_encode_expr(F.col("w"), merges),
+        T.bpe_encode_udf(merges)(F.col("w")),
+    ):
+        got = {
+            r.w: r.dw
+            for r in df.select("w", T.bpe_decode_expr(enc).alias("dw")).collect()
+        }
+        assert got == {w: w for w in words}
