@@ -1291,19 +1291,13 @@ def b160_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_llmops.py::test_bpe_apply_udf_path_matches_codegen),
     so the threshold is a pure execution-strategy knob — the plan
     stays corpus-narrow either way."""
-    merges = [
-        (r.left, r.right)
-        for r in b156_bpe_train(spark, sf_dir).orderBy("merge_rank").collect()
-    ]
+    merges = _learned_merges(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
     words = lift_parallelism(d, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
     sym = F.concat(F.array_join(F.split(F.col("w"), ""), " "), F.lit(" </w>"))
-    if len(merges) <= BPE_APPLY_REGEX_MAX:
-        encoded = bpe_encode_expr(F.col("w"), merges)
-    else:
-        encoded = bpe_encode_udf(merges)(F.col("w"))
+    encoded = _bpe_encoder(merges)
     # Encode the DISTINCT vocabulary, not every word instance: word
     # frequencies are Zipf, so the merge-chain work (the expensive
     # expression) runs |vocab| times instead of |corpus words| times
@@ -1331,6 +1325,24 @@ def b160_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """The corpus-trained merge table in rank order — the one shared
+    input of the apply/decode queries (b160/b176)."""
+    return [
+        (r.left, r.right)
+        for r in b156_bpe_train(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+
+
+def _bpe_encoder(merges: list[tuple[str, str]]) -> F.Column:
+    """Threshold dispatch shared by b160/b176: chained-regexp codegen
+    for micro tables, the vocab-bounded Arrow UDF otherwise (see
+    BPE_APPLY_REGEX_MAX for the measured crossover)."""
+    if len(merges) <= BPE_APPLY_REGEX_MAX:
+        return bpe_encode_expr(F.col("w"), merges)
+    return bpe_encode_udf(merges)(F.col("w"))
+
+
 def bpe_decode_expr(encoded: F.Column) -> F.Column:
     """Codegen decoder for one encoded word: drop the literal-space
     token separators (symbol concatenation is merge-invariant, and
@@ -1350,8 +1362,11 @@ def bpe_decode_expr(encoded: F.Column) -> F.Column:
            COALESCE(array_to_string(list_filter(string_split(text, ' '),
                                                 w -> w <> ''), ' '),
                     '') AS decoded_text,
-           CAST(len(list_filter(string_split(text, ' '),
-                                w -> w <> '')) AS BIGINT) AS n_words
+           -- COALESCE n_words too: string_split(NULL) makes len() NULL
+           -- while the Spark side's left-join coalesce yields 0
+           COALESCE(CAST(len(list_filter(string_split(text, ' '),
+                                         w -> w <> '')) AS BIGINT),
+                    0) AS n_words
     FROM documents
     """,
 )
@@ -1376,10 +1391,7 @@ def b176_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is read once; the only shuffles are the vocab distinct,
     the join back (AQE-broadcast for real vocabs), and the per-doc
     aggregate."""
-    merges = [
-        (r.left, r.right)
-        for r in b156_bpe_train(spark, sf_dir).orderBy("merge_rank").collect()
-    ]
+    merges = _learned_merges(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
     words = (
         lift_parallelism(d, "doc_id")
@@ -1389,12 +1401,8 @@ def b176_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("w") != "")
     )
-    if len(merges) <= BPE_APPLY_REGEX_MAX:
-        encoded = bpe_encode_expr(F.col("w"), merges)
-    else:
-        encoded = bpe_encode_udf(merges)(F.col("w"))
     vocab = words.select("w").distinct().select(
-        "w", bpe_decode_expr(encoded).alias("dw")
+        "w", bpe_decode_expr(_bpe_encoder(merges)).alias("dw")
     )
     assembled = (
         words.join(vocab, "w")

@@ -50,6 +50,45 @@ def b23_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, mode="append")
 
 
+#: watermark delay and correlation horizon shared by every
+#: stream-stream join below AND mirrored in their oracles — change
+#: them together.
+_WM_DELAY = "1 hour"
+_INTERVAL = "INTERVAL 6 HOURS"
+
+
+def _watermarked_views_purchases(spark, sf_dir):
+    """The shared construction of b23/b64/b177: watermarked view and
+    purchase streams plus the user-equality × time-interval join
+    condition (p_ts ∈ [v_ts, v_ts + 6h])."""
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", _WM_DELAY)
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", _WM_DELAY)
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(_INTERVAL))
+    )
+    return views, purchases, cond
+
+
 @query(
     "b23_stream_stream_join",
     oracle="""
@@ -68,32 +107,10 @@ def b23_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     side evicts rows older than watermark − interval); with the whole
     corpus in one availableNow batch the inner join emits exactly the
     batch interval join's pairs — hash-checked."""
-    views = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("v_ts"),
-        )
-        .withWatermark("v_ts", "1 hour")
+    views, purchases, cond = _watermarked_views_purchases(spark, sf_dir)
+    joined = views.join(purchases, cond).select(
+        F.col("v_user").alias("user_id"), "view_id", "purchase_id"
     )
-    purchases = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    joined = views.join(
-        purchases,
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS")),
-    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
     return run_to_memory(joined, mode="append")
 
 
@@ -109,33 +126,10 @@ def b64_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary is pinned exactly in tests/test_streaming.py; rows-only
     here because the emitted set depends on the final watermark, not
     just the data."""
-    views = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("v_ts"),
-        )
-        .withWatermark("v_ts", "1 hour")
+    views, purchases, cond = _watermarked_views_purchases(spark, sf_dir)
+    joined = views.join(purchases, cond, "leftOuter").select(
+        F.col("v_user").alias("user_id"), "view_id", "purchase_id"
     )
-    purchases = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    joined = views.join(
-        purchases,
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS")),
-        "leftOuter",
-    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
     return run_to_memory(joined, mode="append")
 
 
@@ -168,30 +162,8 @@ def b177_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale this is the conversion-funnel prefilter shape: the semi
     join's output is view-sized at worst and deduplicated in-state, so
     downstream attribution never sees the view×purchase fan-out."""
-    views = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("v_ts"),
-        )
-        .withWatermark("v_ts", "1 hour")
+    views, purchases, cond = _watermarked_views_purchases(spark, sf_dir)
+    joined = views.join(purchases, cond, "leftSemi").select(
+        "view_id", F.col("v_user").alias("user_id")
     )
-    purchases = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    joined = views.join(
-        purchases,
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS")),
-        "leftSemi",
-    ).select("view_id", F.col("v_user").alias("user_id"))
     return run_to_memory(joined, mode="append")

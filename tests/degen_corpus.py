@@ -85,6 +85,13 @@ def build(dest: str, base: str = BASE) -> str:
       UNION ALL
       SELECT 9001 AS vec_id, embedding, label
       FROM read_parquet('{base}/embeddings.parquet') WHERE vec_id = 100
+      UNION ALL
+      -- duplicate of a QUERY vector (queries are vec_id < 10): makes
+      -- exact-distance ties at the top of a ranking real — cosine 1.0
+      -- / L2 0.0 against the query itself — not just equidistant
+      -- corpus neighbors (the vec-100 pair above)
+      SELECT 9002 AS vec_id, embedding, label
+      FROM read_parquet('{base}/embeddings.parquet') WHERE vec_id = 3
     ) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)
     """)
     for t in ("region", "nation", "customer", "supplier", "part",
