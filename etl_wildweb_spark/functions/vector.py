@@ -31,8 +31,18 @@ def norm(a: Column | str) -> Column:
     return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def clamp_cos(c: Column) -> Column:
+    """Clamp a cosine to [-1, 1] — DuckDB's list_cosine_similarity does
+    exactly this (verified empirically: 500/500 bit-match to
+    dot/(sqrt(Σa²)·sqrt(Σb²)) in range, exact ±1.0 beyond it), and
+    without it an exact-duplicate pair computes 1 + 2·ulp and diverges
+    from the oracle (caught by the degen corpus's planted query-vector
+    duplicate, round 8)."""
+    return F.greatest(F.lit(-1.0), F.least(F.lit(1.0), c))
+
+
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return clamp_cos(dot(a, b) / (norm(a) * norm(b)))
 
 
 def sq_l2(a: Column | str, b: Column | str) -> Column:

@@ -580,13 +580,14 @@ def b29_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     real scale block on b30's hyperplane-LSH bucket id or IVF cell, or
     route near-dup through b29_minhash/b30_ann_*; label stays here
     because the DuckDB oracle pins exactness within it."""
-    from ..functions.vector import dot, norm
+    from ..functions.vector import clamp_cos, dot, norm
 
     e = table(spark, sf_dir, "embeddings")
     # b149's two-part pair-stage treatment (SCALE.md round-6 extension,
     # lessons 2-3): norms once per VECTOR (cosine() re-aggregates both
-    # per pair — 3x the flops on the quadratic path; dot/(na·nb) builds
-    # the exact same doubles, so the emitted cos_sim is bit-identical),
+    # per pair — 3x the flops on the quadratic path; clamped dot/(na·nb)
+    # builds the exact same doubles, so the emitted cos_sim is
+    # bit-identical),
     # a derived-key pinned-width exchange on the probe side (AQE sizes
     # the stage by its tiny input and serializes the pair explosion on
     # one core), and a broadcast build side (a shuffle join on 10
@@ -611,7 +612,9 @@ def b29_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(F.broadcast(b), ["label"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", dot("ea", "eb") / (F.col("na") * F.col("nb")))
+        .withColumn(
+            "cos_sim", clamp_cos(dot("ea", "eb") / (F.col("na") * F.col("nb")))
+        )
         .filter(F.col("cos_sim") >= 0.95)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -1224,7 +1227,7 @@ def b149_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the argmax tie-break is (cos DESC, cid ASC) — both cross-engine
     deterministic, which is what makes this dedup mode exact-oracled
     where LSH/IVF ANN entries are rows-only."""
-    from ..functions.vector import cosine, dot, norm
+    from ..functions.vector import clamp_cos, cosine, dot, norm
 
     e = table(spark, sf_dir, "embeddings")
     cents = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
@@ -1256,8 +1259,8 @@ def b149_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Precompute each vector's norm ONCE before the pair join: cosine()
     # would re-aggregate both norms per PAIR — 3x the per-pair flops on
     # the O(|cluster|²) hot path (measured 230 s → ~80 s at the 16x
-    # probe).  norm(a)·norm(b) from the cached columns is the exact
-    # expression cosine() builds, so every double is bit-identical.
+    # probe).  clamp_cos(dot/(na·nb)) from the cached columns is the
+    # exact expression cosine() builds, so every double is bit-identical.
     assigned = e.select(
         "vec_id", "embedding", norm("embedding").alias("nrm")
     ).join(best, "vec_id")
@@ -1299,7 +1302,7 @@ def b149_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.round(
                 F.lit(1_000_000)
-                * (dot("ea", "eb") / (F.col("na") * F.col("nb")))
+                * clamp_cos(dot("ea", "eb") / (F.col("na") * F.col("nb")))
             ).cast("bigint")
             >= SEMDEDUP_TAU_MICRO
         )
