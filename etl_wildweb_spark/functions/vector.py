@@ -37,12 +37,25 @@ def clamp_cos(c: Column) -> Column:
     dot/(sqrt(Σa²)·sqrt(Σb²)) in range, exact ±1.0 beyond it), and
     without it an exact-duplicate pair computes 1 + 2·ulp and diverges
     from the oracle (caught by the degen corpus's planted query-vector
-    duplicate, round 8)."""
+    duplicate, round 8).  Apply ONLY to non-NULL in-domain values:
+    Spark's least/greatest SKIP nulls, so clamping a NULL would
+    manufacture 1.0."""
     return F.greatest(F.lit(-1.0), F.least(F.lit(1.0), c))
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return clamp_cos(dot(a, b) / (norm(a) * norm(b)))
+    """Cosine similarity, NULL when either vector has zero norm: the
+    ratio is 0/0 there, and both engines' raw kernels turn that NaN
+    into ranking poison — Spark sorts NaN greatest (a zero vector
+    would TOP every descending top-k), DuckDB's clamp comparisons
+    select the -1.0 branch (verified empirically).  NULL is the
+    honest value for an undefined similarity and falls out of
+    rankings, thresholds, and max_by naturally.  Oracles on corpora
+    that contain zero vectors must mirror this with an explicit
+    CASE WHEN norm = 0 THEN NULL around list_cosine_similarity;
+    the shipped corpora contain none (pinned by pytest instead)."""
+    den = norm(a) * norm(b)
+    return F.when(den != F.lit(0.0), clamp_cos(dot(a, b) / den))
 
 
 def sq_l2(a: Column | str, b: Column | str) -> Column:

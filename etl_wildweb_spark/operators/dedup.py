@@ -613,7 +613,11 @@ def b29_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), ["label"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "cos_sim", clamp_cos(dot("ea", "eb") / (F.col("na") * F.col("nb")))
+            "cos_sim",
+            F.when(
+                F.col("na") * F.col("nb") != F.lit(0.0),
+                clamp_cos(dot("ea", "eb") / (F.col("na") * F.col("nb"))),
+            ),
         )
         .filter(F.col("cos_sim") >= 0.95)
         .select("id_a", "id_b", "cos_sim")
@@ -1302,7 +1306,10 @@ def b149_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.round(
                 F.lit(1_000_000)
-                * clamp_cos(dot("ea", "eb") / (F.col("na") * F.col("nb")))
+                * F.when(
+                    F.col("na") * F.col("nb") != F.lit(0.0),
+                    clamp_cos(dot("ea", "eb") / (F.col("na") * F.col("nb"))),
+                )
             ).cast("bigint")
             >= SEMDEDUP_TAU_MICRO
         )

@@ -89,9 +89,20 @@ def build(dest: str, base: str = BASE) -> str:
       -- duplicate of a QUERY vector (queries are vec_id < 10): makes
       -- exact-distance ties at the top of a ranking real — cosine 1.0
       -- / L2 0.0 against the query itself — not just equidistant
-      -- corpus neighbors (the vec-100 pair above)
+      -- corpus neighbors (the vec-100 pair above).  Round 8: caught
+      -- the missing [-1,1] cosine clamp DuckDB applies.
       SELECT 9002 AS vec_id, embedding, label
       FROM read_parquet('{base}/embeddings.parquet') WHERE vec_id = 3
+      UNION ALL
+      -- NEGATION of a query vector: the cos = -1 boundary (the clamp's
+      -- other edge, well-defined in both engines — zero vectors are
+      -- NOT planted here because DuckDB's builtin returns a NaN
+      -- artifact there; the engine's NULL semantics for zero norms is
+      -- pinned by pytest instead, see functions/vector.py::cosine)
+      SELECT 9003 AS vec_id,
+             list_transform(embedding, x -> CAST(-x AS FLOAT)) AS embedding,
+             label
+      FROM read_parquet('{base}/embeddings.parquet') WHERE vec_id = 5
     ) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)
     """)
     for t in ("region", "nation", "customer", "supplier", "part",

@@ -1020,3 +1020,60 @@ def test_bpe_decode_roundtrip_hostile_words(spark, sf_dir):
                 ).collect()
             }
             assert got == {w: w for w in hostile}, merges
+
+
+def test_cosine_zero_norm_is_null_and_never_ranks(spark):
+    """cosine() is NULL for zero-norm inputs (the similarity is
+    undefined there): without this, Spark's raw 0/0 NaN sorts GREATEST
+    and a zero embedding — a real failure mode of production encoders —
+    would top every descending top-k; DuckDB's builtin returns a -1.0
+    NaN-comparison artifact instead, so neither raw kernel is usable
+    semantics.  NULL falls out of rankings, thresholds, and max_by."""
+    from etl_wildweb_spark.functions.vector import cosine
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], [1.0, 0.0]),   # identical → clamped 1.0
+            (1, [1.0, 0.0], [-1.0, 0.0]),  # opposite → -1.0
+            (2, [1.0, 0.0], [0.0, 0.0]),   # zero norm → NULL
+            (3, [0.0, 0.0], [0.0, 0.0]),   # both zero → NULL
+        ],
+        "i long, a array<float>, b array<float>",
+    )
+    got = {r.i: r.c for r in df.select("i", cosine("a", "b").alias("c")).collect()}
+    assert got[0] == 1.0 and got[1] == -1.0
+    assert got[2] is None and got[3] is None
+    # and a zero vector never enters a cosine top-k: rank candidates
+    # for one query, zero vector must sort after every real candidate
+    from pyspark.sql import Window as W
+
+    cands = spark.createDataFrame(
+        [(10, [0.5, 0.5]), (11, [1.0, 2.0]), (12, [0.0, 0.0])],
+        "nid long, ce array<float>",
+    ).withColumn("qe", F.expr("array(1.0D, 1.0D)"))
+    ranked = (
+        cands.select("nid", cosine("qe", "ce").alias("cos"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(W.orderBy(F.desc_nulls_last("cos"), "nid")),
+        )
+        .collect()
+    )
+    order = [r.nid for r in sorted(ranked, key=lambda r: r.rnk)]
+    assert order[-1] == 12, order
+
+
+def test_shipped_corpora_have_no_zero_embeddings(sf_dir):
+    """The oracles use DuckDB's list_cosine_similarity raw, so the
+    NULL-on-zero-norm engine semantics must never be exercised by a
+    shipped corpus — if this fails, the affected oracles need an
+    explicit CASE WHEN norm = 0 THEN NULL mirror."""
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"""SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')
+            WHERE NOT list_has_any(list_transform(embedding, x -> x <> 0),
+                                   [TRUE])"""
+    ).fetchone()[0]
+    assert n == 0, f"{n} zero embeddings in {sf_dir}"
