@@ -41,8 +41,14 @@ _EVENT_ROWS = """
     (90002, TIMESTAMP '2024-06-01 00:00:00', 9000, 'click', 0.01, '{}'),
     (90003, TIMESTAMP '2024-06-01 00:00:01', 9001, 'solo_type', 42.0, '{}'),
     (90004, TIMESTAMP '2024-06-01 00:00:02', 9002, 'pair_type', 7.0, '{}'),
-    (90005, TIMESTAMP '2024-06-01 00:00:03', 9003, 'pair_type', 7.0, '{}')
+    (90005, TIMESTAMP '2024-06-01 00:00:03', 9003, 'pair_type', 7.0, '{}'),
+    (90006, TIMESTAMP '2024-06-01 00:00:04', 9004, 'click', 0.0000025, '{}'),
+    (90007, TIMESTAMP '2024-06-01 00:00:05', 9005, 'click', -0.0000025, '{}')
 """
+# 90006/90007: ±2.5e-6 is an exact dyadic .5 boundary for the
+# round(value*1e6) micro-unit pattern — both engines round half away
+# from zero incl. negatives (probed round 8); these rows keep that
+# boundary exercised corpus-wide.
 
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
