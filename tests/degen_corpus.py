@@ -32,8 +32,16 @@ _DOC_ROWS = """
     (9008,
      'supercalifragilisticexpialidocioussupercalifragilisticexpialidocious',
      'en', 'cc', 69),
-    (9009, 'a', 'en', 'web', 1)
+    (9009, 'a', 'en', 'web', 1),
+    (9010, 'contact john.doe@example.com or a@@b at 999.999.999.999 256.1.1.1 10.0.0.1',
+     'en', 'web', 75),
+    (9011, 'emoji 😀😀 mixed 数据😀 tail', 'en', 'cc', 24)
 """
+# 9010: PII-regex boundary cases (double-@, out-of-range octets — the
+# email/IPv4 patterns run in Java regex AND RE2, same pattern string).
+# 9011: astral-plane chars (UTF-16 surrogate pairs in the JVM, 4-byte
+# UTF-8 in DuckDB/Arrow) through \p{L}-class tokenizers, shingling,
+# split('')-based BPE, and the decode round-trip.
 
 _EVENT_ROWS = """
     (90000, TIMESTAMP '2024-06-01 00:00:00', 9000, 'view',  0.0, '{}'),
