@@ -60,3 +60,21 @@ def sql_davg(expr: str, ndigits: int = 4) -> str:
         f"round(CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
         f" / count(*), {ndigits})"
     )
+
+
+def finite(c: Column | str) -> Column:
+    """TRUE iff the double is finite (not NULL/NaN/±Inf).  The
+    quarantine predicate for metric columns that feed integer-unit
+    casts: round(NaN·1e6)::BIGINT is a whole-query crash under ANSI in
+    Spark and an INT128 conversion error in DuckDB (found by the
+    round-8 NaN probe — the b80-digitless-props class for numerics),
+    so every value-casting query filters on this, mirrored by
+    ``WHERE isfinite(value)`` in its oracle.  At 100 TB a metrics
+    pipeline quarantines non-finite readings; it must never crash on
+    one."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (
+        ~F.isnan(col)
+        & (col > F.lit(float("-inf")))
+        & (col < F.lit(float("inf")))
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import finite
 from ..io import table
 from ..registry import query
 
@@ -414,6 +415,7 @@ def b48_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w
                 AS BIGINT) AS sum_24h_micro
     FROM events
+    WHERE isfinite(value)
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
     """,
@@ -440,7 +442,9 @@ def b74_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted run — O(n) per partition, no per-row rescan.  At 100 TB
     this is the pattern that replaces N daily self-joins with one
     window pass."""
-    e = table(spark, sf_dir, "events")
+    # finite(): a quarantined reading gets no feature row and is not a
+    # window neighbor (functions/exact.py::finite, mirrored WHERE)
+    e = table(spark, sf_dir, "events").filter(finite("value"))
     from pyspark.sql import Window as W
 
     w = (
@@ -566,7 +570,7 @@ def b77_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_purchases,
            CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
              AS revenue_cents
-    FROM tagged WHERE event_type = 'purchase'
+    FROM tagged WHERE event_type = 'purchase' AND isfinite(value)
     GROUP BY 1
     """,
 )
@@ -623,7 +627,11 @@ def b80_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).over(w),
     )
     return (
-        tagged.filter(F.col("event_type") == "purchase")
+        # finite() on PURCHASES only: value feeds nothing but the
+        # revenue cast, so a garbage reading on a touch event must not
+        # erase the touch — only the unbillable purchase is quarantined
+        # (functions/exact.py::finite, mirrored in the oracle WHERE)
+        tagged.filter((F.col("event_type") == "purchase") & finite("value"))
         .groupBy(
             F.coalesce("touch_channel", F.lit("direct")).alias("channel")
         )
@@ -763,7 +771,7 @@ def b84_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                        date_trunc('week', e.ts)) // 7 AS week_k,
              sum(CAST(round(e.value * 1000000) AS BIGINT)) AS v_micro
       FROM events e JOIN cohorts c USING (user_id)
-      WHERE e.event_type = 'purchase'
+      WHERE e.event_type = 'purchase' AND isfinite(e.value)
       GROUP BY 1, 2)
     SELECT cohort_week, CAST(week_k AS INTEGER) AS week_k,
            CAST(v_micro AS BIGINT) AS week_rev_micro,
@@ -790,7 +798,9 @@ def b112_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     rev = (
-        e.filter(F.col("event_type") == "purchase")
+        # finite() on the revenue slice only — cohort membership is
+        # value-independent (the b80 purchase-quarantine rule)
+        e.filter((F.col("event_type") == "purchase") & finite("value"))
         .join(cohorts, "user_id")
         .groupBy(
             "cohort_week",
@@ -879,7 +889,8 @@ def b116_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN event_type = 'purchase'
                   THEN CAST(round(value * 1000000) AS BIGINT)
                   ELSE -CAST(round(value * 1000000) AS BIGINT) END AS delta
-      FROM events WHERE event_type IN ('purchase', 'error')),
+      FROM events
+      WHERE event_type IN ('purchase', 'error') AND isfinite(value)),
     sums AS (
       SELECT user_id, ts, event_id,
              sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -922,7 +933,10 @@ def b119_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     v = F.round(F.col("value") * 1_000_000).cast("bigint")
-    tx = e.filter(F.col("event_type").isin("purchase", "error")).select(
+    # finite(): a quarantined reading is not a ledger transaction
+    tx = e.filter(
+        F.col("event_type").isin("purchase", "error") & finite("value")
+    ).select(
         "user_id",
         "ts",
         "event_id",
@@ -974,7 +988,7 @@ def b119_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              sum(CAST(round(value * 1000000) AS BIGINT)) AS v
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE isfinite(value) GROUP BY 1, 2),
     bounds AS (
       SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
     grid AS (
@@ -1025,7 +1039,9 @@ def b121_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-gap search, no global window."""
     from pyspark.sql import Window as W
 
-    e = table(spark, sf_dir, "events")
+    # finite(): a quarantined reading contributes nothing to its day —
+    # a day with only quarantined readings becomes a silent (filled) day
+    e = table(spark, sf_dir, "events").filter(finite("value"))
     daily = e.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("v"))

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import finite
 from ..io import table
 from ..registry import query
 
@@ -277,7 +278,7 @@ def b105_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_us(lead(ts) OVER
                (PARTITION BY user_id ORDER BY ts, event_id))
                - epoch_us(ts) AS gap_us
-      FROM events),
+      FROM events WHERE isfinite(value)),
     held AS (
       SELECT event_type,
              CAST(round(value * 1000000) AS BIGINT) AS v_micro, gap_us
@@ -302,7 +303,10 @@ def b106_time_weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass; the weighted sum is a hash aggregation with map-side partial
     combine in decimal — order-independent, so partial/final split
     cannot change the result.  Output is |event_types| rows."""
-    e = table(spark, sf_dir, "events")
+    # finite() BEFORE the window: a quarantined reading is absent from
+    # the metric stream entirely, so holding periods bridge over it —
+    # same WHERE position as the oracle (functions/exact.py::finite)
+    e = table(spark, sf_dir, "events").filter(finite("value"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "event_type",
@@ -1075,7 +1079,7 @@ def b153_freq_items_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   min(ts) OVER (PARTITION BY event_type), ts) AS HUGEINT)
                AS x,
              CAST(round(value * 1000000) AS HUGEINT) AS y
-      FROM events),
+      FROM events WHERE isfinite(value)),
     m AS (
       SELECT event_type,
              CAST(count(*) AS HUGEINT) AS n,
@@ -1108,7 +1112,9 @@ def b163_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e12-row groups.  Scale: the min-ts window partitions BY
     event_type (group-wide parallelism); one moment aggregation
     map-side combines to a group-count-sized table; no joins."""
-    ev = table(spark, sf_dir, "events")
+    # finite() before the min-ts window: a quarantined reading is not
+    # the group's time origin either (same WHERE position as the oracle)
+    ev = table(spark, sf_dir, "events").filter(finite("value"))
     w = Window.partitionBy("event_type")
     base = ev.select(
         "event_type",
@@ -1148,7 +1154,7 @@ def b163_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                              1, 8)) AS BIGINT) % 2 = 0
                   THEN 'a' ELSE 'b' END AS arm,
              CAST(round(value * 1000000) AS HUGEINT) AS y
-      FROM events),
+      FROM events WHERE isfinite(value)),
     m AS (
       SELECT event_type, arm,
              CAST(count(*) AS HUGEINT) AS n,
@@ -1211,7 +1217,7 @@ def b164_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable to 2·|event types| rows; the a×b pairing is a join on
     that tiny table.  No second pass over events, no window, no skew
     exposure (arms are hash-balanced by construction)."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(finite("value"))
     from .sampling import hash_bucket
 
     tagged = ev.select(

@@ -1254,7 +1254,14 @@ GROUP BY event_type,
 """
 
 
-@query("b11_time_rollup", oracle=_HYPER_BODY.format(e="events"))
+@query(
+    "b11_time_rollup",
+    # finite-value quarantine applied in each engine's own dialect
+    # (isfinite is DuckDB-only; the Spark side filters the view input)
+    oracle=_HYPER_BODY.format(
+        e="(SELECT * FROM events WHERE isfinite(value)) qev"
+    ),
+)
 def b11_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11 variant: hypertable-style continuous-aggregate shape — one
     pass over the event stream producing minute, hour, day, and total
@@ -1266,7 +1273,11 @@ def b11_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the incremental-maintenance shape: each micro-batch aggregates
     to the finest grain and the coarser grains re-aggregate from it,
     never from raw rows."""
-    table(spark, sf_dir, "events").createOrReplaceTempView("hyper_events")
+    from ..functions.exact import finite
+
+    table(spark, sf_dir, "events").filter(
+        finite("value")
+    ).createOrReplaceTempView("hyper_events")
     return spark.sql(_HYPER_BODY.format(e="hyper_events"))
 
 

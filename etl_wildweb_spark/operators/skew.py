@@ -110,7 +110,7 @@ def salted_agg(
            CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
                AS total_micro,
            CAST(max(user_id) AS BIGINT) AS max_user
-    FROM events GROUP BY event_type
+    FROM events WHERE isfinite(value) GROUP BY event_type
     """,
 )
 def b73_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,7 +124,9 @@ def b73_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT sum) — exact, associative across salt partials, and
     hash-stable (DECIMAL(38,6) came back float64 through DuckDB's
     pandas path and broke the round-4 value hash)."""
-    e = table(spark, sf_dir, "events")
+    from ..functions.exact import finite
+
+    e = table(spark, sf_dir, "events").filter(finite("value"))
     micro = F.round(F.col("value") * 1_000_000).cast("bigint")
     aggs = [
         (F.count(F.lit(1)), F.sum, "n"),

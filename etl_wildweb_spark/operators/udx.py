@@ -254,7 +254,7 @@ def _arrow_group_stats(table_in):
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
              AS value_cents
-    FROM events GROUP BY event_type
+    FROM events WHERE isfinite(value) GROUP BY event_type
     """,
 )
 def b95_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,7 +268,13 @@ def b95_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same single group-key exchange as any groupBy-apply; each
     group must fit an Arrow batch (event_type cardinality is 5 —
     bounded).  The GroupBy twin of the mapInArrow decode path."""
-    e = table(spark, sf_dir, "events").select("event_type", "value")
+    from ..functions.exact import finite
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(finite("value"))  # quarantine before the cents cast
+        .select("event_type", "value")
+    )
     return e.groupBy("event_type").applyInArrow(
         _arrow_group_stats,
         schema="event_type string, n bigint, value_cents bigint",

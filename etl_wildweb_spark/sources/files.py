@@ -168,7 +168,7 @@ def b70_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
                AS total_micro
     FROM events
-    WHERE event_type IN ('view', 'purchase')
+    WHERE event_type IN ('view', 'purchase') AND isfinite(value)
     GROUP BY event_type
     """,
 )
@@ -206,9 +206,14 @@ def partitioned_events_scan(
     """Build the partitioned layout under ``out`` and return the pruned
     aggregate over it (separated from b71 so the plan test can inspect
     the scan without the checkpoint/cleanup wrapper)."""
+    from ..functions.exact import finite
     from ..io import table
 
-    e = table(spark, sf_dir, "events").select("event_type", "value")
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(finite("value"))  # quarantine before the micro cast
+        .select("event_type", "value")
+    )
     e.write.mode("overwrite").partitionBy("event_type").parquet(out)
     back = spark.read.parquet(out)
     return (
@@ -440,7 +445,8 @@ def b100_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b108_dynamic_overwrite",
     oracle="""
     WITH days AS (
-      SELECT CAST(ts AS DATE) AS day, value FROM events),
+      SELECT CAST(ts AS DATE) AS day, value FROM events
+      WHERE isfinite(value)),
     bounds AS (SELECT min(day) AS d0 FROM days)
     SELECT day,
            CAST(count(*) AS BIGINT) AS n,
@@ -478,7 +484,9 @@ def b108_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = _tempfile.mkdtemp(prefix="dyn_ow_")
     try:
-        e = table(spark, sf_dir, "events").select(
+        from ..functions.exact import finite
+
+        e = table(spark, sf_dir, "events").filter(finite("value")).select(
             F.to_date("ts").alias("day"),
             F.round(F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
         )
@@ -658,7 +666,7 @@ _DPP_DIM = [("view", 1), ("purchase", 2), ("click", 3)]
     JOIN (VALUES ('view', 1), ('purchase', 2), ('click', 3))
          AS dim(event_type, pri)
       ON e.event_type = dim.event_type
-    WHERE dim.pri <= 2
+    WHERE dim.pri <= 2 AND isfinite(e.value)
     GROUP BY e.event_type
     """,
 )
@@ -693,10 +701,13 @@ def dpp_events_scan(
     the dim-filtered aggregate whose fact scan must carry a
     dynamicpruningexpression (separated from b136 so the plan test can
     inspect the scan without the checkpoint/cleanup wrapper)."""
+    from ..functions.exact import finite
     from ..io import table
 
-    e = table(spark, sf_dir, "events").select(
-        "event_type", "value", "user_id"
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(finite("value"))  # quarantine before the micro cast
+        .select("event_type", "value", "user_id")
     )
     e.write.mode("overwrite").partitionBy("event_type").parquet(out)
     fact = spark.read.parquet(out)

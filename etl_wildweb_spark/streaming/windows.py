@@ -93,13 +93,18 @@ def run_to_memory(
            count(*) AS n_events,
            {sql_davg('value')} AS avg_value
     FROM events
+    WHERE isfinite(value)
     GROUP BY 1
     """,
 )
 def b21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B21: 10-minute tumbling window aggregation.  Same expression runs
-    under readStream (test_streaming.py asserts equality)."""
-    e = table(spark, sf_dir, "events")
+    under readStream (test_streaming.py asserts equality).  Non-finite
+    readings are quarantined before the decimal cast
+    (functions/exact.py::finite, mirrored WHERE)."""
+    from ..functions.exact import finite
+
+    e = table(spark, sf_dir, "events").filter(finite("value"))
     return (
         e.groupBy(F.window("ts", "10 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), davg("value").alias("avg_value"))

@@ -51,12 +51,26 @@ _EVENT_ROWS = """
     (90004, TIMESTAMP '2024-06-01 00:00:02', 9002, 'pair_type', 7.0, '{}'),
     (90005, TIMESTAMP '2024-06-01 00:00:03', 9003, 'pair_type', 7.0, '{}'),
     (90006, TIMESTAMP '2024-06-01 00:00:04', 9004, 'click', 0.0000025, '{}'),
-    (90007, TIMESTAMP '2024-06-01 00:00:05', 9005, 'click', -0.0000025, '{}')
+    (90007, TIMESTAMP '2024-06-01 00:00:05', 9005, 'click', -0.0000025, '{}'),
+    (90008, TIMESTAMP '2024-06-01 00:00:06', 9006, 'click',
+     CAST('NaN' AS DOUBLE), '{}'),
+    (90009, TIMESTAMP '2024-06-01 00:00:07', 9006, 'purchase',
+     CAST('Infinity' AS DOUBLE), '{}'),
+    (90010, TIMESTAMP '2024-06-01 00:00:08', 9007, 'error',
+     CAST('-Infinity' AS DOUBLE), '{}'),
+    (90011, TIMESTAMP '2024-06-01 00:00:09', 9007, 'purchase',
+     CAST('NaN' AS DOUBLE), '{}')
 """
 # 90006/90007: ±2.5e-6 is an exact dyadic .5 boundary for the
 # round(value*1e6) micro-unit pattern — both engines round half away
 # from zero incl. negatives (probed round 8); these rows keep that
 # boundary exercised corpus-wide.
+# 90008-90011: non-finite metric readings (an encoder/sensor failure
+# mode at 100 TB) — round(NaN*1e6)::BIGINT is a whole-query crash
+# under ANSI in Spark and an INT128 conversion error in DuckDB, so
+# every value-casting query quarantines them via
+# functions/exact.py::finite + a mirrored isfinite(value) WHERE
+# (the b80-digitless-props class for numerics, found round 8).
 
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
