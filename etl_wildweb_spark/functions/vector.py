@@ -53,9 +53,16 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     rankings, thresholds, and max_by naturally.  Oracles on corpora
     that contain zero vectors must mirror this with an explicit
     CASE WHEN norm = 0 THEN NULL around list_cosine_similarity;
-    the shipped corpora contain none (pinned by pytest instead)."""
+    the shipped corpora contain none (pinned by pytest instead).
+
+    NaN norms get the same NULL treatment: a NaN component makes
+    den = NaN, which passes a bare ``den != 0.0`` guard (NaN != 0.0
+    is true in Spark), and then least(1.0, NaN) = 1.0 — Spark orders
+    NaN greatest — so a corrupt vector would silently TOP every
+    descending cosine ranking.  ``~isnan(den)`` routes it to NULL
+    like the zero-norm case (ADVICE round 9)."""
     den = norm(a) * norm(b)
-    return F.when(den != F.lit(0.0), clamp_cos(dot(a, b) / den))
+    return F.when(~F.isnan(den) & (den != F.lit(0.0)), clamp_cos(dot(a, b) / den))
 
 
 def sq_l2(a: Column | str, b: Column | str) -> Column:

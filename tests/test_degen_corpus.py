@@ -79,13 +79,24 @@ PARITY = ROUNDING_PREDICATE + CRASH_CLASSES + HOSTILE_TEXT + HOSTILE_EVENTS
 #: PQ/IVF family on duplicate embeddings (tie-break stress — including
 #: the observed-recall twin, where a duplicate of a query vector makes
 #: exact-L2 distance ties real, not hypothetical)
-ROWS_ONLY_EXEC = [
-    "b156_bpe_train",
-    "b160_bpe_apply",
-    "b134_pq_encode",
-    "b175_ivfpq_search",
-    "b175_ivfpq_observed",
-]
+#: per-query minimal expected shape on the degenerate corpus: a bare
+#: ``count() >= 0`` is vacuously true for any successful count, so a
+#: regression that EMPTIES the output (e.g. the planted duplicate /
+#: negated embeddings all filtered away) would pass silently (ADVICE
+#: round 9).  min_rows values are structural, not corpus-tuned: BPE
+#: train always finds ≥1 merge on repeated text, apply/encode emit one
+#: row per doc/vector, search emits top-k per query, observed one row
+#: per query.
+ROWS_ONLY_EXEC = {
+    "b156_bpe_train": (1, {"merge_rank", "left", "right", "pair_freq"}),
+    "b160_bpe_apply": (
+        1,
+        {"doc_id", "symbols_before", "tokens_after", "compression_ppm"},
+    ),
+    "b134_pq_encode": (1, {"vec_id", "packed_codes", "recon_err"}),
+    "b175_ivfpq_search": (1, {"query_id", "neighbor_id", "adist", "rnk"}),
+    "b175_ivfpq_observed": (1, {"query_id", "n_hits", "recall_ppm"}),
+}
 
 
 @pytest.fixture(scope="module")
@@ -99,7 +110,10 @@ def test_degen_oracle_parity(spark, degen_dir, name):
     compare(spark, degen_dir, name, registry.QUERIES[name], registry.ORACLES[name])
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_EXEC)
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY_EXEC))
 def test_degen_rows_only_executes(spark, degen_dir, name):
+    min_rows, cols = ROWS_ONLY_EXEC[name]
     df = registry.QUERIES[name](spark, degen_dir)
-    assert df.count() >= 0
+    assert set(df.columns) == cols, df.columns
+    n = df.count()
+    assert n >= min_rows, f"{name}: {n} rows < expected {min_rows}"

@@ -1037,12 +1037,18 @@ def test_cosine_zero_norm_is_null_and_never_ranks(spark):
             (1, [1.0, 0.0], [-1.0, 0.0]),  # opposite → -1.0
             (2, [1.0, 0.0], [0.0, 0.0]),   # zero norm → NULL
             (3, [0.0, 0.0], [0.0, 0.0]),   # both zero → NULL
+            (4, [float("nan"), 1.0], [1.0, 1.0]),  # NaN component → NULL
+            (5, [1.0, 1.0], [float("nan"), float("nan")]),  # NaN side → NULL
         ],
         "i long, a array<float>, b array<float>",
     )
     got = {r.i: r.c for r in df.select("i", cosine("a", "b").alias("c")).collect()}
     assert got[0] == 1.0 and got[1] == -1.0
     assert got[2] is None and got[3] is None
+    # NaN norm must be NULL, not 1.0: den=NaN passes `den != 0.0` and
+    # least(1.0, NaN)=1.0 would silently top every descending ranking
+    # (ADVICE round 9)
+    assert got[4] is None and got[5] is None
     # and a zero vector never enters a cosine top-k: rank candidates
     # for one query, zero vector must sort after every real candidate
     from pyspark.sql import Window as W
@@ -1077,3 +1083,12 @@ def test_shipped_corpora_have_no_zero_embeddings(sf_dir):
                                    [TRUE])"""
     ).fetchone()[0]
     assert n == 0, f"{n} zero embeddings in {sf_dir}"
+    # the same contract for NaN components (ADVICE round 9): cosine()
+    # now yields NULL on a NaN norm, so a shipped corpus containing NaN
+    # components would need the oracle-side CASE mirror too
+    n_nan = con.execute(
+        f"""SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')
+            WHERE list_has_any(list_transform(embedding, x -> isnan(x)),
+                               [TRUE])"""
+    ).fetchone()[0]
+    assert n_nan == 0, f"{n_nan} NaN-component embeddings in {sf_dir}"

@@ -16,7 +16,13 @@ registry.load_all()
 def test_stream_tumbling_equals_batch(spark, sf_dir):
     # the same windowed agg through readStream (availableNow) must equal
     # the batch result — Spark's unification property, our test handle
-    s = sw.events_stream(spark, sf_dir)
+    from etl_wildweb_spark.functions.exact import finite
+
+    # mirror b21's non-finite quarantine in the streamed twin, so the
+    # stream≡batch invariant holds on ANY corpus (e.g. the degen one
+    # with planted NaN/±Inf readings), not just the clean shipped sf
+    # corpora (ADVICE round 9)
+    s = sw.events_stream(spark, sf_dir).filter(finite("value"))
     agg = (
         s.groupBy(F.window("ts", "10 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
