@@ -920,3 +920,133 @@ def b161_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_ppm"
         ),
     )
+
+
+# ----------------------------------------- linear quality classifier
+
+#: Feature-hash dimensionality for the linear classifier — at
+#: production scale fastText uses 2M bigram buckets; the kernel is the
+#: same at any D because the weight side stays a broadcast dim table.
+QC_BUCKETS = 256
+#: Decision threshold in micro-logits per gram (cross-multiplied, so
+#: the comparison is pure-integer like b155's perplexity gate).
+QC_THRESH_MICRO = 0
+
+
+def _qc_sql_bucket(key: str) -> str:
+    return f"CAST(('0x' || substring(md5({key}), 1, 8)) AS BIGINT) % {QC_BUCKETS}"
+
+
+@query(
+    "b178_quality_classifier",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    uni AS (SELECT doc_id, 'u:' || unnest(t) AS g FROM toks),
+    bi AS (
+      SELECT doc_id,
+             'b:' || t[CAST(i AS INTEGER)] || ' '
+                  || t[CAST(i AS INTEGER) + 1] AS g
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+    grams AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
+    feats AS (SELECT doc_id, {_qc_sql_bucket('g')} AS bkt FROM grams),
+    w AS (SELECT b AS bkt,
+                 {_qc_sql_bucket("'qw:' || CAST(b AS VARCHAR)")} * 8 - 1020
+                   AS w_micro
+          FROM range({QC_BUCKETS}) t(b)),
+    doc AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(w.w_micro) AS BIGINT) AS logit_micro_total
+            FROM feats f JOIN w USING (bkt) GROUP BY 1)
+    SELECT d.doc_id, d.lang, doc.n_grams, doc.logit_micro_total,
+           doc.logit_micro_total > {QC_THRESH_MICRO} * doc.n_grams
+             AS high_quality
+    FROM documents d JOIN doc USING (doc_id)
+    """,
+)
+def b178_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized linear text-quality classifier (the fastText shape —
+    Joulin et al. 2017: a document's score is the mean of its hashed
+    n-gram feature weights through a linear layer) — the standard
+    public pretraining quality gate beside the perplexity filter b155
+    (CCNet pairs exactly these two).  Unigrams and adjacent bigrams
+    are feature-hashed into QC_BUCKETS buckets (Weinberger et al.
+    2009) with the portable md5 bucket (sampling.hash_bucket's trick),
+    each bucket carries an integer micro-logit weight, and the
+    document's decision is logit_total > THRESH·n_grams by integer
+    cross-multiplication — no division, no float, exactly replayable.
+
+    The weights here are a deterministic stand-in derived from the
+    bucket id (md5 affine-mapped into [-1020, 1020] micro-logits) so
+    the KERNEL is oracle-checkable end-to-end; production swaps the
+    256-row generated dim for the offline-trained weight table and
+    nothing else changes.  Gram keys are type-prefixed ('u:' / 'b:'
+    with a literal-space joiner) so a unigram containing '_' can never
+    collide with a bigram key; words come from literal-space split on
+    both engines (the b42/b155 house rule — tabs/newlines stay inside
+    words).
+
+    Engine shape at 100 TB: one narrow gram explode (map-side, scan
+    parallelism lifted), bucket assignment as a JVM md5 expression in
+    whole-stage codegen, a BROADCAST equi-join against the
+    QC_BUCKETS-row weight dim (the 'dot product with a broadcast
+    weight matrix' — no shuffle), and ONE map-side-combining groupBy
+    on doc_id.  The corpus is read once; nothing driver-side."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    unigrams = F.transform(toks, lambda w: F.concat(F.lit("u:"), w))
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.concat(F.lit("b:"), a, F.lit(" "), b),
+    )
+    feats = (
+        lift_parallelism(d, "doc_id")
+        .select("doc_id", F.explode(F.concat(unigrams, bigrams)).alias("g"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 8), 16, 10)
+                .cast("bigint")
+                % QC_BUCKETS
+            ).alias("bkt"),
+        )
+    )
+    weights = spark.range(QC_BUCKETS).select(
+        F.col("id").cast("bigint").alias("bkt"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("qw:"), F.col("id").cast("string")).cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % QC_BUCKETS
+            * 8
+            - 1020
+        ).alias("w_micro"),
+    )
+    doc = (
+        feats.join(F.broadcast(weights), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("w_micro").cast("bigint").alias("logit_micro_total"),
+        )
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(doc, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_grams",
+            "logit_micro_total",
+            (F.col("logit_micro_total") > QC_THRESH_MICRO * F.col("n_grams")).alias(
+                "high_quality"
+            ),
+        )
+    )

@@ -841,16 +841,28 @@ def b175_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline — IVF needs cluster structure and the tiny demo codebook
     quantizes coarsely; real embedding corpora supply both, which is
     why FAISS defaults to exactly this index."""
+    return _ivfpq_topk(spark, sf_dir)
+
+
+def _ivfpq_topk(
+    spark: SparkSession, sf_dir: str, cand_pred: F.Column | None = None
+) -> DataFrame:
+    """IVF-PQ top-k over the corpus, optionally restricted to the
+    candidate rows matching ``cand_pred`` (the b175_observed_sampled
+    path: index artifacts — centroids, codebooks — always come from
+    the full corpus, exactly like a production index; only the
+    candidate/scan side shrinks)."""
     import numpy as np
 
     e = table(spark, sf_dir, "embeddings")
     cents = ivf_centroids(e, dim=64)
     cb_rows = [r.asDict() for r in pq_codebooks(e).collect()]
+    corpus = e if cand_pred is None else e.filter(cand_pred)
     # corpus side: cell assignment + PQ encode in ONE narrow pass each;
     # the cell column rides through the encoder (keep=), standing in
     # for the partitioned-by-cell code table of the at-scale layout
     codes = (
-        assign_cells(e, cents, n_probe=1)
+        assign_cells(corpus, cents, n_probe=1)
         .select("cell", "vec_id", "embedding")
         .mapInPandas(
             _pq_encode_batches(cb_rows, with_err=False, keep=("cell",)),
@@ -922,9 +934,56 @@ def b175_ivfpq_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
     always affordable at scale because the query side, not the corpus,
     is the small side) and a {TOP_K}·N_QUERIES-row join; nothing here
     touches the corpus a second time beyond that exact probe scan."""
-    ann = b175_ivfpq_search(spark, sf_dir).select("query_id", "neighbor_id")
-    e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+    return _ivfpq_recall(spark, sf_dir)
+
+
+#: Deterministic md5 corpus sample for the sampled recall probe:
+#: SAMPLE_TAKE of SAMPLE_BUCKETS hash buckets of vec_id (25% at test
+#: scale so every query keeps >= TOP_K sampled candidates; at
+#: production scale the same two constants express 1/100).
+SAMPLE_BUCKETS = 16
+SAMPLE_TAKE = 4
+
+
+@query("b175_ivfpq_observed_sampled")  # measured recall on a sample → rows-only
+def b175_ivfpq_observed_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b175_ivfpq_observed's production form (VERDICT r8 item 6): the
+    exact-L2 ground-truth probe is LINEAR in the corpus by definition
+    — it computes ground truth — so at 100 TB the recall measurement
+    runs on a deterministic md5 CORPUS SAMPLE (SAMPLE_TAKE of
+    SAMPLE_BUCKETS vec_id hash buckets here; 1/100 at production scale
+    is the same two constants).  Both sides of the comparison are
+    restricted to the same sample — the IVF-PQ candidate set AND the
+    exact probe — so recall@K of the sampled subproblem is an unbiased
+    estimator of index quality, while the probe's cost drops from
+    |corpus|·|queries| to |sample|·|queries|.  The index artifacts
+    (centroids, codebooks) still come from the FULL corpus, exactly
+    like the production index being measured.
+
+    Rows-only for the same reason as the full twin (replaying PQ in
+    DuckDB would test DuckDB, not the engine); tests/test_llmops.py
+    pins the same probed-fraction recall lower bound on the sampled
+    measurement, and SCALE.md records the 16x probe showing the exact
+    side now scales with the sample, not the corpus."""
+    from .sampling import hash_bucket
+
+    return _ivfpq_recall(
+        spark,
+        sf_dir,
+        cand_pred=hash_bucket(F.col("vec_id"), SAMPLE_BUCKETS) < SAMPLE_TAKE,
+    )
+
+
+def _ivfpq_recall(
+    spark: SparkSession, sf_dir: str, cand_pred: F.Column | None = None
+) -> DataFrame:
+    """Recall@TOP_K of the IVF-PQ composition vs the exact-L2 top-k,
+    both sides restricted to the same ``cand_pred`` candidate set when
+    given (queries always come from the full table)."""
+    ann = _ivfpq_topk(spark, sf_dir, cand_pred).select("query_id", "neighbor_id")
+    full = table(spark, sf_dir, "embeddings")
+    e = full if cand_pred is None else full.filter(cand_pred)
+    q = full.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))

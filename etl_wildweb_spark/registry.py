@@ -94,69 +94,68 @@ def capabilities(
 
 #: Explicit verification-priority order.  The driver's correctness
 #: harness checks the FIRST 50 entries of ``__spark_entry__.queries()``
-#: (dict insertion order) per round.  Round 8's window, per VERDICT r7
-#: items 1/2: the two round-7 additions first (the only queries never
-#: driver-checked — b174 hash, b175 rows-only), then the four TPC-H
-#: stragglers whose last green was r02 (the registry's oldest
-#: confirmations), then the entire r03-confirmed cohort (41 of its 44
-#: actives — the 5-rounds-stale tail: tpch_q1/q9, the ANN/rows-only
-#: family b30_*, a18_submit_sink, b33_http_ingest, and the b37–b65
-#: span).  Three of the r03 cohort (b21_tumbling_window, b11_unpivot,
-#: b18_width_bucket) wait one more round — each has an r5/r6-green
-#: sibling in the same operator family — so that PRIORITY stays at 47
-#: and this round's PRIORITY_NEXT additions land INSIDE the 50-slot
-#: window instead of inheriting r7's never-checked lag.
+#: (dict insertion order) per round.  Round 9's window, per VERDICT r8
+#: items 1/5: the three r03-stale confirmations first (the only
+#: registry entries whose latest driver row predates r4 —
+#: b21_tumbling_window / b11_unpivot / b18_width_bucket, deliberately
+#: deferred from r8's window), then 45 of the 46-query r04 cohort
+#: (oldest remaining confirmations, 5 rounds of session churn since).
+#: One r04 entry waits for r10 — b38_merge_upsert_broadcast, whose
+#: direct sibling b38_merge_upsert re-passed r8 — so PRIORITY stays at
+#: 48 and this round's 2 PRIORITY_NEXT additions land INSIDE the
+#: 50-slot window.  After this window lands, max staleness in the
+#: registry is r5 (VERDICT r8 item 5's bound).
 PRIORITY: list[str] = [
-    # -- round-7 additions, never driver-checked (VERDICT r7 item 1) --
-    "b174_polygon_geofence",
-    "b175_ivfpq_search",
-    # -- oldest confirmations in the registry: last hash-green r02 --
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    # -- the r03 cohort, 5 rounds of session churn since (r7 item 2) --
-    "tpch_q1",
-    "tpch_q9",
-    "b30_cosine_topk",
-    "b30_ann_lsh",
-    "b30_ann_ivf",
-    "b30_ann_lsh_observed",
-    "b30_ann_ivf_observed",
-    "a18_submit_sink",
-    "b33_http_ingest",
-    "b28_incremental_dedup",
-    "b29_cc_bigstar",
-    "b31_repetition_filters",
-    "b31_pii_scan",
-    "b37_contamination",
-    "b38_merge_upsert",
-    "b39_doc_chunk",
-    "b40_centroid_assign",
-    "b41_scd2_history",
-    "b42_bigram_lm",
-    "b43_tfidf_rank",
-    "b45_quality_deciles",
-    "b46_dataset_card",
-    "b47_funnel",
-    "b48_retention",
-    "b49_quality_checks",
-    "b50_grouped_median",
-    "b51_resample_ffill",
-    "b52_sequence_match",
-    "b53_train_val_test",
-    "b55_lateral_topk",
-    "b56_embedding_quantize",
-    "b57_table_fingerprint",
-    "b58_stream_funnel",
-    "b59_salted_join",
-    "b60_hll_mergeable_rollup",
-    "b62_cogroup_merge",
-    "b63_quantile_bands",
-    "b64_stream_stream_left_outer",
-    "b65_map_hof",
-    "b20_variant_funcs",
-    "b11_grouping_id",
+    # -- r03-stale confirmations (VERDICT r8 item 1) --
+    "b21_tumbling_window",
+    "b11_unpivot",
+    "b18_width_bucket",
+    # -- the r04 cohort, oldest confirmations left (VERDICT r8 item 5) --
+    "b32_ppm_decode",
+    "b66_stream_scd1",
+    "b67_stream_incremental_agg",
+    "b68_cep_kleene",
+    "b69_line_dedup",
+    "b70_orc_roundtrip",
+    "b72_stateful_sessionize",
+    "b75_merge_full",
+    "b76_snapshot_diff",
+    "b77_interval_union",
+    "b78_null_safe_join",
+    "b79_bucketed_join",
+    "b80_attribution",
+    "b82_incremental_neardup",
+    "b83_checkpoint_recovery",
+    "b84_pagerank",
+    "b85_grouped_mode",
+    "b87_skyline",
+    "b91_stream_http_source",
+    "b92_string_agg",
+    "b93_window_distribution",
+    "b94_datasource_writer",
+    "b95_apply_in_arrow",
+    "b96_udtf_analyze",
+    "b97_kmeans_update",
+    "b98_asof_snapshot",
+    "b99_zorder_layout",
+    "b100_compaction",
+    "b101_group_entropy",
+    "b102_markov_transitions",
+    "b103_basket_pairs",
+    "b104_zscore_outliers",
+    "b105_event_paths",
+    "b106_time_weighted_sum",
+    "b107_sliding_distinct",
+    "b108_dynamic_overwrite",
+    "b109_heavy_hitters",
+    "b110_bloom_prefilter_join",
+    "b111_stream_topk",
+    "b112_cohort_ltv",
+    "b113_pareto_coverage",
+    "b114_activity_heatmap",
+    "b115_schema_evolution",
+    "b116_bounce_rate",
+    "b117_scd3_current",
 ]
 
 #: Hard cap on per-round additions (VERDICT r6 items 2/7): the driver
@@ -169,29 +168,21 @@ ADDITIONS_PER_ROUND_CAP = 10
 
 #: Candidates for the NEXT round's window: additions made this round
 #: (VERDICT r5 item 7: everything new enters PRIORITY_NEXT in the same
-#: commit that registers it).  Round 8 keeps PRIORITY at 47 so these
+#: commit that registers it).  Round 9 keeps PRIORITY at 48 so these
 #: land inside the 50-slot window and are driver-checked the same
 #: round they are registered.
 PRIORITY_NEXT: list[str] = [
-    # round-8: observed-recall twin for the full IVF-PQ composition
-    # (VERDICT r7 item 7) — measured recall@K vs exact L2, the
-    # b30_ann_*_observed pattern; rows-only by design (recall is a
-    # float property of an approximation, pinned by pytest bounds)
-    "b175_ivfpq_observed",
-    # round-8: tokenizer decode / round-trip — completes the
-    # b156_bpe_train / b160_bpe_apply pair (VERDICT r7 item 8);
-    # exact-oracled: decode(encode(text)) must equal the
-    # pre-tokenized input byte-for-byte
-    "b176_bpe_decode",
-    # round-8: stream-stream LEFT SEMI interval join with
-    # watermark-bounded state — the one streaming join shape not yet
-    # registered (b23 covers inner, b64 left-outer; VERDICT r7
-    # item 8).  Exact-oracled: semi emits each matched left row once
-    # and nothing at watermark closure, so under availableNow it
-    # equals the batch EXISTS semi join
-    "b177_stream_semi_join",
+    # round-9: fastText-style vectorized linear quality classifier
+    # (VERDICT r8 item 8) — hashed n-gram features x broadcast weight
+    # dim, integer micro-logit decision; exact-oracled
+    "b178_quality_classifier",
+    # round-9: corpus-sampled recall probe for the IVF-PQ composition
+    # (VERDICT r8 item 6) — the b175_observed measurement with the
+    # exact-L2 ground-truth side restricted to a deterministic md5
+    # corpus sample, making the linear probe sample-sized; rows-only
+    # like its full twin (pytest replays the integer recall rows)
+    "b175_ivfpq_observed_sampled",
 ]
-
 
 
 def ordered_queries() -> dict[str, QueryFn]:

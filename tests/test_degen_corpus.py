@@ -66,6 +66,9 @@ HOSTILE_TEXT = [
     "b69_line_dedup",
     "b42_bigram_lm",
     "b176_bpe_decode",
+    # round-9 addition: hashed-n-gram features over empty/unicode/
+    # identical docs hit the gram explode + md5 bucketing directly
+    "b178_quality_classifier",
 ]
 
 #: same-timestamp events are b177's hostile shape (interval boundary
@@ -96,6 +99,7 @@ ROWS_ONLY_EXEC = {
     "b134_pq_encode": (1, {"vec_id", "packed_codes", "recon_err"}),
     "b175_ivfpq_search": (1, {"query_id", "neighbor_id", "adist", "rnk"}),
     "b175_ivfpq_observed": (1, {"query_id", "n_hits", "recall_ppm"}),
+    "b175_ivfpq_observed_sampled": (1, {"query_id", "n_hits", "recall_ppm"}),
 }
 
 

@@ -982,6 +982,62 @@ def test_ivfpq_observed_recall_rows_exact(spark, sf_dir):
     assert mean_recall >= 0.5 * S.N_PROBE / S.N_CELLS, mean_recall
 
 
+def test_ivfpq_observed_sampled_recall_exact(spark, sf_dir):
+    """The sampled twin (b175_ivfpq_observed_sampled, VERDICT r8
+    item 6) measures the same integer recall rows on the md5 corpus
+    sample: the sample membership is replayed in Python (portable md5
+    bucket — the same function the engine computes), the ANN side's
+    candidates must all fall inside the sample, n_hits must equal
+    |sampled ANN ∩ sampled exact-L2 top-k| with the sequential-float64
+    + (distance, neighbor_id) tie-break replay, and the corpus-wide
+    mean keeps the probed-fraction lower bound."""
+    import hashlib
+
+    from etl_wildweb_spark.io import table
+    from etl_wildweb_spark.operators import similarity as S
+    from etl_wildweb_spark.operators.sampling import hash_bucket
+
+    def in_sample(vid: int) -> bool:
+        b = int(hashlib.md5(str(vid).encode()).hexdigest()[:8], 16)
+        return b % S.SAMPLE_BUCKETS < S.SAMPLE_TAKE
+
+    e = table(spark, sf_dir, "embeddings")
+    raw = {
+        r.vec_id: list(map(float, r.embedding))
+        for r in e.select("vec_id", "embedding").collect()
+    }
+    sample = {v for v in raw if in_sample(v)}
+    assert len(sample) > S.TOP_K, "sample too small to rank against"
+    pred = hash_bucket(F.col("vec_id"), S.SAMPLE_BUCKETS) < S.SAMPLE_TAKE
+    ann_sets: dict[int, set] = {}
+    for r in S._ivfpq_topk(spark, sf_dir, cand_pred=pred).collect():
+        assert r.neighbor_id in sample, (r.query_id, r.neighbor_id)
+        ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def seq_d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    out = {
+        r.query_id: (r.n_hits, r.recall_ppm)
+        for r in S.b175_ivfpq_observed_sampled(spark, sf_dir).collect()
+    }
+    assert set(out) == set(ann_sets)
+    total_hits = 0
+    for q, anns in ann_sets.items():
+        ranked = sorted(
+            (seq_d2(raw[q], raw[v]), v) for v in sample if v != q
+        )
+        exact = {v for _, v in ranked[: S.TOP_K]}
+        nh = len(exact & anns)
+        total_hits += nh
+        assert out[q] == (nh, nh * 1_000_000 // S.TOP_K), q
+    mean_recall = total_hits / (len(ann_sets) * S.TOP_K)
+    assert mean_recall >= 0.5 * S.N_PROBE / S.N_CELLS, mean_recall
+
+
 def test_bpe_decode_roundtrip_hostile_words(spark, sf_dir):
     """bpe_decode_expr inverts BOTH encoder paths on hostile words —
     unicode, an embedded literal '</w>', an embedded tab, 200-char

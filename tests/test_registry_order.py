@@ -45,36 +45,31 @@ def test_priority_oracle_coverage():
         if n not in registry.ORACLES
     }
     assert rows_only == {
-        # round-8 window (b174/b175 + the stale-r2 TPC-H tail + the
-        # r03-confirmed cohort + this round's 3 additions): the
-        # declared rows-only entries, each with its own pytest
-        # invariants.
-        # full IVF-PQ composition (approximate by construction;
-        # numpy-replay composition identity in tests/test_llmops.py)
-        "b175_ivfpq_search",
-        # ANN paths + their observe()-metric twins (approximate by
-        # design; recall thresholds pinned in tests/test_llmops.py)
-        "b30_ann_lsh",
-        "b30_ann_ivf",
-        "b30_ann_lsh_observed",
-        "b30_ann_ivf_observed",
-        # side-effecting sinks / sources (manifests, HTTP fixtures —
-        # environment facts; pins in tests/test_sinks.py,
-        # tests/test_sources.py)
-        "a18_submit_sink",
-        "b33_http_ingest",
-        # streaming update-mode funnel (emission set depends on
-        # micro-batch boundaries; pins in tests/test_streaming.py)
-        "b58_stream_funnel",
-        # HLL sketch rollup (approximate; error bound pinned in
-        # tests/test_new_ops_invariants.py)
-        "b60_hll_mergeable_rollup",
-        # watermark-finalized null padding (emitted set depends on the
-        # final watermark; boundary pinned in tests/test_streaming.py)
-        "b64_stream_stream_left_outer",
-        # round-8 addition: measured recall of the IVF-PQ composition
-        # (integer recall rows; mean bounded in tests/test_llmops.py)
-        "b175_ivfpq_observed",
+        # round-9 window (the 3 r03-stale confirmations + 45 of the
+        # r04 cohort + this round's 2 additions): the declared
+        # rows-only entries, each with its own pytest invariants.
+        # file-layout ops: outputs are file counts / footer metrics —
+        # environment facts (pins in tests/test_compaction.py, tests/test_file_sources.py)
+        "b100_compaction",
+        "b99_zorder_layout",
+        # real pixel decode over fixture bytes (byte-exact pins in
+        # tests/test_multimodal.py)
+        "b32_ppm_decode",
+        # foreachBatch snapshot / MV maintenance — side-effecting
+        # (equivalence pins in tests/test_merge.py)
+        "b66_stream_scd1",
+        "b67_stream_incremental_agg",
+        # custom stateful streaming + restart-from-checkpoint
+        # (pins in tests/test_streaming.py)
+        "b72_stateful_sessionize",
+        "b83_checkpoint_recovery",
+        # custom streaming connector / commit-protocol sink
+        # (pins in tests/test_sources.py, tests/test_sinks.py)
+        "b91_stream_http_source",
+        "b94_datasource_writer",
+        # round-9 addition: corpus-sampled recall probe (integer
+        # recall rows replayed in tests/test_llmops.py)
+        "b175_ivfpq_observed_sampled",
     }
 
 
