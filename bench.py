@@ -173,6 +173,11 @@ BENCH_QUERIES = [
     # twin: it re-runs the already-benched b175 plus a SAMPLED exact
     # probe; its 16x scaling note lives in SCALE.md)
     "b178_quality_classifier",
+    # (b179_stream_late_audit is not benched separately: its cost is
+    # the same fixed multi-micro-batch scheduling machinery b177
+    # already represents — the audit itself is free, observe() rides
+    # the pass and state metrics are engine-emitted regardless; its
+    # 16x scaling note lives in SCALE.md)
 ]
 
 #: Fixed pure-CPU microbenchmark for in-band host-speed calibration

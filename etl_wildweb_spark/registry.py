@@ -100,11 +100,12 @@ def capabilities(
 #: b21_tumbling_window / b11_unpivot / b18_width_bucket, deliberately
 #: deferred from r8's window), then 45 of the 46-query r04 cohort
 #: (oldest remaining confirmations, 5 rounds of session churn since).
-#: One r04 entry waits for r10 — b38_merge_upsert_broadcast, whose
-#: direct sibling b38_merge_upsert re-passed r8 — so PRIORITY stays at
-#: 48 and this round's 2 PRIORITY_NEXT additions land INSIDE the
-#: 50-slot window.  After this window lands, max staleness in the
-#: registry is r5 (VERDICT r8 item 5's bound).
+#: Two r04 entries wait for r10 — b38_merge_upsert_broadcast and
+#: b75_merge_full, both of whose direct sibling b38_merge_upsert
+#: re-passed r8 — so PRIORITY stays at 47 and this round's 3
+#: PRIORITY_NEXT additions land INSIDE the 50-slot window (the
+#: VERDICT r7 item 1 convention: additions are driver-checked the
+#: round they register).
 PRIORITY: list[str] = [
     # -- r03-stale confirmations (VERDICT r8 item 1) --
     "b21_tumbling_window",
@@ -118,7 +119,6 @@ PRIORITY: list[str] = [
     "b69_line_dedup",
     "b70_orc_roundtrip",
     "b72_stateful_sessionize",
-    "b75_merge_full",
     "b76_snapshot_diff",
     "b77_interval_union",
     "b78_null_safe_join",
@@ -182,6 +182,12 @@ PRIORITY_NEXT: list[str] = [
     # corpus sample, making the linear probe sample-sized; rows-only
     # like its full twin (pytest replays the integer recall rows)
     "b175_ivfpq_observed_sampled",
+    # round-9: streaming drop-late-metrics audit (VERDICT r8 item 8's
+    # second option) — b23's watermark pipeline instrumented with
+    # observe() + per-batch state metrics under a newest-first slice
+    # replay; rows-only (engine metrics, no SQL twin), drop/evict
+    # counts replayed exactly in tests/test_streaming.py
+    "b179_stream_late_audit",
 ]
 
 

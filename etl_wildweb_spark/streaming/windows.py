@@ -202,6 +202,108 @@ def b24_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(dedup, mode="append")
 
 
+@query("b179_stream_late_audit")  # engine-metric audit → rows-only
+def b179_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-late-metrics audit (VERDICT r8 item 8's second option): the
+    b23 watermark pipeline instrumented with ``df.observe`` + the
+    streaming engine's own per-batch state metrics, surfaced as a
+    first-class result — one row per micro-batch with what arrived
+    (observed count / min / max event time), the operative watermark,
+    and what the watermark dropped or evicted.
+
+    Replay harness: events staged as 4 disjoint time slices played
+    NEWEST-FIRST (replay_order=[3,0,1,2] over _time_sliced_stream), so
+    batch 0 advances the watermark to global max(ts) − 1h and every
+    later slice arrives entirely behind it.  Measured semantics this
+    pins (Spark 4.x):
+
+    - late-event filtering uses the PREVIOUS batch's watermark (Spark's
+      late-events/eviction watermark split), so batch 1's rows are
+      admitted, aggregated, then bulk-EVICTED at batch end
+      (windows_emitted), while batches 2+ are dropped at the state
+      operator's input;
+    - ``numRowsDroppedByWatermark`` counts the state operator's INPUT
+      rows = pre-shuffle partial aggregates, i.e. DISTINCT windows per
+      batch here (each slice is one file → one scan partition → one
+      partial per window), not raw input rows.
+
+    Both are replayed exactly in tests/test_streaming.py from the batch
+    table.  Observed min/max event times come back second-truncated
+    (progress JSON renders them without sub-second digits) — audit
+    grade, documented rather than fought.
+
+    100 TB: the audit costs nothing extra — observe() piggybacks on the
+    one pass the stream already makes and the state metrics are emitted
+    by the engine regardless; the result is O(micro-batches) driver
+    rows.  This is the in-band answer to "how much data is my watermark
+    silently discarding?" — the counter a production ingest pipeline
+    alerts on (late spike ⇒ upstream clock skew or backfill misroute).
+    """
+    from .stateful import _time_sliced_stream
+
+    stream, _ = _time_sliced_stream(
+        spark, sf_dir, n_slices=4, replay_order=[3, 0, 1, 2]
+    )
+    s = stream.observe(
+        "late_audit",
+        F.count(F.lit(1)).alias("obs_rows"),
+        F.min("ts").alias("obs_min_ts"),
+        F.max("ts").alias("obs_max_ts"),
+    ).withWatermark("ts", "1 hour")
+    agg = (
+        s.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(420):
+        q.stop()
+        raise TimeoutError("b179 stream still running after 420s")
+    rows = []
+    for p in q.recentProgress:  # bounded: one entry per micro-batch
+        if p["numInputRows"] == 0:
+            continue  # a trailing no-data commit batch is host-dependent
+        om = (p.get("observedMetrics") or {}).get("late_audit")
+        so = p["stateOperators"]
+        rows.append(
+            (
+                int(p["batchId"]),
+                int(p["numInputRows"]),
+                str(om["obs_min_ts"]) if om is not None else None,
+                str(om["obs_max_ts"]) if om is not None else None,
+                str(p["eventTime"].get("watermark")),
+                int(sum(x.get("numRowsDroppedByWatermark", 0) for x in so)),
+                int(sum(x.get("numRowsRemoved", 0) for x in so)),
+                int(sum(x.get("numRowsTotal", 0) for x in so)),
+            )
+        )
+    out = spark.createDataFrame(
+        rows,
+        "batch_id BIGINT, input_rows BIGINT, obs_min_ts STRING, "
+        "obs_max_ts STRING, watermark_raw STRING, "
+        "late_windows_dropped BIGINT, windows_emitted BIGINT, "
+        "state_windows BIGINT",
+    )
+    return out.select(
+        "batch_id",
+        "input_rows",
+        F.to_timestamp("obs_min_ts").alias("first_event_ts"),
+        F.to_timestamp("obs_max_ts").alias("last_event_ts"),
+        F.to_timestamp("watermark_raw").alias("watermark"),
+        "late_windows_dropped",
+        "windows_emitted",
+        "state_windows",
+    ).orderBy("batch_id")
+
+
 @query(
     "b111_stream_topk",
     oracle="""

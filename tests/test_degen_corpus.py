@@ -100,6 +100,25 @@ ROWS_ONLY_EXEC = {
     "b175_ivfpq_search": (1, {"query_id", "neighbor_id", "adist", "rnk"}),
     "b175_ivfpq_observed": (1, {"query_id", "n_hits", "recall_ppm"}),
     "b175_ivfpq_observed_sampled": (1, {"query_id", "n_hits", "recall_ppm"}),
+    # one row per non-empty micro-batch: the degen corpus plants its
+    # events at 2024-06-01 atop a January base, so the (hi-lo)/4 time
+    # quarters leave the middle two slices EMPTY — 2 batches (base
+    # slice + planted-max slice) is the structural minimum here, and
+    # the planted same-timestamp events stress the slice-boundary and
+    # window-end arithmetic
+    "b179_stream_late_audit": (
+        2,
+        {
+            "batch_id",
+            "input_rows",
+            "first_event_ts",
+            "last_event_ts",
+            "watermark",
+            "late_windows_dropped",
+            "windows_emitted",
+            "state_windows",
+        },
+    ),
 }
 
 

@@ -287,6 +287,10 @@ _NESTED_LOOP_OK = {
     # 10 rows) for the exact-L2 probe — b30's bounded scoring pattern;
     # the recall join itself is an equi-join on (query_id, neighbor_id)
     "b175_ivfpq_observed",
+    # the sampled twin keeps the identical bounded joins (10-row query
+    # broadcast + N_CELLS centroid broadcast); the md5 sample predicate
+    # only filters both comparison sides, it adds no join
+    "b175_ivfpq_observed_sampled",
     "b40_centroid_assign",
     "b97_kmeans_update",
     # centroid-set broadcast (SEMDEDUP_K = 8 rows) against the corpus —

@@ -70,6 +70,10 @@ def test_priority_oracle_coverage():
         # round-9 addition: corpus-sampled recall probe (integer
         # recall rows replayed in tests/test_llmops.py)
         "b175_ivfpq_observed_sampled",
+        # round-9 addition: drop-late-metrics audit — output IS the
+        # engine's per-batch observe()/state metrics, no SQL twin
+        # (drop/evict counts replayed in tests/test_streaming.py)
+        "b179_stream_late_audit",
     }
 
 

@@ -416,3 +416,83 @@ def test_state_timeout_eviction_equals_run_decomposition(spark, sf_dir):
         for run in runs:
             want.append((u, len(run) * n, lo, hi))
     assert got == sorted(want)
+
+
+def test_stream_late_audit_replays_engine_metrics(spark, sf_dir):
+    """b179: the audit's drop/evict counters replayed exactly from the
+    batch table.  Slice arithmetic mirrors _time_sliced_stream
+    (timedelta division); the one-partition-per-slice assumption (one
+    staged file per slice, far below maxPartitionBytes) makes the
+    state operator's input grain = distinct 10-minute windows per
+    slice, which is what numRowsDroppedByWatermark counts."""
+    import datetime
+
+    from etl_wildweb_spark import registry
+
+    out = registry.QUERIES["b179_stream_late_audit"](spark, sf_dir)
+    rows = {r["batch_id"]: r for r in out.collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+
+    e = table(spark, sf_dir, "events").select("ts")
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 4
+    bounds = [
+        (lo + span * i, hi if i == 3 else lo + span * (i + 1)) for i in range(4)
+    ]
+
+    def slice_stats(i):
+        a, b = bounds[i]
+        cond = (F.col("ts") >= F.lit(a)) & (
+            (F.col("ts") <= F.lit(b)) if i == 3 else (F.col("ts") < F.lit(b))
+        )
+        r = e.filter(cond).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.window("ts", "10 minutes")).alias("nw"),
+        ).collect()[0]
+        return r["n"], r["nw"]
+
+    replay_order = [3, 0, 1, 2]
+    stats = {i: slice_stats(i) for i in replay_order}
+
+    # input rows per batch = slice sizes in replay order
+    for batch_id, sl in enumerate(replay_order):
+        assert rows[batch_id]["input_rows"] == stats[sl][0], (batch_id, sl)
+
+    # watermark: batch 0 runs at epoch; every later batch at
+    # ms-floored global max - 1h (monotonic, newest slice played first)
+    wm = hi.replace(microsecond=hi.microsecond // 1000 * 1000) - datetime.timedelta(
+        hours=1
+    )
+    assert rows[0]["watermark"] == datetime.datetime(1970, 1, 1)
+    for b in (1, 2, 3):
+        assert rows[b]["watermark"] == wm, rows[b]
+
+    # late filtering uses the PREVIOUS batch's watermark: batch 1
+    # (first late slice) is admitted, batches 2/3 drop every partial
+    # (all their windows end >1h before the global max)
+    assert rows[0]["late_windows_dropped"] == 0
+    assert rows[1]["late_windows_dropped"] == 0
+    assert rows[2]["late_windows_dropped"] == stats[1][1]
+    assert rows[3]["late_windows_dropped"] == stats[2][1]
+
+    # batch 1's eviction emits everything admitted so far except the
+    # windows still open under the watermark (end > wm)
+    still_open = (
+        e.filter(F.col("ts") >= F.lit(bounds[3][0]))
+        .select(F.window("ts", "10 minutes").alias("w"))
+        .filter(F.col("w.end") > F.lit(wm))
+        .distinct()
+        .count()
+    )
+    admitted = stats[3][1] + stats[0][1]  # slices 3 then 0, disjoint windows
+    assert rows[1]["windows_emitted"] == admitted - still_open
+    assert rows[1]["state_windows"] == still_open
+    assert rows[2]["windows_emitted"] == 0 and rows[3]["windows_emitted"] == 0
+
+    # observed metrics rode the same pass: per-batch min/max event
+    # times (second-truncated in progress JSON) bracket the slice
+    for batch_id, sl in enumerate(replay_order):
+        a, b = bounds[sl]
+        lo_s = rows[batch_id]["first_event_ts"]
+        hi_s = rows[batch_id]["last_event_ts"]
+        assert a - datetime.timedelta(seconds=1) <= lo_s <= hi_s <= b
