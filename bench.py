@@ -251,10 +251,24 @@ def main() -> None:
             spark.catalog.clearCache()
         return samples
 
-    for name in BENCH_QUERIES:
+    # Mid-suite calibration series (round-9 find): the before/after
+    # samples can MISS a slow window that starts and stops inside the
+    # suite — observed this round as a contiguous b165–b172 stretch at
+    # uniform ~2x with median≈min (so the outlier-rerun tripwire,
+    # which keys on median≫min, stayed silent), while both endpoint
+    # calibrations read ~1.0.  One md5 sample every CALIB_EVERY
+    # queries (~0.25 s each, ~3 s over the suite) localizes such a
+    # window to the query range it covered.
+    CALIB_EVERY = 10
+    calib_series: list[dict] = []
+    for qi, name in enumerate(BENCH_QUERIES):
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
+        if qi % CALIB_EVERY == 0:
+            calib_series.append(
+                {"at_query": name, "sec": round(host_calibration_sec(), 4)}
+            )
         samples = measure(fn, warm=True)
         times[name] = round(sorted(samples)[len(samples) // 2], 3)
         mins[name] = round(min(samples), 3)
@@ -289,11 +303,15 @@ def main() -> None:
     # queries) and AGAIN in r5 (median map alone, 78 queries) — the
     # head truncates away and the driver records "parsed": null.
     # in-band host-speed calibration (VERDICT r8 item 3): the same
-    # fixed CPU work before and after the suite; the WORSE of the two
-    # (vs the quiet reference) labels the whole run, since slow-mode
-    # can start or stop mid-suite
+    # fixed CPU work before the suite, every CALIB_EVERY queries, and
+    # after; the WORST sample (vs the quiet reference) labels the run,
+    # since slow-mode can start or stop mid-suite — and the series
+    # localizes WHERE it was active
     calib_after = host_calibration_sec()
-    calib_ratio = round(max(calib_before, calib_after) / CALIB_REF_SEC, 3)
+    calib_worst = max(
+        [calib_before, calib_after] + [s["sec"] for s in calib_series]
+    )
+    calib_ratio = round(calib_worst / CALIB_REF_SEC, 3)
     detail = {
         "sf": sf,
         "queries_median": times,
@@ -305,6 +323,7 @@ def main() -> None:
             "quiet_ref_sec": CALIB_REF_SEC,
             "before_sec": round(calib_before, 4),
             "after_sec": round(calib_after, 4),
+            "series": calib_series,
             "slow_ratio": calib_ratio,
         },
     }
