@@ -111,7 +111,9 @@ def b23_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = views.join(purchases, cond).select(
         F.col("v_user").alias("user_id"), "view_id", "purchase_id"
     )
-    return run_to_memory(joined, mode="append")
+    # inner emits on arrival; the trailing no-data batch would only
+    # evict state availableNow is about to discard (see run_to_memory)
+    return run_to_memory(joined, mode="append", no_data_batches=False)
 
 
 @query("b64_stream_stream_left_outer")  # watermark-finalized nulls → rows-only
@@ -166,4 +168,8 @@ def b177_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = views.join(purchases, cond, "leftSemi").select(
         "view_id", F.col("v_user").alias("user_id")
     )
-    return run_to_memory(joined, mode="append")
+    # semi emits once on first match and NOTHING at watermark closure
+    # (the property that makes it exact-oracled) — the same property
+    # makes the trailing eviction-only batch skippable: measured ~50%
+    # of wall time at sf0.1, byte-identical output (round 9)
+    return run_to_memory(joined, mode="append", no_data_batches=False)

@@ -51,7 +51,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_memory(
-    stream_df: DataFrame, mode: str = "append", timeout_sec: int = 420
+    stream_df: DataFrame,
+    mode: str = "append",
+    timeout_sec: int = 420,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Execute a streaming plan with Trigger.AvailableNow into a memory
     sink and return the materialized result (bounded test/dev harness;
@@ -63,24 +66,46 @@ def run_to_memory(
     at that point hands the caller a PARTIAL result — observed under a
     hostile 200-shuffle-partition driver session, where a state-heavy
     run overran the old 120 s budget and the harness returned 100 of
-    250 rows as if complete."""
-    name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(timeout_sec)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            f"streaming query {name} still running after {timeout_sec}s; "
-            "refusing to return a partial memory-sink table"
-        )
+    250 rows as if complete.
+
+    ``no_data_batches=False`` skips the trailing NO-DATA finalization
+    micro-batch (spark.sql.streaming.noDataMicroBatches.enabled) —
+    callable ONLY by queries whose OUTPUT has no watermark-closure
+    dependence: stream-stream INNER/SEMI joins and in-stream dedup
+    emit on arrival, and the final batch's only work is state
+    eviction, which is pointless when availableNow terminates right
+    after (measured round 9: the eviction-only batch was ~50% of
+    b177's wall time — 8.2-8.6 s → 4.4 s steady with identical
+    output).  NEVER pass False for append-mode aggregations or OUTER
+    joins: their closed-window / null-padded rows are EMITTED by that
+    batch.  In a production continuous stream the flag is about idle
+    periods only — eviction piggybacks on the steady data-batch
+    cadence either way."""
     spark = stream_df.sparkSession
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(conf_key)
+    if not no_data_batches:
+        spark.conf.set(conf_key, "false")
+    try:
+        name = f"mem_{uuid.uuid4().hex[:12]}"
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {name} still running after {timeout_sec}s; "
+                "refusing to return a partial memory-sink table"
+            )
+    finally:
+        if not no_data_batches:
+            spark.conf.set(conf_key, prev)
     return spark.table(name)
 
 
@@ -199,7 +224,8 @@ def b24_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = s.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
-    return run_to_memory(dedup, mode="append")
+    # dedup emits first occurrences on arrival; closure only evicts
+    return run_to_memory(dedup, mode="append", no_data_batches=False)
 
 
 @query("b179_stream_late_audit")  # engine-metric audit → rows-only
