@@ -314,6 +314,9 @@ _PLAN_SWEEP_SKIP_PREFIXES = (
     # to explain its memory sink — the audit would see only the result
     # scan (vacuously clean) at the cost of a real multi-batch run
     "b177_",
+    # b179 likewise: a 4-micro-batch replay to explain a driver-built
+    # O(batches)-row metrics DataFrame (vacuously clean by construction)
+    "b179_",
 )
 
 
@@ -566,3 +569,16 @@ def test_b174_geofence_points_never_shuffle(spark, sf_dir):
     assert audit.node_count(p, "BroadcastHashJoin") >= 1, p
     assert audit.node_count(p, "SortMergeJoin") == 0
     assert audit.exchanges(p)["shuffle"] == 0, audit.exchanges(p)
+
+
+def test_b178_broadcast_weights_single_shuffle(plans):
+    """The quality classifier's SURVEY claims, pinned: the weight dim
+    reaches the gram stream as a BROADCAST hash join (never a shuffled
+    join — at 100 TB the gram stream must not move for a 256-row dim)
+    and the doc_id groupBy is the plan's ONLY shuffle, with a partial
+    (map-side-combining) aggregate below it."""
+    p = plans("b178_quality_classifier")
+    assert audit.node_count(p, "BroadcastHashJoin") >= 2  # tree + details
+    ex = audit.exchanges(p)
+    assert ex["shuffle"] == 1, ex
+    assert "partial_" in p or "Partial" in p, "no map-side partial agg"
