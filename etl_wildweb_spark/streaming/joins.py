@@ -116,18 +116,61 @@ def b23_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, mode="append", no_data_batches=False)
 
 
-@query("b64_stream_stream_left_outer")  # watermark-finalized nulls → rows-only
+@query(
+    "b64_stream_stream_left_outer",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+               FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         -- NULL (→ no closures) unless BOTH streams have events:
+         -- an empty side freezes Spark's MIN-policy watermark at
+         -- epoch, and DuckDB's least() would otherwise IGNORE the
+         -- NULL and close against the populated side alone
+         wm AS (SELECT CASE WHEN (SELECT max(v_ts) FROM v) IS NOT NULL
+                             AND (SELECT max(p_ts) FROM p) IS NOT NULL
+                        THEN make_timestamp(least(
+                               epoch_ms((SELECT max(v_ts) FROM v)),
+                               epoch_ms((SELECT max(p_ts) FROM p))) * 1000)
+                             - INTERVAL 1 HOUR
+                        END AS w)
+    SELECT v.user_id AS user_id, v.view_id AS view_id,
+           CAST(p.purchase_id AS BIGINT) AS purchase_id
+    FROM v JOIN p ON v.user_id = p.user_id
+     AND p.p_ts BETWEEN v.v_ts AND v.v_ts + INTERVAL 6 HOUR
+    UNION ALL
+    SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT)
+    FROM v, wm
+    WHERE v.v_ts + INTERVAL 6 HOUR < wm.w
+      AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
+                      AND p.p_ts BETWEEN v.v_ts AND v.v_ts + INTERVAL 6 HOUR)
+    """,
+)
 def b64_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join — the semantics inner
     joins don't have: an unmatched view emits its null-padded row only
-    once the WATERMARK proves no purchase can still arrive (v_ts + 6h
-    behind the final watermark).  Matched pairs equal the batch join;
-    the null set is the batch unmatched set INTERSECTED with the
-    closed-by-watermark region — availableNow ends at watermark
-    max(ts)−1h, so late-corpus views stay open and unemitted.  That
-    boundary is pinned exactly in tests/test_streaming.py; rows-only
-    here because the emitted set depends on the final watermark, not
-    just the data."""
+    once the WATERMARK proves no purchase can still arrive.
+
+    EXACT-oracled since round 9 (was rows-only): the emitted set IS a
+    function of the data once the final-watermark rule is written
+    down, and the rule was probed with boundary-planted synthetic
+    corpora (±1 ms and sub-ms around the closure boundary, the
+    probe-before-plant discipline) rather than assumed:
+
+    - the final watermark is the MIN across BOTH watermarked streams
+      (Spark's multipleWatermarkPolicy default), each computed as
+      ms-FLOORED max event time minus the 1 h delay — a view at the
+      global max does not close anything unless the purchase stream
+      also reached it;
+    - a null row emits iff v_ts + 6 h < that watermark, STRICTLY — a
+      horizon exactly AT the watermark stays open (probed: the ==
+      case is not emitted);
+    - matched pairs emit on arrival and equal the batch interval join
+      regardless of the watermark.
+
+    The oracle mirrors exactly that: batch join ∪ {unmatched views
+    with v_ts + 6h < ms_floor(min(max_v, max_p)) − 1h}.  Boundary
+    cases are pinned standalone in tests/test_streaming.py."""
     views, purchases, cond = _watermarked_views_purchases(spark, sf_dir)
     joined = views.join(purchases, cond, "leftOuter").select(
         F.col("v_user").alias("user_id"), "view_id", "purchase_id"

@@ -235,23 +235,24 @@ def test_stream_stream_left_outer_null_padding(spark, sf_dir):
     }
     assert got_pairs == want_pairs
 
-    max_ts = e.agg(F.max("ts")).collect()[0][0]
     unmatched = {
         r.view_id: r.v_ts
         for r in batch.filter(F.col("purchase_id").isNull()).collect()
     }
-    # every emitted null is a genuine batch-unmatched view
-    assert got_nulls <= set(unmatched)
-    # and every unmatched view comfortably closed by the final
-    # watermark (1h delay + 6h horizon, 1h slack for boundary
-    # semantics) was emitted
+    # EXACT null set (round 9, probed boundary semantics — see b64's
+    # docstring): final watermark = ms-floored MIN of both streams'
+    # max event times minus 1h; emitted iff v_ts + 6h STRICTLY below
     import datetime as dt
 
+    max_v = v.agg(F.max("v_ts")).collect()[0][0]
+    max_p = p.agg(F.max("p_ts")).collect()[0][0]
+    floor_ms = lambda t: t.replace(microsecond=t.microsecond // 1000 * 1000)
+    wm = min(floor_ms(max_v), floor_ms(max_p)) - dt.timedelta(hours=1)
     closed = {
         vid for vid, ts in unmatched.items()
-        if ts < max_ts - dt.timedelta(hours=8)
+        if ts + dt.timedelta(hours=6) < wm
     }
-    assert closed <= got_nulls
+    assert got_nulls == closed
 
 
 def test_stream_semi_join_once_per_view_equals_batch(spark, sf_dir):
@@ -496,3 +497,79 @@ def test_stream_late_audit_replays_engine_metrics(spark, sf_dir):
         lo_s = rows[batch_id]["first_event_ts"]
         hi_s = rows[batch_id]["last_event_ts"]
         assert a - datetime.timedelta(seconds=1) <= lo_s <= hi_s <= b
+
+
+def test_b64_closure_boundary_semantics(spark, tmp_path):
+    """The probed watermark-closure rules, planted permanently: (a)
+    null emission is STRICT (horizon == watermark stays open), (b) the
+    watermark is ms-FLOORED, (c) it is the MIN across both streams'
+    watermarks.  These are the three facts that let b64 carry an exact
+    oracle; if a Spark upgrade moves any of them this test goes red
+    before the oracle sweep does."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from etl_wildweb_spark import registry
+
+    M = dt.datetime(2024, 3, 1, 12, 0, 0, 123456)  # sub-ms max-setter
+    wm = dt.datetime(2024, 3, 1, 11, 0, 0, 123000)  # ms_floor(M) - 1h
+    h6 = dt.timedelta(hours=6)
+    ms = dt.timedelta(milliseconds=1)
+    rows = [
+        (9000, M, 999, "purchase", 1.0, "{}"),
+        (9001, M, 998, "view", 1.0, "{}"),  # views wm must also reach M
+        (1, wm - h6 - ms, 1001, "view", 0.5, "{}"),      # closed -> null
+        (2, wm - h6, 1002, "view", 0.5, "{}"),           # AT boundary -> open
+        (3, wm - h6 + ms, 1003, "view", 0.5, "{}"),      # open
+        (4, wm - h6 - dt.timedelta(seconds=10), 1004, "view", 0.5, "{}"),
+        (5, wm - h6 + dt.timedelta(microseconds=500), 1005, "view", 0.5, "{}"),
+        (500, dt.datetime(2024, 3, 1, 1, 0), 777, "view", 0.1, "{}"),
+        (501, dt.datetime(2024, 3, 1, 2, 0), 777, "purchase", 2.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    d = str(tmp_path / "b64corpus")
+    os.makedirs(d)
+    stage = os.path.join(d, "_stage")
+    df.coalesce(1).write.parquet(stage)
+    shutil.copy(
+        glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+        os.path.join(d, "events.parquet"),
+    )
+    shutil.rmtree(stage)
+
+    out = registry.QUERIES["b64_stream_stream_left_outer"](spark, d).collect()
+    pairs = {(r.user_id, r.view_id, r.purchase_id) for r in out}
+    assert pairs == {
+        (777, 500, 501),   # matched pair, arrival-driven
+        (1001, 1, None),   # 1 ms inside closure
+        (1004, 4, None),   # well inside closure
+        # 1002 (exactly at), 1003 (+1 ms), 1005 (+0.5 ms): open;
+        # 998's own view at M: horizon in the future, open
+    }, pairs
+
+    # without the view max-setter the MIN policy would freeze the
+    # watermark at the views' own max; re-plant without 9001 and no
+    # null may emit
+    rows2 = [r for r in rows if r[0] != 9001]
+    df2 = spark.createDataFrame(
+        rows2,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    d2 = str(tmp_path / "b64corpus2")
+    os.makedirs(d2)
+    stage2 = os.path.join(d2, "_stage")
+    df2.coalesce(1).write.parquet(stage2)
+    shutil.copy(
+        glob.glob(os.path.join(stage2, "part-*.parquet"))[0],
+        os.path.join(d2, "events.parquet"),
+    )
+    shutil.rmtree(stage2)
+    out2 = registry.QUERIES["b64_stream_stream_left_outer"](spark, d2).collect()
+    assert {r.view_id for r in out2 if r.purchase_id is None} == set()
