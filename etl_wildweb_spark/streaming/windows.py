@@ -198,13 +198,37 @@ def b22_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- true streaming ops
 
-@query("b23_watermark_tumbling")  # streaming semantics → rows-only
+@query(
+    "b23_watermark_tumbling",
+    oracle="""
+    WITH wm AS (SELECT make_timestamp(epoch_ms(max(ts)) * 1000)
+                       - INTERVAL 1 HOUR AS w
+                FROM events)
+    SELECT CAST(time_bucket(INTERVAL 10 MINUTE, ts) AS TIMESTAMP)
+             AS window_start,
+           count(*) AS n_events
+    FROM events, wm
+    WHERE CAST(time_bucket(INTERVAL 10 MINUTE, ts) AS TIMESTAMP)
+            + INTERVAL 10 MINUTE <= wm.w
+    GROUP BY 1
+    """,
+)
 def b23_watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B23: tumbling count under a 1-hour watermark, executed as a real
     stream (availableNow) in append mode — only windows the final
-    watermark has passed are emitted.  With the whole corpus in one
-    batch the emitted set equals {windows with end ≤ max(ts) - 1h},
-    asserted in test_streaming.py."""
+    watermark has passed are emitted.
+
+    EXACT-oracled since round 9 (was rows-only): with the whole corpus
+    in one batch the emitted set is {windows with end ≤ ms-floored
+    max(ts) − 1h} — INCLUSIVE at the boundary, probed with a corpus
+    whose watermark lands exactly on a window edge (a window ending
+    exactly AT the watermark IS emitted; contrast b64's join closure,
+    which is strict — the two stateful operators genuinely differ,
+    which is why each rule was probed rather than assumed;
+    tests/test_streaming.py plants both).  Counts are complete batch
+    counts (everything arrives before finalization).  Empty-corpus
+    guard: a NULL max(ts) nulls the oracle predicate, matching the
+    stream's no-windows output."""
     s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = (
         s.groupBy(F.window("ts", "10 minutes").alias("w"))
@@ -214,12 +238,25 @@ def b23_watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, mode="append")
 
 
-@query("b24_stream_dedup")  # arbitrary row pick → keys only, rows-only
+@query(
+    "b24_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
 def b24_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B24: stateful streaming dedup on (user_id, event_type) via
     dropDuplicatesWithinWatermark — state is evicted once the watermark
-    passes, so memory is bounded at any scale.  Output = distinct keys
-    (equals batch SELECT DISTINCT; asserted in test_streaming.py)."""
+    passes, so memory is bounded at any scale.
+
+    EXACT-oracled since round 9 (was rows-only as "arbitrary row
+    pick"): the query projects ONLY the dedup keys, so no arbitrary
+    pick survives into the output, and with the whole corpus in one
+    availableNow batch no state eviction can happen between two
+    occurrences of a key — the emitted set is exactly batch SELECT
+    DISTINCT.  (In a multi-batch replay a key CAN legitimately emit
+    twice once its horizon lapses — that semantics is what
+    dropDuplicatesWithinWatermark trades for bounded state, and the
+    single-batch harness sidesteps it; the b58/b126 family covers
+    multi-batch state behavior.)"""
     s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     dedup = s.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
         "user_id", "event_type"

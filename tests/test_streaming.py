@@ -573,3 +573,42 @@ def test_b64_closure_boundary_semantics(spark, tmp_path):
     shutil.rmtree(stage2)
     out2 = registry.QUERIES["b64_stream_stream_left_outer"](spark, d2).collect()
     assert {r.view_id for r in out2 if r.purchase_id is None} == set()
+
+
+def test_b23_watermark_closure_is_inclusive(spark, tmp_path):
+    """The probed b23 boundary, planted permanently: a window ending
+    exactly AT the final watermark IS emitted (inclusive — unlike
+    b64's strict join closure).  Max-setter at 13:00:00 puts the
+    watermark exactly on the 12:00 window edge."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from etl_wildweb_spark import registry
+
+    rows = [
+        (1, dt.datetime(2024, 3, 1, 13, 0, 0), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 3, 1, 11, 55), 2, "view", 1.0, "{}"),  # end == wm
+        (3, dt.datetime(2024, 3, 1, 11, 45), 3, "view", 1.0, "{}"),  # end < wm
+        (4, dt.datetime(2024, 3, 1, 12, 5), 4, "view", 1.0, "{}"),   # end > wm
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    d = str(tmp_path / "b23corpus")
+    os.makedirs(d)
+    st = os.path.join(d, "_s")
+    df.coalesce(1).write.parquet(st)
+    shutil.copy(
+        glob.glob(os.path.join(st, "part-*.parquet"))[0],
+        os.path.join(d, "events.parquet"),
+    )
+    shutil.rmtree(st)
+    out = registry.QUERIES["b23_watermark_tumbling"](spark, d).collect()
+    assert {(r.window_start, r.n_events) for r in out} == {
+        (dt.datetime(2024, 3, 1, 11, 40), 1),
+        (dt.datetime(2024, 3, 1, 11, 50), 1),  # the == boundary window
+    }
