@@ -469,7 +469,27 @@ def sessionize_progress(
     )
 
 
-@query("b72_stateful_sessionize")  # custom interval state → rows-only
+@query(
+    "b72_stateful_sessionize",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), grp AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS g
+        FROM marked
+    )
+    SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+           count(*) AS n_events
+    FROM grp GROUP BY user_id, g
+    """,
+)
 def b72_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B24 extension: sessionization re-built on applyInPandasWithState
     interval state and pinned EXACTLY (full set equality, not a
@@ -477,7 +497,15 @@ def b72_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py — the strongest batch/stream unification
     claim in the suite, and the template for session semantics Spark's
     built-in can't express (per-session caps, inactivity policies,
-    carried payloads)."""
+    carried payloads).
+
+    EXACT-oracled since round 9 (was rows-only): the output is
+    all-integer (µs session starts, counts), the interval gap-merge is
+    an order-independent fold, and the final per-user snapshot is the
+    complete session set — so the emitted rows are a pure function of
+    the data (the classic lag/island construction, b22's oracle with
+    µs output).  Break condition mirrored exactly: a new session
+    starts when ts − prev ≥ 5 min (the fold merges on strict <)."""
     stream, chunk_dir = _chunked_events_stream(spark, sf_dir)
     try:
         updates = stream.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(

@@ -59,9 +59,9 @@ def test_priority_oracle_coverage():
         # (equivalence pins in tests/test_merge.py)
         "b66_stream_scd1",
         "b67_stream_incremental_agg",
-        # custom stateful streaming + restart-from-checkpoint
-        # (pins in tests/test_streaming.py)
-        "b72_stateful_sessionize",
+        # restart-from-checkpoint (pins in tests/test_streaming.py);
+        # b72_stateful_sessionize LEFT this set in round 9 — its
+        # all-integer final session snapshot is exact-oracled now
         "b83_checkpoint_recovery",
         # custom streaming connector / commit-protocol sink
         # (pins in tests/test_sources.py, tests/test_sinks.py)
