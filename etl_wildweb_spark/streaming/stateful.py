@@ -359,7 +359,39 @@ def _time_sliced_stream(
     return stream, chunk_dir
 
 
-@query("b58_stream_funnel")  # cross-batch CEP state machine → rows-only
+@query(
+    "b58_stream_funnel",
+    # EXACT-oracled since round 9 (was rows-only): the final per-user
+    # emission is all-integer and candidate retention makes it a pure
+    # function of the data — the min-time funnel (t1 = min view,
+    # t2 = min click > t1, t3 = min purchase > t2), stage = depth,
+    # reached_us = deepest stage's entry (µs), -1 when stage 0.
+    # Every user with ≥1 event of any type appears (update-mode state
+    # runs per appearing group).
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (SELECT user_id, min(epoch_us(ts)) AS t1
+          FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+           AND epoch_us(e.ts) > v.t1
+          WHERE e.event_type = 'click' GROUP BY 1),
+    p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+           AND epoch_us(e.ts) > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY 1)
+    SELECT u.user_id,
+           CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                     WHEN c.t2 IS NOT NULL THEN 2
+                     WHEN v.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS stage,
+           CAST(COALESCE(p.t3, c.t2, v.t1, -1) AS BIGINT) AS reached_us
+    FROM u
+    LEFT JOIN v USING (user_id)
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+    """,
+)
 def b58_stream_funnel(
     spark: SparkSession, sf_dir: str, replay_order: list[int] | None = None
 ) -> DataFrame:
