@@ -394,12 +394,28 @@ def b41_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not just pytest.
 
 
-@query("b66_stream_scd1")  # foreachBatch snapshot maintenance → rows-only
+@query(
+    "b66_stream_scd1",
+    # EXACT-oracled since round 9 (was rows-only): max_by over the
+    # (ts, event_id) struct is a deterministic lexicographic latest —
+    # event_id breaks ts ties — and the per-batch merge is
+    # order-independent, so the final snapshot is the batch latest-row
+    # per user verbatim.
+    oracle="""
+    SELECT user_id, ts, event_id, event_type, value
+    FROM (SELECT user_id, ts, event_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
 def b66_stream_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-event-per-user SCD-1 snapshot maintained across 4
     micro-batches via stream_scd1_snapshot, then read back.  Pinned to
-    the batch max_by equivalent in tests/test_merge.py; here the
-    snapshot itself is the returned result (|users| rows)."""
+    the batch max_by equivalent in tests/test_merge.py — which is the
+    oracle now; the snapshot itself is the returned result (|users|
+    rows)."""
     import shutil as _shutil
     import tempfile as _tempfile
 
@@ -425,28 +441,51 @@ def b66_stream_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(snap_dir, ignore_errors=True)
 
 
-@query("b67_stream_incremental_agg")  # partial-agg MV maintenance → rows-only
+@query(
+    "b67_stream_incremental_agg",
+    # EXACT-oracled since round 9 (was rows-only): the MV's entire
+    # design goal is bit-identity with the one-shot batch aggregate
+    # (count + exact DECIMAL sum are associative merges), so the batch
+    # aggregate IS the oracle.  Non-finite readings are quarantined at
+    # the stream input like every value-casting query (the r8 rule:
+    # the cast to DECIMAL throws on NaN/Inf in both engines).
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             AS total_micro
+    FROM events WHERE isfinite(value) GROUP BY 1
+    """,
+)
 def b67_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-merged (count, exact DECIMAL sum) per event_type
     maintained across 4 micro-batches via stream_incremental_agg.
-    Bit-identical to the one-shot batch aggregate (tests/test_merge.py);
+    Bit-identical to the one-shot batch aggregate (tests/test_merge.py)
+    — which is exactly why it carries that aggregate as its oracle;
     the final snapshot is the returned result."""
     import shutil as _shutil
     import tempfile as _tempfile
 
+    from ..functions.exact import finite
     from ..streaming.stateful import _chunked_events_stream
 
     stream, chunk_dir = _chunked_events_stream(spark, sf_dir)
     snap_dir = _tempfile.mkdtemp(prefix="incr_agg_")
     try:
         q = stream_incremental_agg(
-            stream.select("event_type", "value"),
+            stream.select("event_type", "value").filter(finite("value")),
             ["event_type"],
             "value",
             snap_dir,
         )
         q.awaitTermination(300)
-        out = read_scd1_snapshot(spark, snap_dir)
+        out = read_scd1_snapshot(spark, snap_dir).select(
+            "event_type",
+            "n",
+            # integer micro-units for the driver's value hash (DECIMAL
+            # is hash-unstable through DuckDB's pandas path); exact —
+            # (38,6) x 1e6 is integral by construction
+            (F.col("total") * 1_000_000).cast("bigint").alias("total_micro"),
+        )
         # materialize on the EXECUTORS (not a driver collect) before
         # the temp snapshot dir disappears; lineage truncates to the
         # checkpointed blocks.

@@ -561,7 +561,19 @@ def b72_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(chunk_dir, ignore_errors=True)
 
 
-@query("b83_checkpoint_recovery")  # restart-from-checkpoint → rows-only
+@query(
+    "b83_checkpoint_recovery",
+    # EXACT-oracled since round 9 (was rows-only): the recovery
+    # contract is "final snapshot bit-identical to the one-shot batch
+    # aggregate" — the b67 oracle verbatim, now checked by the driver
+    # and not only by pytest.  Same finite quarantine as b67.
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             AS total_micro
+    FROM events WHERE isfinite(value) GROUP BY 1
+    """,
+)
 def b83_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACTLY-ONCE RECOVERY across a query restart: the incremental
     materialized view (b67's partial-agg merge) is driven over the
@@ -584,7 +596,13 @@ def b83_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.merge import read_scd1_snapshot, stream_incremental_agg
 
-    e = table(spark, sf_dir, "events").select("event_type", "value")
+    from ..functions.exact import finite
+
+    e = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(finite("value"))  # quarantine before the DECIMAL cast
+    )
     chunk_dir = tempfile.mkdtemp(prefix="ckrec_src_")
     snap_dir = tempfile.mkdtemp(prefix="ckrec_snap_")
     hold_dir = tempfile.mkdtemp(prefix="ckrec_hold_")
@@ -624,7 +642,15 @@ def b83_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         q2 = start()
         q2.awaitTermination(300)
 
-        out = read_scd1_snapshot(spark, snap_dir)
+        from pyspark.sql import functions as F
+
+        out = read_scd1_snapshot(spark, snap_dir).select(
+            "event_type",
+            "n",
+            # integer micro-units like b67 — DECIMAL output is
+            # hash-unstable through the driver's pandas path
+            (F.col("total") * 1_000_000).cast("bigint").alias("total_micro"),
+        )
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(chunk_dir, ignore_errors=True)

@@ -55,14 +55,12 @@ def test_priority_oracle_coverage():
         # real pixel decode over fixture bytes (byte-exact pins in
         # tests/test_multimodal.py)
         "b32_ppm_decode",
-        # foreachBatch snapshot / MV maintenance — side-effecting
-        # (equivalence pins in tests/test_merge.py)
-        "b66_stream_scd1",
-        "b67_stream_incremental_agg",
-        # restart-from-checkpoint (pins in tests/test_streaming.py);
-        # b72_stateful_sessionize LEFT this set in round 9 — its
-        # all-integer final session snapshot is exact-oracled now
-        "b83_checkpoint_recovery",
+        # b66/b67/b72/b83 LEFT this set in round 9: their returned
+        # snapshots are deterministic batch equivalents (latest-row
+        # max_by, exact DECIMAL micro-unit sums, interval-fold
+        # sessions), so each carries its batch construction as an
+        # exact oracle now — foreachBatch staging is the MECHANISM,
+        # not the result
         # custom streaming connector / commit-protocol sink
         # (pins in tests/test_sources.py, tests/test_sinks.py)
         "b91_stream_http_source",

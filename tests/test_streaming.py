@@ -300,19 +300,22 @@ def test_checkpoint_recovery_equals_batch(spark, sf_dir):
     from etl_wildweb_spark.io import table
     from etl_wildweb_spark.streaming.stateful import b83_checkpoint_recovery
 
+    from etl_wildweb_spark.functions.exact import finite
+
     got = {
-        r.event_type: (r.n, r.total)
+        r.event_type: (r.n, r.total_micro)
         for r in b83_checkpoint_recovery(spark, sf_dir).collect()
     }
     want = {
-        r.event_type: (r.n, r.total)
+        r.event_type: (r.n, r.total_micro)
         for r in table(spark, sf_dir, "events")
+        .filter(finite("value"))  # mirrors b83's input quarantine
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
-            .alias("total"),
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1_000_000)
+            .cast("bigint")
+            .alias("total_micro"),
         )
         .collect()
     }
