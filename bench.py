@@ -262,13 +262,15 @@ def main() -> None:
     CALIB_EVERY = 10
     calib_series: list[dict] = []
     for qi, name in enumerate(BENCH_QUERIES):
-        fn = registry.QUERIES.get(name)
-        if fn is None:
-            continue
+        # sample BEFORE the registration check so an unregistered name
+        # at a multiple of CALIB_EVERY can't open a gap in the series
         if qi % CALIB_EVERY == 0:
             calib_series.append(
                 {"at_query": name, "sec": round(host_calibration_sec(), 4)}
             )
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
         samples = measure(fn, warm=True)
         times[name] = round(sorted(samples)[len(samples) // 2], 3)
         mins[name] = round(min(samples), 3)

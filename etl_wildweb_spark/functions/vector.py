@@ -55,14 +55,17 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     CASE WHEN norm = 0 THEN NULL around list_cosine_similarity;
     the shipped corpora contain none (pinned by pytest instead).
 
-    NaN norms get the same NULL treatment: a NaN component makes
-    den = NaN, which passes a bare ``den != 0.0`` guard (NaN != 0.0
-    is true in Spark), and then least(1.0, NaN) = 1.0 — Spark orders
-    NaN greatest — so a corrupt vector would silently TOP every
-    descending cosine ranking.  ``~isnan(den)`` routes it to NULL
-    like the zero-norm case (ADVICE round 9)."""
+    NaN and Inf components get the same NULL treatment: a NaN
+    component makes den = NaN, an Inf component makes den = Inf with
+    ratio = Inf/Inf = NaN — and either way least(1.0, NaN) = 1.0
+    (Spark orders NaN greatest), so a corrupt vector would silently
+    TOP every descending cosine ranking.  Guarding on the RATIO being
+    non-NaN covers both corruption classes with one predicate (ADVICE
+    round 9; the Inf case found by round-9 code review — probed:
+    [inf,0]·[1,0] returned 1.0 under the isnan(den)-only guard)."""
     den = norm(a) * norm(b)
-    return F.when(~F.isnan(den) & (den != F.lit(0.0)), clamp_cos(dot(a, b) / den))
+    r = dot(a, b) / den
+    return F.when((den != F.lit(0.0)) & ~F.isnan(r), clamp_cos(r))
 
 
 def sq_l2(a: Column | str, b: Column | str) -> Column:

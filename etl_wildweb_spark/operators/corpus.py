@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..io import lift_parallelism, table
 from ..registry import query
+from .sampling import SQL_BUCKET, hash_bucket
 
 #: Chunking geometry: 200-char windows, 150-char stride (50 overlap) —
 #: the classic sliding context-window prep.  Shared with the oracles.
@@ -933,8 +934,6 @@ QC_BUCKETS = 256
 QC_THRESH_MICRO = 0
 
 
-def _qc_sql_bucket(key: str) -> str:
-    return f"CAST(('0x' || substring(md5({key}), 1, 8)) AS BIGINT) % {QC_BUCKETS}"
 
 
 @query(
@@ -949,9 +948,11 @@ def _qc_sql_bucket(key: str) -> str:
                   || t[CAST(i AS INTEGER) + 1] AS g
       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
     grams AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
-    feats AS (SELECT doc_id, {_qc_sql_bucket('g')} AS bkt FROM grams),
+    feats AS (SELECT doc_id, {SQL_BUCKET.format(key='g', n=QC_BUCKETS)} AS bkt
+              FROM grams),
     w AS (SELECT b AS bkt,
-                 {_qc_sql_bucket("'qw:' || CAST(b AS VARCHAR)")} * 8 - 1020
+                 {SQL_BUCKET.format(key="'qw:' || CAST(b AS VARCHAR)",
+                                    n=QC_BUCKETS)} * 8 - 1020
                    AS w_micro
           FROM range({QC_BUCKETS}) t(b)),
     doc AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
@@ -1005,26 +1006,15 @@ def b178_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.concat(unigrams, bigrams)).alias("g"))
         .select(
             "doc_id",
-            (
-                F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 8), 16, 10)
-                .cast("bigint")
-                % QC_BUCKETS
-            ).alias("bkt"),
+            hash_bucket(F.col("g"), QC_BUCKETS).alias("bkt"),
         )
     )
     weights = spark.range(QC_BUCKETS).select(
         F.col("id").cast("bigint").alias("bkt"),
         (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("qw:"), F.col("id").cast("string")).cast("binary")),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % QC_BUCKETS
+            hash_bucket(
+                F.concat(F.lit("qw:"), F.col("id").cast("string")), QC_BUCKETS
+            )
             * 8
             - 1020
         ).alias("w_micro"),

@@ -98,7 +98,7 @@ def capabilities(
 #: items 1/5: the three r03-stale confirmations first (the only
 #: registry entries whose latest driver row predates r4 —
 #: b21_tumbling_window / b11_unpivot / b18_width_bucket, deliberately
-#: deferred from r8's window), then 45 of the 46-query r04 cohort
+#: deferred from r8's window), then 44 of the 46-query r04 cohort
 #: (oldest remaining confirmations, 5 rounds of session churn since).
 #: Two r04 entries wait for r10 — b38_merge_upsert_broadcast and
 #: b75_merge_full, both of whose direct sibling b38_merge_upsert
@@ -168,9 +168,9 @@ ADDITIONS_PER_ROUND_CAP = 10
 
 #: Candidates for the NEXT round's window: additions made this round
 #: (VERDICT r5 item 7: everything new enters PRIORITY_NEXT in the same
-#: commit that registers it).  Round 9 keeps PRIORITY at 48 so these
-#: land inside the 50-slot window and are driver-checked the same
-#: round they are registered.
+#: commit that registers it).  Round 9 keeps PRIORITY at 47 (3 stale
+#: + 44 r04) so these 3 land inside the 50-slot window and are
+#: driver-checked the same round they are registered.
 PRIORITY_NEXT: list[str] = [
     # round-9: fastText-style vectorized linear quality classifier
     # (VERDICT r8 item 8) — hashed n-gram features x broadcast weight

@@ -302,9 +302,11 @@ def b179_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently discarding?" — the counter a production ingest pipeline
     alerts on (late spike ⇒ upstream clock skew or backfill misroute).
     """
+    import shutil
+
     from .stateful import _time_sliced_stream
 
-    stream, _ = _time_sliced_stream(
+    stream, chunk_dir = _time_sliced_stream(
         spark, sf_dir, n_slices=4, replay_order=[3, 0, 1, 2]
     )
     s = stream.observe(
@@ -319,17 +321,23 @@ def b179_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(420):
-        q.stop()
-        raise TimeoutError("b179 stream still running after 420s")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(420):
+            q.stop()
+            raise TimeoutError("b179 stream still running after 420s")
+    finally:
+        # every other _time_sliced_stream caller rmtree's its staging
+        # dir; the audit must too (round-9 code-review find — each run
+        # staged 4 parquet copies of events into /tmp and left them)
+        shutil.rmtree(chunk_dir, ignore_errors=True)
     rows = []
     for p in q.recentProgress:  # bounded: one entry per micro-batch
         if p["numInputRows"] == 0:

@@ -1095,6 +1095,8 @@ def test_cosine_zero_norm_is_null_and_never_ranks(spark):
             (3, [0.0, 0.0], [0.0, 0.0]),   # both zero → NULL
             (4, [float("nan"), 1.0], [1.0, 1.0]),  # NaN component → NULL
             (5, [1.0, 1.0], [float("nan"), float("nan")]),  # NaN side → NULL
+            (6, [float("inf"), 0.0], [1.0, 0.0]),  # Inf component → NULL
+            (7, [1.0, 1.0], [float("inf"), float("inf")]),  # Inf side → NULL
         ],
         "i long, a array<float>, b array<float>",
     )
@@ -1105,6 +1107,10 @@ def test_cosine_zero_norm_is_null_and_never_ranks(spark):
     # least(1.0, NaN)=1.0 would silently top every descending ranking
     # (ADVICE round 9)
     assert got[4] is None and got[5] is None
+    # Inf components too: den=Inf passed the old isnan(den)-only guard
+    # and Inf/Inf=NaN clamped to 1.0 (round-9 code-review find) — the
+    # ratio-is-NaN guard covers both corruption classes
+    assert got[6] is None and got[7] is None
     # and a zero vector never enters a cosine top-k: rank candidates
     # for one query, zero vector must sort after every real candidate
     from pyspark.sql import Window as W
@@ -1148,3 +1154,11 @@ def test_shipped_corpora_have_no_zero_embeddings(sf_dir):
                                [TRUE])"""
     ).fetchone()[0]
     assert n_nan == 0, f"{n_nan} NaN-component embeddings in {sf_dir}"
+    # and Inf (round-9 code-review find: an Inf component is the same
+    # ranking poison through a different arithmetic path)
+    n_inf = con.execute(
+        f"""SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')
+            WHERE list_has_any(list_transform(embedding, x -> NOT isfinite(x)),
+                               [TRUE])"""
+    ).fetchone()[0]
+    assert n_inf == 0, f"{n_inf} non-finite-component embeddings in {sf_dir}"
