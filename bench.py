@@ -222,7 +222,6 @@ def main() -> None:
     from etl_wildweb_spark.session import get_spark
 
     registry.load_all()
-    calib_before = host_calibration_sec()
     spark = get_spark("etl-wildweb-spark-bench")
 
     # Per-query: one untimed warmup pass, then the MEDIAN of 3 timed
@@ -259,6 +258,10 @@ def main() -> None:
     # calibrations read ~1.0.  One md5 sample every CALIB_EVERY
     # queries (~0.25 s each, ~3 s over the suite) localizes such a
     # window to the query range it covered.
+    # The series' qi==0 sample (taken before the first query runs) IS
+    # the before-suite endpoint — a separate calib_before immediately
+    # preceding it double-sampled the same instant and double-entered
+    # the worst-of max (ADVICE r9).
     CALIB_EVERY = 10
     calib_series: list[dict] = []
     for qi, name in enumerate(BENCH_QUERIES):
@@ -310,9 +313,7 @@ def main() -> None:
     # since slow-mode can start or stop mid-suite — and the series
     # localizes WHERE it was active
     calib_after = host_calibration_sec()
-    calib_worst = max(
-        [calib_before, calib_after] + [s["sec"] for s in calib_series]
-    )
+    calib_worst = max([calib_after] + [s["sec"] for s in calib_series])
     calib_ratio = round(calib_worst / CALIB_REF_SEC, 3)
     detail = {
         "sf": sf,
@@ -323,7 +324,7 @@ def main() -> None:
         "host_calibration": {
             "loops": CALIB_LOOPS,
             "quiet_ref_sec": CALIB_REF_SEC,
-            "before_sec": round(calib_before, 4),
+            "before_sec": calib_series[0]["sec"] if calib_series else None,
             "after_sec": round(calib_after, 4),
             "series": calib_series,
             "slow_ratio": calib_ratio,

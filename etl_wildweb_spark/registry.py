@@ -94,68 +94,77 @@ def capabilities(
 
 #: Explicit verification-priority order.  The driver's correctness
 #: harness checks the FIRST 50 entries of ``__spark_entry__.queries()``
-#: (dict insertion order) per round.  Round 9's window, per VERDICT r8
-#: items 1/5: the three r03-stale confirmations first (the only
-#: registry entries whose latest driver row predates r4 —
-#: b21_tumbling_window / b11_unpivot / b18_width_bucket, deliberately
-#: deferred from r8's window), then 44 of the 46-query r04 cohort
-#: (oldest remaining confirmations, 5 rounds of session churn since).
-#: Two r04 entries wait for r10 — b38_merge_upsert_broadcast and
-#: b75_merge_full, both of whose direct sibling b38_merge_upsert
-#: re-passed r8 — so PRIORITY stays at 47 and this round's 3
-#: PRIORITY_NEXT additions land INSIDE the 50-slot window (the
-#: VERDICT r7 item 1 convention: additions are driver-checked the
-#: round they register).
+#: (dict insertion order) per round.  Round 10's window, per VERDICT r9
+#: items 1/2/3: FIRST the four round-9 streaming oracle upgrades whose
+#: new exact oracles have never been driver-hash-checked
+#: (b23/b24/b58/b64 — the round's single open gate), then the two
+#: r04-stale merge rows in a file merge.py modified since their last
+#: driver row, then b113 (its implementation changes this round —
+#: range-bucketed prefix sum replaces the global window, VERDICT r9
+#: item 6 — so it re-enters the window under the new plan), then 43 of
+#: the 50-entry r05 cohort.  Seven r05 entries defer to r11, each with
+#: a same-file direct sibling in-window this round (b05_join_left ↔
+#: b05_join_full_outer, b06_join_anti ↔ b06_join_semi,
+#: b08_asof_payload/b08_asof_tolerance ↔ b08_join_asof/b08_asof_forward,
+#: b10_approx_distinct ↔ b10_distinct, b11_cube ↔ b11_rollup,
+#: b28_hash_dedup ↔ b28_exact_dedup); the staleness gate
+#: (tests/test_registry_order.py::test_driver_row_staleness_bound)
+#: forces them into r11's window the moment CORRECTNESS_r10 lands.
 PRIORITY: list[str] = [
-    # -- r03-stale confirmations (VERDICT r8 item 1) --
-    "b21_tumbling_window",
-    "b11_unpivot",
-    "b18_width_bucket",
-    # -- the r04 cohort, oldest confirmations left (VERDICT r8 item 5) --
-    "b32_ppm_decode",
-    "b66_stream_scd1",
-    "b67_stream_incremental_agg",
-    "b68_cep_kleene",
-    "b69_line_dedup",
-    "b70_orc_roundtrip",
-    "b72_stateful_sessionize",
-    "b76_snapshot_diff",
-    "b77_interval_union",
-    "b78_null_safe_join",
-    "b79_bucketed_join",
-    "b80_attribution",
-    "b82_incremental_neardup",
-    "b83_checkpoint_recovery",
-    "b84_pagerank",
-    "b85_grouped_mode",
-    "b87_skyline",
-    "b91_stream_http_source",
-    "b92_string_agg",
-    "b93_window_distribution",
-    "b94_datasource_writer",
-    "b95_apply_in_arrow",
-    "b96_udtf_analyze",
-    "b97_kmeans_update",
-    "b98_asof_snapshot",
-    "b99_zorder_layout",
-    "b100_compaction",
-    "b101_group_entropy",
-    "b102_markov_transitions",
-    "b103_basket_pairs",
-    "b104_zscore_outliers",
-    "b105_event_paths",
-    "b106_time_weighted_sum",
-    "b107_sliding_distinct",
-    "b108_dynamic_overwrite",
-    "b109_heavy_hitters",
-    "b110_bloom_prefilter_join",
-    "b111_stream_topk",
-    "b112_cohort_ltv",
+    # -- r9 streaming oracle upgrades, driver-unconfirmed (VERDICT r9 item 1) --
+    "b23_watermark_tumbling",
+    "b24_stream_dedup",
+    "b58_stream_funnel",
+    "b64_stream_stream_left_outer",
+    # -- r04-stale rows in a since-modified merge.py (VERDICT r9 item 2) --
+    "b38_merge_upsert_broadcast",
+    "b75_merge_full",
+    # -- re-check under the new bounded-window plan (VERDICT r9 item 6) --
     "b113_pareto_coverage",
-    "b114_activity_heatmap",
-    "b115_schema_evolution",
-    "b116_bounce_rate",
-    "b117_scd3_current",
+    # -- the r05 cohort, oldest confirmations left (VERDICT r9 item 3) --
+    "b01_scan_filter_project",
+    "b03_join_inner",
+    "b04_join_broadcast",
+    "b05_join_full_outer",
+    "b06_join_semi",
+    "b07_join_range",
+    "b08_asof_forward",
+    "b08_join_asof",
+    "b09_agg_q1",
+    "b10_distinct",
+    "b11_rollup",
+    "b12_window_rank",
+    "b28_exact_dedup",
+    "b29_dedup_canonical",
+    "b29_dup_clusters",
+    "b29_edit_distance",
+    "b29_embedding_near_dup",
+    "b29_minhash_near_dedup",
+    "b29_ngram_jaccard",
+    "b29_simhash",
+    "b32_frame_sample",
+    "b32_multimodal_plumbing",
+    "b32_ppm_resize",
+    "b35_pack_utilization",
+    "b35_sequence_pack",
+    "b71_partitioned_prune",
+    "b73_salted_agg",
+    "b74_rolling_features",
+    "b90_temperature_mix",
+    "b118_longest_streak",
+    "b119_clamped_balance",
+    "b120_record_linkage",
+    "b121_linear_interpolate",
+    "b122_weekly_movers",
+    "b124_group_sample_k",
+    "b125_seasonal_anomaly",
+    "b126_state_timeout_eviction",
+    "b127_federated_union",
+    "b128_slice_overlap",
+    "b129_hierarchy_closure",
+    "b130_token_drift",
+    "b131_dag_path_count",
+    "flagship_revenue_by_nation",
 ]
 
 #: Hard cap on per-round additions (VERDICT r6 items 2/7): the driver
@@ -168,27 +177,12 @@ ADDITIONS_PER_ROUND_CAP = 10
 
 #: Candidates for the NEXT round's window: additions made this round
 #: (VERDICT r5 item 7: everything new enters PRIORITY_NEXT in the same
-#: commit that registers it).  Round 9 keeps PRIORITY at 47 (3 stale
-#: + 44 r04) so these 3 land inside the 50-slot window and are
-#: driver-checked the same round they are registered.
-PRIORITY_NEXT: list[str] = [
-    # round-9: fastText-style vectorized linear quality classifier
-    # (VERDICT r8 item 8) — hashed n-gram features x broadcast weight
-    # dim, integer micro-logit decision; exact-oracled
-    "b178_quality_classifier",
-    # round-9: corpus-sampled recall probe for the IVF-PQ composition
-    # (VERDICT r8 item 6) — the b175_observed measurement with the
-    # exact-L2 ground-truth side restricted to a deterministic md5
-    # corpus sample, making the linear probe sample-sized; rows-only
-    # like its full twin (pytest replays the integer recall rows)
-    "b175_ivfpq_observed_sampled",
-    # round-9: streaming drop-late-metrics audit (VERDICT r8 item 8's
-    # second option) — b23's watermark pipeline instrumented with
-    # observe() + per-batch state metrics under a newest-first slice
-    # replay; rows-only (engine metrics, no SQL twin), drop/evict
-    # counts replayed exactly in tests/test_streaming.py
-    "b179_stream_late_audit",
-]
+#: commit that registers it).  Round 9's three additions (b178/
+#: b175_sampled/b179) all got green r9 driver rows, so they rotate out;
+#: round 10 holds PRIORITY at 50 until its addition registers, then
+#: trades one r05 slot for it so the addition is driver-checked the
+#: round it lands.
+PRIORITY_NEXT: list[str] = []
 
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -85,6 +85,20 @@ def run_to_memory(
     conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     prev = spark.conf.get(conf_key)
     if not no_data_batches:
+        # The toggle is a SESSION conf: a concurrent streaming query
+        # started while it is flipped would inherit the disabled
+        # finalization batch — and an aggregation/outer-join query
+        # NEEDS that batch to emit its closed windows.  The fast path
+        # is therefore only safe as the session's sole streaming query;
+        # refuse loudly rather than silently corrupt a neighbor.
+        others = list(spark.streams.active)
+        if others:
+            raise RuntimeError(
+                "run_to_memory(no_data_batches=False) requires exclusive "
+                f"use of the session's streaming engine, but {len(others)} "
+                "other streaming queries are active — their finalization "
+                "batches would be disabled by the session-conf toggle"
+            )
         spark.conf.set(conf_key, "false")
     try:
         name = f"mem_{uuid.uuid4().hex[:12]}"
@@ -309,6 +323,38 @@ def b179_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, chunk_dir = _time_sliced_stream(
         spark, sf_dir, n_slices=4, replay_order=[3, 0, 1, 2]
     )
+    # Precondition for the audited counts (ADVICE r9): the pinned
+    # semantics "numRowsDroppedByWatermark == distinct windows per
+    # slice" holds only while each staged slice is ONE scan partition —
+    # one data file, below maxPartitionBytes — so the state operator
+    # sees exactly one partial aggregate per window.  A corpus large
+    # enough to split a slice file would silently change the audited
+    # grain; fail loudly here instead.
+    def _bytes_conf(v: str) -> int:
+        s = v.strip().lower()
+        for suf, mul in (
+            ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+            ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+        ):
+            if s.endswith(suf):
+                return int(float(s[: -len(suf)]) * mul)
+        return int(s)
+
+    max_pb = _bytes_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    for i in range(4):
+        sdir = os.path.join(chunk_dir, f"s{i}")
+        data = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+        sizes = [os.path.getsize(os.path.join(sdir, f)) for f in data]
+        if len(data) != 1 or sizes[0] > max_pb:
+            shutil.rmtree(chunk_dir, ignore_errors=True)
+            raise AssertionError(
+                f"b179 audit precondition broken: slice s{i} staged as "
+                f"{len(data)} files of sizes {sizes} vs maxPartitionBytes "
+                f"{max_pb} — the one-partial-per-window grain no longer "
+                "holds; shrink the corpus or raise maxPartitionBytes"
+            )
     s = stream.observe(
         "late_audit",
         F.count(F.lit(1)).alias("obs_rows"),

@@ -45,33 +45,22 @@ def test_priority_oracle_coverage():
         if n not in registry.ORACLES
     }
     assert rows_only == {
-        # round-9 window (the 3 r03-stale confirmations + 45 of the
-        # r04 cohort + this round's 2 additions): the declared
-        # rows-only entries, each with its own pytest invariants.
-        # file-layout ops: outputs are file counts / footer metrics —
-        # environment facts (pins in tests/test_compaction.py, tests/test_file_sources.py)
-        "b100_compaction",
-        "b99_zorder_layout",
-        # real pixel decode over fixture bytes (byte-exact pins in
-        # tests/test_multimodal.py)
-        "b32_ppm_decode",
-        # b66/b67/b72/b83 LEFT this set in round 9: their returned
-        # snapshots are deterministic batch equivalents (latest-row
-        # max_by, exact DECIMAL micro-unit sums, interval-fold
-        # sessions), so each carries its batch construction as an
-        # exact oracle now — foreachBatch staging is the MECHANISM,
-        # not the result
-        # custom streaming connector / commit-protocol sink
-        # (pins in tests/test_sources.py, tests/test_sinks.py)
-        "b91_stream_http_source",
-        "b94_datasource_writer",
-        # round-9 addition: corpus-sampled recall probe (integer
-        # recall rows replayed in tests/test_llmops.py)
-        "b175_ivfpq_observed_sampled",
-        # round-9 addition: drop-late-metrics audit — output IS the
-        # engine's per-batch observe()/state metrics, no SQL twin
-        # (drop/evict counts replayed in tests/test_streaming.py)
-        "b179_stream_late_audit",
+        # round-10 window (4 r9 streaming oracle upgrades + 2 r04-stale
+        # merge rows + b113 re-check + 43 of the r05 cohort): the
+        # declared rows-only entries, each with its own pytest
+        # invariants.  NOTE b23/b24/b58/b64 are NOT here — round 9
+        # upgraded them to exact oracles; driver-confirming those
+        # upgrades is this window's whole point (VERDICT r9 item 1).
+        # hash-signature near-dup: the 64-bit signature family is the
+        # approximation itself (SQL equivalence twin + Hamming pins in
+        # tests/test_llmops.py)
+        "b29_simhash",
+        # real pixel resize over fixture bytes (byte-exact pure-Python
+        # replay pins in tests/test_llmops.py)
+        "b32_ppm_resize",
+        # custom-state timeout eviction: update-mode emission order is
+        # engine-defined (eviction-set pins in tests/test_streaming.py)
+        "b126_state_timeout_eviction",
     }
 
 
@@ -105,6 +94,54 @@ def test_never_checked_backlog_is_bounded():
     assert not unscheduled, (
         f"never-checked queries missing from PRIORITY_NEXT: "
         f"{sorted(unscheduled)}"
+    )
+
+
+def _last_checked() -> tuple[dict[str, int], int]:
+    """Per-query latest driver round, and the newest artifact round,
+    from the checked-in CORRECTNESS_r*.json files."""
+    import re
+
+    last: dict[str, int] = {}
+    latest = 0
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", p.name).group(1))
+        latest = max(latest, rnd)
+        for name in json.loads(p.read_text()):
+            last[name] = max(last.get(name, 0), rnd)
+    return last, latest
+
+
+#: A live query's latest driver CORRECTNESS row may be at most this
+#: many rounds older than the newest checked-in artifact before the
+#: query MUST be in the current verification window.  VERDICT r9 item
+#: 5: this arithmetic previously lived in SCALE.md prose and registry
+#: comments, where it miscounted twice in round 9 — now it is a gate.
+MAX_DRIVER_ROW_AGE = 4
+
+
+def test_driver_row_staleness_bound():
+    """No live query's last driver row is more than MAX_DRIVER_ROW_AGE
+    rounds old, unless the query sits in the CURRENT window (PRIORITY +
+    PRIORITY_NEXT — i.e. it is being re-confirmed this round).  This is
+    the forcing function: the moment a new CORRECTNESS artifact lands,
+    any cohort it ages past the bound goes red until the next rotation
+    puts it back in the window."""
+    registry.load_all()
+    last, latest = _last_checked()
+    assert latest >= 9, "CORRECTNESS artifacts missing — wrong checkout?"
+    window = set(registry.PRIORITY) | set(registry.PRIORITY_NEXT)
+    overdue = sorted(
+        n
+        for n in registry.QUERIES
+        if n in last  # never-checked handled by the backlog test
+        and latest - last[n] > MAX_DRIVER_ROW_AGE
+        and n not in window
+    )
+    assert not overdue, (
+        f"{len(overdue)} live queries have a driver row older than "
+        f"{MAX_DRIVER_ROW_AGE} rounds and are not in the current "
+        f"verification window: {overdue} — rotate them into PRIORITY"
     )
 
 
