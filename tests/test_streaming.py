@@ -615,3 +615,117 @@ def test_b23_watermark_closure_is_inclusive(spark, tmp_path):
         (dt.datetime(2024, 3, 1, 11, 40), 1),
         (dt.datetime(2024, 3, 1, 11, 50), 1),  # the == boundary window
     }
+
+def _sliced_interval_join(spark, sf_dir, how: str, no_data_batches: bool):
+    """The b23-inner/b177-semi join shape over a 4-slice TIME-ORDERED
+    multi-batch replay (one file ⇒ one micro-batch per slice), so
+    watermark-driven state EVICTION actually happens between batches —
+    unlike the single availableNow replay the r9 fast-path measurement
+    used.  Returns the emitted set."""
+    import shutil
+
+    from etl_wildweb_spark.streaming.stateful import _time_sliced_stream
+
+    stream, chunk_dir = _time_sliced_stream(spark, sf_dir, n_slices=4)
+    try:
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        cond = (
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS"))
+        )
+        if how == "inner":
+            joined = views.join(purchases, cond).select(
+                "view_id", "purchase_id"
+            )
+        else:
+            joined = views.join(purchases, cond, "leftSemi").select("view_id")
+        out = sw.run_to_memory(
+            joined, mode="append", no_data_batches=no_data_batches
+        )
+        return {tuple(r) for r in out.collect()}
+    finally:
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+
+
+@pytest.mark.parametrize("how", ["inner", "semi"])
+def test_eviction_skip_flag_invariant_under_multibatch_replay(
+    spark, sf_dir, how
+):
+    """VERDICT r9 item 7: the no_data_batches=False fast path (skip the
+    trailing eviction-only micro-batch) was measured under a single
+    availableNow replay; pin that under a MULTI-batch replay — where
+    mid-stream watermark eviction is live — the flag on/off emits
+    identical output for the emit-on-arrival shapes (inner/semi), and
+    that the emitted set equals the batch interval join (time-ordered
+    slices are never late, so eviction must not lose matches)."""
+    with_final = _sliced_interval_join(spark, sf_dir, how, True)
+    without_final = _sliced_interval_join(spark, sf_dir, how, False)
+    assert with_final == without_final
+
+    e = table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS"))
+    )
+    if how == "inner":
+        want = {
+            tuple(r) for r in v.join(p, cond).select("view_id", "purchase_id").collect()
+        }
+    else:
+        want = {tuple(r) for r in v.join(p, cond, "leftSemi").select("view_id").collect()}
+    assert with_final == want
+
+
+def test_run_to_memory_fast_path_refuses_concurrent_queries(spark, sf_dir):
+    """ADVICE r9: the no_data_batches=False toggle is a session conf; a
+    concurrent streaming query would inherit the disabled finalization
+    batch.  Pin the guard: with another query active, the fast path
+    raises instead of toggling."""
+    import tempfile
+    import uuid
+
+    s = sw.events_stream(spark, sf_dir).select("event_id", "user_id")
+    bystander = (
+        s.writeStream.format("memory")
+        .queryName(f"mem_{uuid.uuid4().hex[:12]}")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        joined = sw.events_stream(spark, sf_dir).select("event_id")
+        with pytest.raises(RuntimeError, match="exclusive"):
+            sw.run_to_memory(joined, mode="append", no_data_batches=False)
+    finally:
+        bystander.stop()
+        bystander.awaitTermination(60)
