@@ -469,34 +469,72 @@ def b113_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: revenue rollup is one partkey shuffle with map-side combine;
     the ranking then runs over the PART-cardinality rollup, not the
-    fact table.  A single-direction global window on |parts| rows is
-    the bounded-report shape (like b93); when even the rollup is too
-    large for one partition, the b87-style range-bucketed prefix sum
-    with a broadcast bucket-offset table drops in unchanged."""
+    fact table.  Through round 9 that ranking was a single-direction
+    global window — the bounded-report shape, fine while the rollup
+    fits one partition.  This round it IS the b87-style two-phase
+    prefix scan the old docstring promised (VERDICT r9 item 6):
+    bucket the rollup into 64 equal-width cents ranges (bounds via one
+    scalar driver hop, the b87 pattern — bucketing is internal, any
+    order-monotonic assignment preserves semantics), run the
+    cumulative sum and row_number PER BUCKET in parallel, aggregate
+    one (sum, count) row per bucket, take the exclusive prefix over
+    that ≤64-row summary (the only single-partition window), and
+    broadcast it back as per-bucket base offsets.  cum = base_cents +
+    local_cum and rk = base_rk + local_rk are exact because bucket b's
+    cents are strictly greater than bucket b+1's (equal-width ranges
+    on the DESC key are order-monotonic and ties share a bucket).
+    Exchange-visible shape pinned in tests/test_plans.py; oracle
+    unchanged."""
     li = table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
             "cents"
         )
     )
-    w = Window.orderBy(F.col("cents").desc(), "l_partkey")
-    ranked = rev.select(
+    lo, hi = rev.agg(F.min("cents"), F.max("cents")).first()
+    if hi is None:  # empty corpus: keep the (empty) schema
+        lo, hi = 0, 0
+    n_buckets = 64
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+    # ascending _b == descending cents range; ties (same cents) share a
+    # bucket, so per-bucket (cents DESC, partkey) order IS global order
+    bucketed = rev.withColumn(
+        "_b", ((F.lit(hi) - F.col("cents")) / width).cast("int")
+    )
+
+    w_ord = Window.partitionBy("_b").orderBy(F.col("cents").desc(), "l_partkey")
+    local = bucketed.select(
         "l_partkey",
         "cents",
-        F.sum("cents").over(w).alias("cum_cents"),
-        F.sum("cents").over(
-            Window.orderBy(F.lit(1)).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total_cents"),
-        F.row_number().over(w).alias("rk"),
+        "_b",
+        F.sum("cents")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("loc_cum"),
+        F.row_number().over(w_ord).alias("loc_rk"),
     )
-    return ranked.filter(
-        (F.col("cum_cents") - F.col("cents")) * 5 < F.col("total_cents") * 4
+
+    summary = bucketed.groupBy("_b").agg(
+        F.sum("cents").alias("bsum"), F.count(F.lit(1)).alias("bcnt")
+    )
+    wp = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    base = summary.select(
+        "_b",
+        F.coalesce(F.sum("bsum").over(wp), F.lit(0)).alias("base_cents"),
+        F.coalesce(F.sum("bcnt").over(wp), F.lit(0)).alias("base_rk"),
+        F.sum("bsum").over(w_all).alias("total_cents"),
+    )
+
+    j = local.join(F.broadcast(base), "_b")
+    return j.filter(
+        (F.col("base_cents") + F.col("loc_cum") - F.col("cents")) * 5
+        < F.col("total_cents") * 4
     ).select(
         "l_partkey",
         F.col("cents").cast("bigint").alias("cents"),
-        F.col("rk").cast("bigint").alias("rk"),
+        (F.col("base_rk") + F.col("loc_rk")).cast("bigint").alias("rk"),
     )
 
 

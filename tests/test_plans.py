@@ -228,7 +228,9 @@ _SHUFFLE_BUDGET = {
     "b110_bloom_prefilter_join": 2,  # bitmap-word build + final agg; probes broadcast
     "b111_stream_topk": 2,       # window count + matrix-sized rank window
     "b112_cohort_ltv": 3,        # first-seen agg + cohort agg + matrix cumsum
-    "b113_pareto_coverage": 2,   # partkey rollup + rollup-sized rank window
+    "b113_pareto_coverage": 5,   # two-phase prefix scan: rollup + _b window
+    #   on one branch; rollup + _b summary agg + ≤64-row prefix window
+    #   on the broadcast branch (the global rank window is GONE)
     "b114_activity_heatmap": 2,  # two-level partial-distinct grid agg
     "b116_bounce_rate": 2,       # user session agg + day rollup
     "b117_scd3_current": 1,      # one user-keyed sort shared by all windows
@@ -406,6 +408,29 @@ def test_b87_skyline_two_phase_shape(plans):
     for node in ("SortMergeJoin", "ShuffledHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert audit.node_count(p, node) == 0, node
+
+
+def test_b113_pareto_two_phase_shape(plans):
+    """VERDICT r9 item 6: the Pareto ranking must run as the b87-style
+    two-phase prefix scan — per-bucket windows partitioned by _b, the
+    ≤64-row bucket summary broadcast back (BroadcastHashJoin), and NO
+    single-partition window over the part rollup: every window's
+    partition spec is non-empty except the bounded summary prefix,
+    whose input is the 64-row bucket aggregate."""
+    p = plans("b113_pareto_coverage")
+    assert audit.node_count(p, "BroadcastHashJoin") >= 1, p
+    for node in ("SortMergeJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert audit.node_count(p, node) == 0, node
+    # the corpus-sized window is partitioned by the bucket key
+    assert "windowspecdefinition(_b" in p, p
+    # the ONLY SinglePartition exchange feeds the 64-row bucket summary
+    # (input carries bsum/bcnt), never the part rollup
+    lines = p.splitlines()
+    single = [i for i, ln in enumerate(lines) if "SinglePartition" in ln]
+    assert len(single) == 1, p
+    ctx = "\n".join(lines[single[0] - 2 : single[0] + 2])
+    assert "bsum" in ctx, ctx
 
 
 def test_b29_minhash_signature_stage_is_narrow(plans):
