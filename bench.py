@@ -173,6 +173,10 @@ BENCH_QUERIES = [
     # twin: it re-runs the already-benched b175 plus a SAMPLED exact
     # probe; its 16x scaling note lives in SCALE.md)
     "b178_quality_classifier",
+    # (b180_stream_stream_full_outer is not benched separately: its
+    # cost is the same fixed stream-stream join machinery b177 already
+    # represents — the full-outer shape adds only the eviction-time
+    # null emission; its 16x scaling note lives in SCALE.md)
     # (b179_stream_late_audit is not benched separately: its cost is
     # the same fixed multi-micro-batch scheduling machinery b177
     # already represents — the audit itself is free, observe() rides

@@ -54,8 +54,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def schema_of(spark: SparkSession, sf_dir: str, name: str):
     """Result schema (StructType) of a registered query — resolved by
     Catalyst against the given corpus, usually without execution.
-    NOTE the exceptions: the streaming rows-only queries (b23/b24)
-    execute eagerly by design, and the iterative/fixture builders
+    NOTE the exceptions: the streaming queries (b23/b24/b58/b64/b177/
+    b180 families) execute eagerly by design, and the iterative/fixture builders
     (connected-components family b29_dup_clusters/b29_cc_bigstar/
     b144, the checkpointed closures b129/b131, b139's materialized
     coverage set, the side-effecting connector demos) run work at
@@ -101,13 +101,15 @@ def capabilities(
 #: r04-stale merge rows in a file merge.py modified since their last
 #: driver row, then b113 (its implementation changes this round —
 #: range-bucketed prefix sum replaces the global window, VERDICT r9
-#: item 6 — so it re-enters the window under the new plan), then 43 of
-#: the 50-entry r05 cohort.  Seven r05 entries defer to r11, each with
+#: item 6 — so it re-enters the window under the new plan), then 42 of
+#: the 50-entry r05 cohort.  Eight r05 entries defer to r11, each with
 #: a same-file direct sibling in-window this round (b05_join_left ↔
 #: b05_join_full_outer, b06_join_anti ↔ b06_join_semi,
 #: b08_asof_payload/b08_asof_tolerance ↔ b08_join_asof/b08_asof_forward,
 #: b10_approx_distinct ↔ b10_distinct, b11_cube ↔ b11_rollup,
-#: b28_hash_dedup ↔ b28_exact_dedup); the staleness gate
+#: b28_hash_dedup ↔ b28_exact_dedup, b29_simhash ↔ the six other b29
+#: entries — it gave its slot to this round's b180 addition so the
+#: addition is driver-checked the round it registers); the staleness gate
 #: (tests/test_registry_order.py::test_driver_row_staleness_bound)
 #: forces them into r11's window the moment CORRECTNESS_r10 lands.
 PRIORITY: list[str] = [
@@ -141,7 +143,6 @@ PRIORITY: list[str] = [
     "b29_embedding_near_dup",
     "b29_minhash_near_dedup",
     "b29_ngram_jaccard",
-    "b29_simhash",
     "b32_frame_sample",
     "b32_multimodal_plumbing",
     "b32_ppm_resize",
@@ -179,10 +180,16 @@ ADDITIONS_PER_ROUND_CAP = 10
 #: (VERDICT r5 item 7: everything new enters PRIORITY_NEXT in the same
 #: commit that registers it).  Round 9's three additions (b178/
 #: b175_sampled/b179) all got green r9 driver rows, so they rotate out;
-#: round 10 holds PRIORITY at 50 until its addition registers, then
-#: trades one r05 slot for it so the addition is driver-checked the
-#: round it lands.
-PRIORITY_NEXT: list[str] = []
+#: round 10's PRIORITY stands at 49 so its one addition lands inside
+#: the 50-slot window.
+PRIORITY_NEXT: list[str] = [
+    # round-10: stream-stream FULL OUTER interval join (VERDICT r9
+    # item 8b) — completes the inner/left/semi/full join matrix;
+    # exact-oracled via the b64 construction symmetrized, purchase-side
+    # closure rule probed (STRICT at the watermark) before the oracle
+    # was written
+    "b180_stream_stream_full_outer",
+]
 
 
 def ordered_queries() -> dict[str, QueryFn]:

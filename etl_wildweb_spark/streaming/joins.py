@@ -179,6 +179,76 @@ def b64_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b180_stream_stream_full_outer",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+               FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         -- NULL (→ no closures on EITHER side) unless BOTH streams
+         -- have events: an empty side freezes Spark's MIN-policy
+         -- watermark at epoch (the b64 guard, now load-bearing twice)
+         wm AS (SELECT CASE WHEN (SELECT max(v_ts) FROM v) IS NOT NULL
+                             AND (SELECT max(p_ts) FROM p) IS NOT NULL
+                        THEN make_timestamp(least(
+                               epoch_ms((SELECT max(v_ts) FROM v)),
+                               epoch_ms((SELECT max(p_ts) FROM p))) * 1000)
+                             - INTERVAL 1 HOUR
+                        END AS w)
+    SELECT v.user_id AS user_id, v.view_id AS view_id,
+           CAST(p.purchase_id AS BIGINT) AS purchase_id
+    FROM v JOIN p ON v.user_id = p.user_id
+     AND p.p_ts BETWEEN v.v_ts AND v.v_ts + INTERVAL 6 HOUR
+    UNION ALL
+    SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT)
+    FROM v, wm
+    WHERE v.v_ts + INTERVAL 6 HOUR < wm.w
+      AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
+                      AND p.p_ts BETWEEN v.v_ts AND v.v_ts + INTERVAL 6 HOUR)
+    UNION ALL
+    SELECT p.user_id, CAST(NULL AS BIGINT) AS view_id, p.purchase_id
+    FROM p, wm
+    WHERE p.p_ts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id
+                      AND p.p_ts BETWEEN v.v_ts AND v.v_ts + INTERVAL 6 HOUR)
+    """,
+)
+def b180_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the join
+    matrix next to b23 (inner), b64 (left outer), b177 (semi): every
+    matched pair emits on arrival, an unmatched VIEW emits its
+    null-padded row once the watermark proves no purchase can still
+    arrive, and an unmatched PURCHASE emits once no view can.
+
+    Exact-oracled from birth by the b64 construction SYMMETRIZED, with
+    the purchase-side closure rule PROBED, not assumed (round-10 probe,
+    boundary corpus with ±1 ms / sub-ms / ==-boundary plants on both
+    sides, pinned permanently in tests/test_streaming.py):
+
+    - view side closes STRICTLY at the horizon: null iff
+      v_ts + 6 h < wm (the == case stays open — b64's probed rule);
+    - purchase side closes STRICTLY at the watermark itself: null iff
+      p_ts < wm (a purchase exactly AT the watermark stays open) —
+      the asymmetry vs the view side is the join condition's: a
+      purchase can match views up to 6 h BEFORE it, so its state
+      lifetime needs no horizon offset;
+    - wm = ms-FLOORED min(max_v, max_p) − 1 h (MIN policy across both
+      watermarked streams), NULL-guarded when either side is empty.
+
+    100 TB: state on both sides is bounded jointly by the watermark
+    and the interval (views evict at wm − 0 after their 6 h horizon,
+    purchases at wm) — identical bound to b64; the full-outer shape
+    adds no state, only the second eviction-time emission."""
+    views, purchases, cond = _watermarked_views_purchases(spark, sf_dir)
+    joined = views.join(purchases, cond, "fullOuter").select(
+        F.coalesce("v_user", "p_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+    )
+    return run_to_memory(joined, mode="append")
+
+
+@query(
     "b177_stream_semi_join",
     oracle="""
     SELECT v.event_id AS view_id, v.user_id AS user_id

@@ -51,10 +51,6 @@ def test_priority_oracle_coverage():
         # invariants.  NOTE b23/b24/b58/b64 are NOT here — round 9
         # upgraded them to exact oracles; driver-confirming those
         # upgrades is this window's whole point (VERDICT r9 item 1).
-        # hash-signature near-dup: the 64-bit signature family is the
-        # approximation itself (SQL equivalence twin + Hamming pins in
-        # tests/test_llmops.py)
-        "b29_simhash",
         # real pixel resize over fixture bytes (byte-exact pure-Python
         # replay pins in tests/test_llmops.py)
         "b32_ppm_resize",

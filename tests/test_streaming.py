@@ -729,3 +729,81 @@ def test_run_to_memory_fast_path_refuses_concurrent_queries(spark, sf_dir):
     finally:
         bystander.stop()
         bystander.awaitTermination(60)
+
+def test_b180_full_outer_closure_boundary_semantics(spark, tmp_path):
+    """The round-10 probed rules for the FULL outer join, planted
+    permanently: (a) view-side null emission is STRICT at the horizon
+    (v_ts + 6h == wm stays open — b64's rule holds under full outer),
+    (b) purchase-side null emission is STRICT at the watermark itself
+    (p_ts == wm stays open, wm − 1 ms closes), (c) the watermark is
+    ms-FLOORED min across both streams.  These three facts are what
+    let b180 carry an exact oracle; a Spark upgrade moving any of them
+    goes red here before the oracle sweep."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from etl_wildweb_spark import registry
+
+    M = dt.datetime(2024, 3, 1, 12, 0, 0, 123456)  # sub-ms max-setter
+    wm = dt.datetime(2024, 3, 1, 11, 0, 0, 123000)  # ms_floor(M) - 1h
+    h6 = dt.timedelta(hours=6)
+    ms = dt.timedelta(milliseconds=1)
+    rows = [
+        (9000, M, 999, "purchase", 1.0, "{}"),
+        (9001, M, 998, "view", 1.0, "{}"),
+        # purchase-side boundary (users with no views)
+        (2001, wm - ms, 21, "purchase", 0.5, "{}"),   # closed -> null view
+        (2002, wm, 22, "purchase", 0.5, "{}"),        # AT wm -> open
+        (2003, wm + ms, 23, "purchase", 0.5, "{}"),   # open
+        (2004, wm + dt.timedelta(microseconds=500), 24, "purchase", 0.5, "{}"),
+        (2005, wm - dt.timedelta(seconds=10), 25, "purchase", 0.5, "{}"),
+        # view-side boundary (users with no purchases)
+        (1001, wm - h6 - ms, 11, "view", 0.5, "{}"),  # closed -> null
+        (1002, wm - h6, 12, "view", 0.5, "{}"),       # AT horizon -> open
+        (1003, wm - h6 + ms, 13, "view", 0.5, "{}"),  # open
+        # matched pair away from boundaries
+        (500, dt.datetime(2024, 3, 1, 1, 0), 777, "view", 0.1, "{}"),
+        (501, dt.datetime(2024, 3, 1, 2, 0), 777, "purchase", 2.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    d = str(tmp_path / "b180corpus")
+    os.makedirs(d)
+    stage = os.path.join(d, "_stage")
+    df.coalesce(1).write.parquet(stage)
+    shutil.copy(
+        glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+        os.path.join(d, "events.parquet"),
+    )
+    shutil.rmtree(stage)
+
+    out = registry.QUERIES["b180_stream_stream_full_outer"](spark, d).collect()
+    got = {(r.user_id, r.view_id, r.purchase_id) for r in out}
+    assert got == {
+        (777, 500, 501),    # matched pair, arrival-driven
+        (11, 1001, None),   # view 1 ms inside the strict horizon
+        (21, None, 2001),   # purchase 1 ms below the watermark
+        (25, None, 2005),   # purchase well below
+        # open: 1002 (== horizon), 1003; 2002 (== wm), 2003, 2004;
+        # both max-setters (their own closure points are in the future)
+    }, got
+
+    # and the oracle agrees on this corpus (same construction DuckDB-side)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    want = {
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            registry.ORACLES["b180_stream_stream_full_outer"]
+        ).fetchall()
+    }
+    assert got == want
