@@ -490,7 +490,12 @@ def b113_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
             "cents"
         )
-    )
+    ).persist()  # the bounds hop below materializes the rollup once;
+    # both downstream branches (per-bucket windows + bucket summary)
+    # then read the cache instead of re-shuffling lineitem (round-10
+    # review find: without this, the heaviest exchange ran twice).
+    # Part-cardinality-sized (~3 GB across a cluster at 100 TB), spills
+    # to disk if needed; bench clears cache between passes.
     lo, hi = rev.agg(F.min("cents"), F.max("cents")).first()
     if hi is None:  # empty corpus: keep the (empty) schema
         lo, hi = 0, 0

@@ -57,13 +57,17 @@ _WM_DELAY = "1 hour"
 _INTERVAL = "INTERVAL 6 HOURS"
 
 
-def _watermarked_views_purchases(spark, sf_dir):
-    """The shared construction of b23/b64/b177: watermarked view and
-    purchase streams plus the user-equality × time-interval join
-    condition (p_ts ∈ [v_ts, v_ts + 6h])."""
+def _watermarked_views_purchases(spark, sf_dir, source: DataFrame | None = None):
+    """The shared construction of b23/b64/b177/b180: watermarked view
+    and purchase streams plus the user-equality × time-interval join
+    condition (p_ts ∈ [v_ts, v_ts + 6h]).  ``source`` overrides the
+    default whole-corpus events stream — tests pass a sliced replay
+    stream (multi-batch eviction pins) or the batch events table
+    (withWatermark is a no-op on batch) so the delay/interval/aliases
+    live ONLY here."""
+    src = source if source is not None else events_stream(spark, sf_dir)
     views = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
+        src.filter(F.col("event_type") == "view")
         .select(
             F.col("user_id").alias("v_user"),
             F.col("event_id").alias("view_id"),
@@ -72,7 +76,7 @@ def _watermarked_views_purchases(spark, sf_dir):
         .withWatermark("v_ts", _WM_DELAY)
     )
     purchases = (
-        events_stream(spark, sf_dir)
+        (source if source is not None else events_stream(spark, sf_dir))
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),

@@ -85,20 +85,16 @@ def run_to_memory(
     conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     prev = spark.conf.get(conf_key)
     if not no_data_batches:
-        # The toggle is a SESSION conf: a concurrent streaming query
-        # started while it is flipped would inherit the disabled
-        # finalization batch — and an aggregation/outer-join query
-        # NEEDS that batch to emit its closed windows.  The fast path
-        # is therefore only safe as the session's sole streaming query;
-        # refuse loudly rather than silently corrupt a neighbor.
-        others = list(spark.streams.active)
-        if others:
-            raise RuntimeError(
-                "run_to_memory(no_data_batches=False) requires exclusive "
-                f"use of the session's streaming engine, but {len(others)} "
-                "other streaming queries are active — their finalization "
-                "batches would be disabled by the session-conf toggle"
-            )
+        # The flag is SNAPSHOTTED into the query's cloned session inside
+        # .start() (probed, and pinned by
+        # test_no_data_batches_conf_is_snapshotted_at_start: flipping it
+        # right after start() does not affect the running query, in
+        # either direction).  So the toggle scopes to THIS query by
+        # restoring immediately after start() returns — already-running
+        # queries are immune for the same reason, and the only residual
+        # exposure is another THREAD calling start() inside the tiny
+        # set→start window (the engine's harnesses run streaming queries
+        # single-threaded per session).
         spark.conf.set(conf_key, "false")
     try:
         name = f"mem_{uuid.uuid4().hex[:12]}"
@@ -110,16 +106,16 @@ def run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            q.stop()
-            raise TimeoutError(
-                f"streaming query {name} still running after {timeout_sec}s; "
-                "refusing to return a partial memory-sink table"
-            )
     finally:
         if not no_data_batches:
             spark.conf.set(conf_key, prev)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name} still running after {timeout_sec}s; "
+            "refusing to return a partial memory-sink table"
+        )
     return spark.table(name)
 
 
@@ -326,12 +322,18 @@ def b179_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Precondition for the audited counts (ADVICE r9): the pinned
     # semantics "numRowsDroppedByWatermark == distinct windows per
     # slice" holds only while each staged slice is ONE scan partition —
-    # one data file, below maxPartitionBytes — so the state operator
-    # sees exactly one partial aggregate per window.  A corpus large
-    # enough to split a slice file would silently change the audited
-    # grain; fail loudly here instead.
-    def _bytes_conf(v: str) -> int:
-        s = v.strip().lower()
+    # one data file that does not split — so the state operator sees
+    # exactly one partial aggregate per window.  A corpus large enough
+    # to split a slice file would silently change the audited grain;
+    # fail loudly here instead.  The split threshold is Spark's actual
+    # FilePartition.maxSplitBytes for a single-file batch — NOT plain
+    # maxPartitionBytes (round-10 review find: with enough cores,
+    # bytesPerCore shrinks the split size down to openCostInBytes, so
+    # a file between openCost and maxPartitionBytes can still split):
+    #   min(maxPartitionBytes, max(openCostInBytes,
+    #       (size + openCost) / minPartitionNum))
+    def _bytes_conf(key: str, default: str) -> int:
+        s = spark.conf.get(key, default).strip().lower()
         for suf, mul in (
             ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
             ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
@@ -340,20 +342,28 @@ def b179_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return int(float(s[: -len(suf)]) * mul)
         return int(s)
 
-    max_pb = _bytes_conf(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", "134217728b")
+    open_cost = _bytes_conf("spark.sql.files.openCostInBytes", "4194304b")
+    min_pn = spark.conf.get("spark.sql.files.minPartitionNum", None)
+    min_pn = (
+        int(min_pn) if min_pn else spark.sparkContext.defaultParallelism
     )
     for i in range(4):
         sdir = os.path.join(chunk_dir, f"s{i}")
         data = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
         sizes = [os.path.getsize(os.path.join(sdir, f)) for f in data]
-        if len(data) != 1 or sizes[0] > max_pb:
+        split = min(
+            max_pb, max(open_cost, (sizes[0] + open_cost) // max(1, min_pn))
+        ) if len(data) == 1 else 0
+        if len(data) != 1 or sizes[0] > split:
             shutil.rmtree(chunk_dir, ignore_errors=True)
             raise AssertionError(
                 f"b179 audit precondition broken: slice s{i} staged as "
-                f"{len(data)} files of sizes {sizes} vs maxPartitionBytes "
-                f"{max_pb} — the one-partial-per-window grain no longer "
-                "holds; shrink the corpus or raise maxPartitionBytes"
+                f"{len(data)} files of sizes {sizes} vs maxSplitBytes "
+                f"{split} (maxPartitionBytes {max_pb}, openCost "
+                f"{open_cost}, minPartitionNum {min_pn}) — the "
+                "one-partial-per-window grain no longer holds; shrink "
+                "the corpus or raise maxPartitionBytes/openCostInBytes"
             )
     s = stream.observe(
         "late_audit",

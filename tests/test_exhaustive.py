@@ -34,7 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: gate follows; a missing corpus skips with a message instead of
 #: failing spuriously while the default suite passes.
 _DEFAULT_SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
-_TESTDATA_ROOT = os.path.dirname(os.path.abspath(_DEFAULT_SF)) or "/root/testdata"
+_TESTDATA_ROOT = os.path.dirname(os.path.abspath(_DEFAULT_SF))
 
 
 def _corpus(name: str) -> str:

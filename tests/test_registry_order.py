@@ -46,7 +46,8 @@ def test_priority_oracle_coverage():
     }
     assert rows_only == {
         # round-10 window (4 r9 streaming oracle upgrades + 2 r04-stale
-        # merge rows + b113 re-check + 43 of the r05 cohort): the
+        # merge rows + b113 re-check + 42 of the r05 cohort + the b180
+        # addition): the
         # declared rows-only entries, each with its own pytest
         # invariants.  NOTE b23/b24/b58/b64 are NOT here — round 9
         # upgraded them to exact oracles; driver-confirming those

@@ -621,35 +621,19 @@ def _sliced_interval_join(spark, sf_dir, how: str, no_data_batches: bool):
     multi-batch replay (one file ⇒ one micro-batch per slice), so
     watermark-driven state EVICTION actually happens between batches —
     unlike the single availableNow replay the r9 fast-path measurement
-    used.  Returns the emitted set."""
+    used.  Built from the SHARED production construction
+    (joins._watermarked_views_purchases with the sliced stream as
+    source) so the delay/interval/aliases cannot drift from the
+    shipped queries.  Returns the emitted set."""
     import shutil
 
+    from etl_wildweb_spark.streaming.joins import _watermarked_views_purchases
     from etl_wildweb_spark.streaming.stateful import _time_sliced_stream
 
     stream, chunk_dir = _time_sliced_stream(spark, sf_dir, n_slices=4)
     try:
-        views = (
-            stream.filter(F.col("event_type") == "view")
-            .select(
-                F.col("user_id").alias("v_user"),
-                F.col("event_id").alias("view_id"),
-                F.col("ts").alias("v_ts"),
-            )
-            .withWatermark("v_ts", "1 hour")
-        )
-        purchases = (
-            stream.filter(F.col("event_type") == "purchase")
-            .select(
-                F.col("user_id").alias("p_user"),
-                F.col("event_id").alias("purchase_id"),
-                F.col("ts").alias("p_ts"),
-            )
-            .withWatermark("p_ts", "1 hour")
-        )
-        cond = (
-            (F.col("v_user") == F.col("p_user"))
-            & (F.col("p_ts") >= F.col("v_ts"))
-            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS"))
+        views, purchases, cond = _watermarked_views_purchases(
+            spark, sf_dir, source=stream
         )
         if how == "inner":
             joined = views.join(purchases, cond).select(
@@ -680,21 +664,12 @@ def test_eviction_skip_flag_invariant_under_multibatch_replay(
     without_final = _sliced_interval_join(spark, sf_dir, how, False)
     assert with_final == without_final
 
-    e = table(spark, sf_dir, "events")
-    v = e.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"),
-        F.col("event_id").alias("view_id"),
-        F.col("ts").alias("v_ts"),
-    )
-    p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("p_ts"),
-    )
-    cond = (
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS"))
+    # batch twin from the SAME shared construction (withWatermark is a
+    # no-op on batch), so all three sides share one definition
+    from etl_wildweb_spark.streaming.joins import _watermarked_views_purchases
+
+    v, p, cond = _watermarked_views_purchases(
+        spark, sf_dir, source=table(spark, sf_dir, "events")
     )
     if how == "inner":
         want = {
@@ -705,30 +680,77 @@ def test_eviction_skip_flag_invariant_under_multibatch_replay(
     assert with_final == want
 
 
-def test_run_to_memory_fast_path_refuses_concurrent_queries(spark, sf_dir):
-    """ADVICE r9: the no_data_batches=False toggle is a session conf; a
-    concurrent streaming query would inherit the disabled finalization
-    batch.  Pin the guard: with another query active, the fast path
-    raises instead of toggling."""
+def test_no_data_batches_conf_is_snapshotted_at_start(spark, tmp_path):
+    """The fact that makes run_to_memory's no_data_batches=False toggle
+    SAFE to scope by restoring right after .start() (ADVICE r9 + the
+    round-10 review): the conf is captured into the query's cloned
+    session inside start(), so flipping it afterwards does not affect
+    the running query — in either direction.  Probed round 10; pinned
+    here so a Spark upgrade that starts reading the conf live goes red
+    before any concurrent-query corruption could.
+
+    Probe shape: an append-mode windowed agg whose closed windows are
+    emitted ONLY by the finalization batch — its output count tells us
+    which flag value the query actually honored."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
     import tempfile
     import uuid
 
-    s = sw.events_stream(spark, sf_dir).select("event_id", "user_id")
-    bystander = (
-        s.writeStream.format("memory")
-        .queryName(f"mem_{uuid.uuid4().hex[:12]}")
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
-        .trigger(availableNow=True)
-        .start()
+    rows = [
+        (i, dt.datetime(2024, 3, 1, 8, 0, 0) + dt.timedelta(minutes=i),
+         1, "view", 1.0, "{}")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
     )
-    try:
-        joined = sw.events_stream(spark, sf_dir).select("event_id")
-        with pytest.raises(RuntimeError, match="exclusive"):
-            sw.run_to_memory(joined, mode="append", no_data_batches=False)
-    finally:
-        bystander.stop()
-        bystander.awaitTermination(60)
+    d = str(tmp_path / "snapcorpus")
+    os.makedirs(d)
+    st = os.path.join(d, "_s")
+    df.coalesce(1).write.parquet(st)
+    shutil.copy(
+        glob.glob(os.path.join(st, "part-*.parquet"))[0],
+        os.path.join(d, "events.parquet"),
+    )
+    shutil.rmtree(st)
+
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+    def run(flag_at_start: str, flip_to: str) -> int:
+        spark.conf.set(conf_key, flag_at_start)
+        s = sw.events_stream(spark, d).withWatermark("ts", "1 hour")
+        agg = (
+            s.groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        name = f"mem_{uuid.uuid4().hex[:10]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        spark.conf.set(conf_key, flip_to)  # flip IMMEDIATELY after start()
+        try:
+            assert q.awaitTermination(240)
+        finally:
+            spark.conf.set(conf_key, "true")
+        return spark.table(name).count()
+
+    # started disabled, flipped on: the query keeps its start-time
+    # snapshot -> no finalization batch -> zero closed windows emitted
+    assert run("false", "true") == 0
+    # started enabled, flipped off: finalization batch still runs ->
+    # the closed windows DO emit
+    assert run("true", "false") > 0
 
 def test_b180_full_outer_closure_boundary_semantics(spark, tmp_path):
     """The round-10 probed rules for the FULL outer join, planted
