@@ -194,3 +194,38 @@ def test_markov_attribution_shares_and_bounds(spark, sf_dir):
     got = {r[0]: r[1] for r in rows}
     for ch, n_paths in got.items():
         assert n_paths == want.get(ch, 0), (ch, n_paths, want)
+
+
+def test_b113_bucket_assignment_is_order_monotone():
+    """Pure arithmetic pin of b113's two-phase correctness argument:
+    the bucket id ((hi - cents) / width, float-divided then int-cast,
+    exactly as the plan computes it) must be (a) non-strictly monotone
+    DECREASING in cents — IEEE division by a positive constant
+    preserves order — (b) equal for equal cents, and (c) within
+    [0, 63], for arbitrary bigint-ish revenue distributions including
+    adversarial near-boundary values.  If any of these broke, bucket
+    ranges would stop being ordered and base+local reconstruction
+    would silently misrank."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=9_007_199_254_740_992),
+            min_size=1,
+            max_size=200,
+        )
+    )
+    def check(cents):
+        lo, hi = min(cents), max(cents)
+        n_buckets = 64
+        width = max(1, (hi - lo + n_buckets) // n_buckets)
+        bucket = {c: int((hi - c) / width) for c in cents}
+        for b in bucket.values():
+            assert 0 <= b < n_buckets
+        ordered = sorted(cents, reverse=True)
+        for a, b in zip(ordered, ordered[1:]):
+            assert bucket[a] <= bucket[b], (a, b, bucket[a], bucket[b])
+
+    check()

@@ -829,3 +829,58 @@ def test_b180_full_outer_closure_boundary_semantics(spark, tmp_path):
         ).fetchall()
     }
     assert got == want
+
+def test_b180_empty_side_freezes_both_closures(spark, tmp_path):
+    """b64's empty-side guard, load-bearing twice in b180: with only
+    ONE stream populated, Spark's MIN-policy watermark freezes at
+    epoch, so NEITHER side's unmatched rows may null-pad — and the
+    oracle's CASE guard must agree (DuckDB's least() would otherwise
+    ignore the NULL max and close against the populated side alone)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    import duckdb
+
+    from etl_wildweb_spark import registry
+
+    def plant(rows, sub):
+        df = spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING",
+        )
+        d = str(tmp_path / sub)
+        os.makedirs(d)
+        st = os.path.join(d, "_s")
+        df.coalesce(1).write.parquet(st)
+        shutil.copy(
+            glob.glob(os.path.join(st, "part-*.parquet"))[0],
+            os.path.join(d, "events.parquet"),
+        )
+        shutil.rmtree(st)
+        return d
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0)
+    week = dt.timedelta(days=7)
+    for etype, sub in (("view", "viewsonly"), ("purchase", "purchonly")):
+        # a week-wide spread: every horizon would be closed IF the
+        # frozen watermark were wrongly computed from this side alone
+        rows = [
+            (i, t0 + week * i, 100 + i, etype, 1.0, "{}") for i in range(4)
+        ]
+        d = plant(rows, sub)
+        out = registry.QUERIES["b180_stream_stream_full_outer"](
+            spark, d
+        ).collect()
+        assert out == [], (etype, out)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS "
+            f"SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        want = con.execute(
+            registry.ORACLES["b180_stream_stream_full_outer"]
+        ).fetchall()
+        assert want == [], (etype, want)
