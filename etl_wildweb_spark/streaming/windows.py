@@ -344,10 +344,13 @@ def b179_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", "134217728b")
     open_cost = _bytes_conf("spark.sql.files.openCostInBytes", "4194304b")
-    min_pn = spark.conf.get("spark.sql.files.minPartitionNum", None)
-    min_pn = (
-        int(min_pn) if min_pn else spark.sparkContext.defaultParallelism
+    # Spark resolves minPartitionNum as filesMinPartitionNum
+    # .getOrElse(leafNodeDefaultParallelism .getOrElse(
+    # sparkContext.defaultParallelism)) — mirror the chain exactly
+    min_pn = spark.conf.get("spark.sql.files.minPartitionNum", None) or (
+        spark.conf.get("spark.sql.leafNodeDefaultParallelism", None)
     )
+    min_pn = int(min_pn) if min_pn else spark.sparkContext.defaultParallelism
     for i in range(4):
         sdir = os.path.join(chunk_dir, f"s{i}")
         data = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
