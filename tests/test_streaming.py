@@ -884,3 +884,78 @@ def test_b180_empty_side_freezes_both_closures(spark, tmp_path):
             registry.ORACLES["b180_stream_stream_full_outer"]
         ).fetchall()
         assert want == [], (etype, want)
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_stream_join_family_randomized_differential(spark, tmp_path, seed):
+    """Seeded randomized differential over the WHOLE stream-stream join
+    family (inner/left-outer/semi/full-outer): corpora are drawn to
+    maximize closure-boundary coincidences — timestamps on a 1-minute
+    grid with {0, ±1ms, ±1µs} jitter, users holding any mix of views
+    and purchases, plus a sub-ms max-setter pair — then every query's
+    emission set is compared to its DuckDB oracle on that corpus.
+    Catches rule interactions the fixed boundary plants cannot (e.g. a
+    user whose matched view ALSO sits at the null-closure horizon)."""
+    import datetime as dt
+    import glob
+    import os
+    import random
+    import shutil
+
+    import duckdb
+
+    from etl_wildweb_spark import registry
+
+    rng = random.Random(seed)
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    jit = [dt.timedelta(0), dt.timedelta(milliseconds=1),
+           dt.timedelta(milliseconds=-1), dt.timedelta(microseconds=1),
+           dt.timedelta(microseconds=-1)]
+    rows = []
+    eid = 0
+    for _ in range(70):
+        eid += 1
+        ts = (t0 + dt.timedelta(minutes=rng.randrange(0, 720))
+              + rng.choice(jit))
+        rows.append((eid, ts, rng.randrange(1, 12),
+                     rng.choice(["view", "purchase"]), 1.0, "{}"))
+    # sub-ms max-setters on both sides, late enough to close most rows
+    M = t0 + dt.timedelta(hours=13, microseconds=123456)
+    rows += [(9000, M, 99, "purchase", 1.0, "{}"),
+             (9001, M, 98, "view", 1.0, "{}")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    d = str(tmp_path / f"randjoin{seed}")
+    os.makedirs(d)
+    st = os.path.join(d, "_s")
+    df.coalesce(1).write.parquet(st)
+    shutil.copy(
+        glob.glob(os.path.join(st, "part-*.parquet"))[0],
+        os.path.join(d, "events.parquet"),
+    )
+    shutil.rmtree(st)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    from collections import Counter
+
+    for name in (
+        "b23_stream_stream_join",
+        "b64_stream_stream_left_outer",
+        "b177_stream_semi_join",
+        "b180_stream_stream_full_outer",
+    ):
+        got = Counter(
+            tuple(r) for r in registry.QUERIES[name](spark, d).collect()
+        )
+        want = Counter(tuple(r) for r in
+                       con.execute(registry.ORACLES[name]).fetchall())
+        assert got == want, (
+            name, seed,
+            sorted(map(repr, (got - want).elements()))[:5],
+            sorted(map(repr, (want - got).elements()))[:5],
+        )
