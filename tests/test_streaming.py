@@ -959,3 +959,72 @@ def test_stream_join_family_randomized_differential(spark, tmp_path, seed):
             sorted(map(repr, (got - want).elements()))[:5],
             sorted(map(repr, (want - got).elements()))[:5],
         )
+
+def test_stateful_family_randomized_differential(spark, tmp_path):
+    """Seeded randomized differential over the round-9 oracle upgrades
+    the r10 driver window re-confirms (b23 watermark agg, b24 dedup,
+    b58 funnel, b72 sessionize): one jittered boundary-coincidence
+    corpus (adds 'click' so the funnel can reach stage 3), every query
+    strict-compared to its DuckDB oracle with the driver-twin multiset
+    normalization (events-only connection — duckdb_conn wants all ten
+    tables present).  The fixed boundary plants pin the closure RULES;
+    this pins their composition on an adversarial corpus."""
+    import datetime as dt
+    import glob
+    import os
+    import random
+    import shutil
+
+    import duckdb
+
+    from etl_wildweb_spark import registry
+
+    from .oracle_utils import rows_multiset
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    jit = [dt.timedelta(0), dt.timedelta(milliseconds=1),
+           dt.timedelta(milliseconds=-1), dt.timedelta(microseconds=1),
+           dt.timedelta(microseconds=-1)]
+    rows = []
+    for eid in range(1, 81):
+        ts = (t0 + dt.timedelta(minutes=rng.randrange(0, 720))
+              + rng.choice(jit))
+        rows.append((eid, ts, rng.randrange(1, 12),
+                     rng.choice(["view", "click", "purchase"]),
+                     rng.choice([0.5, 1.0, 2.25]), "{}"))
+    M = t0 + dt.timedelta(hours=13, microseconds=123456)
+    rows.append((9001, M, 98, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    d = str(tmp_path / "randstate")
+    os.makedirs(d)
+    st = os.path.join(d, "_s")
+    df.coalesce(1).write.parquet(st)
+    shutil.copy(
+        glob.glob(os.path.join(st, "part-*.parquet"))[0],
+        os.path.join(d, "events.parquet"),
+    )
+    shutil.rmtree(st)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    for name in (
+        "b23_watermark_tumbling",
+        "b24_stream_dedup",
+        "b58_stream_funnel",
+        "b72_stateful_sessionize",
+    ):
+        sdf = registry.QUERIES[name](spark, d)
+        res = con.execute(registry.ORACLES[name])
+        ocols = [c[0] for c in res.description]
+        orows = res.fetchall()
+        assert sorted(sdf.columns) == sorted(ocols), name
+        assert rows_multiset(sdf.columns, sdf.collect()) == rows_multiset(
+            ocols, orows
+        ), name
