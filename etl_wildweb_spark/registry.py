@@ -97,75 +97,73 @@ def capabilities(
 #: (dict insertion order) per round.  Round 10's window, per VERDICT r9
 #: items 1/2/3: FIRST the four round-9 streaming oracle upgrades whose
 #: new exact oracles have never been driver-hash-checked
-#: (b23/b24/b58/b64 — the round's single open gate), then the two
-#: r04-stale merge rows in a file merge.py modified since their last
-#: driver row, then b113 (its implementation changes this round —
-#: range-bucketed prefix sum replaces the global window, VERDICT r9
-#: item 6 — so it re-enters the window under the new plan), then 42 of
-#: the 50-entry r05 cohort.  Eight r05 entries defer to r11, each with
-#: a same-file direct sibling in-window this round (b05_join_left ↔
-#: b05_join_full_outer, b06_join_anti ↔ b06_join_semi,
-#: b08_asof_payload/b08_asof_tolerance ↔ b08_join_asof/b08_asof_forward,
-#: b10_approx_distinct ↔ b10_distinct, b11_cube ↔ b11_rollup,
-#: b28_hash_dedup ↔ b28_exact_dedup, b29_simhash ↔ the six other b29
-#: entries — it gave its slot to this round's b180 addition so the
-#: addition is driver-checked the round it registers); the staleness gate
-#: (tests/test_registry_order.py::test_driver_row_staleness_bound)
-#: forces them into r11's window the moment CORRECTNESS_r10 lands.
+#: ROUND 11 window (VERDICT r10 items 1–2, landed in the SAME commit
+#: as the CORRECTNESS_r10 artifact so the staleness gate flips red →
+#: green atomically — ADVICE r10 item 2): first the eight r05 entries
+#: the r10 window deliberately deferred (the gate names exactly this
+#: set), then 42 of the 47-entry r06 cohort (next-oldest driver rows).
+#: Five r06 entries defer to r12, each with a same-file direct sibling
+#: in-window this round (b14_topk_global ↔ b14_topk_per_group,
+#: b34_hash_sample ↔ b34_stratified_sample/b34_weighted_mix,
+#: b31_term_freq/b31_lang_stats ↔ six other b31 entries,
+#: b11_pivot ↔ b11_grouping_sets/b11_time_rollup/b11_rollup/b11_cube);
+#: the staleness gate forces them into r12's window the moment
+#: CORRECTNESS_r11 lands — that red-at-round-start is the designed
+#: forcing function, not a regression.
 PRIORITY: list[str] = [
-    # -- r9 streaming oracle upgrades, driver-unconfirmed (VERDICT r9 item 1) --
-    "b23_watermark_tumbling",
-    "b24_stream_dedup",
-    "b58_stream_funnel",
-    "b64_stream_stream_left_outer",
-    # -- r04-stale rows in a since-modified merge.py (VERDICT r9 item 2) --
-    "b38_merge_upsert_broadcast",
-    "b75_merge_full",
-    # -- re-check under the new bounded-window plan (VERDICT r9 item 6) --
-    "b113_pareto_coverage",
-    # -- the r05 cohort, oldest confirmations left (VERDICT r9 item 3) --
-    "b01_scan_filter_project",
-    "b03_join_inner",
-    "b04_join_broadcast",
-    "b05_join_full_outer",
-    "b06_join_semi",
-    "b07_join_range",
-    "b08_asof_forward",
-    "b08_join_asof",
-    "b09_agg_q1",
-    "b10_distinct",
-    "b11_rollup",
-    "b12_window_rank",
-    "b28_exact_dedup",
-    "b29_dedup_canonical",
-    "b29_dup_clusters",
-    "b29_edit_distance",
-    "b29_embedding_near_dup",
-    "b29_minhash_near_dedup",
-    "b29_ngram_jaccard",
-    "b32_frame_sample",
-    "b32_multimodal_plumbing",
-    "b32_ppm_resize",
-    "b35_pack_utilization",
-    "b35_sequence_pack",
-    "b71_partitioned_prune",
-    "b73_salted_agg",
-    "b74_rolling_features",
-    "b90_temperature_mix",
-    "b118_longest_streak",
-    "b119_clamped_balance",
-    "b120_record_linkage",
-    "b121_linear_interpolate",
-    "b122_weekly_movers",
-    "b124_group_sample_k",
-    "b125_seasonal_anomaly",
-    "b126_state_timeout_eviction",
-    "b127_federated_union",
-    "b128_slice_overlap",
-    "b129_hierarchy_closure",
-    "b130_token_drift",
-    "b131_dag_path_count",
-    "flagship_revenue_by_nation",
+    # -- the r05 cohort remainder: the staleness gate's named set
+    #    (VERDICT r10 item 1 — this outranks everything) --
+    "b05_join_left",
+    "b06_join_anti",
+    "b08_asof_payload",
+    "b08_asof_tolerance",
+    "b10_approx_distinct",
+    "b11_cube",
+    "b28_hash_dedup",
+    "b29_simhash",
+    # -- the r06 cohort, next-oldest confirmations (VERDICT r10 item 2) --
+    "b06_scalar_subquery",
+    "b07_join_range_banded",
+    "b10_percentile",
+    "b11_grouping_sets",
+    "b11_time_rollup",
+    "b13_window_frames",
+    "b14_topk_per_group",
+    "b15_setops",
+    "b16_string_funcs",
+    "b17_date_funcs",
+    "b18_math_funcs",
+    "b19_array_funcs",
+    "b19_map_funcs",
+    "b20_json_funcs",
+    "b21_sliding_window",
+    "b22_session_window",
+    "b23_stream_static_join",
+    "b23_stream_stream_join",
+    "b24_custom_stateful",
+    "b25_pandas_udf",
+    "b26_pandas_udaf",
+    "b27_udtf",
+    "b31_bpe_token_count",
+    "b31_fingerprint",
+    "b31_gopher_filters",
+    "b31_langid",
+    "b31_quality_score",
+    "b31_text_stats",
+    "b34_stratified_sample",
+    "b34_weighted_mix",
+    "b36_file_ingest",
+    "b132_vocab_oov",
+    "b133_epoch_shuffle",
+    "b135_stream_sink",
+    "b136_dynamic_partition_pruning",
+    "b137_pq_adc_search",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "wildweb_envelope_e2e",
+    "wildweb_pipeline_errors",
 ]
 
 #: Hard cap on per-round additions (VERDICT r6 items 2/7): the driver
@@ -178,18 +176,13 @@ ADDITIONS_PER_ROUND_CAP = 10
 
 #: Candidates for the NEXT round's window: additions made this round
 #: (VERDICT r5 item 7: everything new enters PRIORITY_NEXT in the same
-#: commit that registers it).  Round 9's three additions (b178/
-#: b175_sampled/b179) all got green r9 driver rows, so they rotate out;
-#: round 10's PRIORITY stands at 49 so its one addition lands inside
-#: the 50-slot window.
-PRIORITY_NEXT: list[str] = [
-    # round-10: stream-stream FULL OUTER interval join (VERDICT r9
-    # item 8b) — completes the inner/left/semi/full join matrix;
-    # exact-oracled via the b64 construction symmetrized, purchase-side
-    # closure rule probed (STRICT at the watermark) before the oracle
-    # was written
-    "b180_stream_stream_full_outer",
-]
+#: commit that registers it).  Round 10's single addition (b180) got a
+#: green r10 driver row, so it rotates out; round 11 opens at
+#: PRIORITY==50 / PRIORITY_NEXT==[] — when this round's planned
+#: addition (the b139 suffix-array-quality exact-substring upgrade,
+#: VERDICT r10 item 3) registers, it enters here and one deferred-safe
+#: r06 entry moves out of PRIORITY to keep the sum at 50.
+PRIORITY_NEXT: list[str] = []
 
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -16,8 +16,16 @@ DECIMAL/HUGEINT to float64, which manufactures false mismatches
 (the round-1/round-4 hash-unstable-type lesson).
 
 Usage:
-    python tests/hostile_sweep.py [sf_dir]     # default /root/testdata/sf0.01
+    python tests/hostile_sweep.py [sf_dir]            # all registered queries
+    python tests/hostile_sweep.py --window [sf_dir]   # first-50 driver window only
 Exit code 0 iff every query is green; failures print per-query.
+
+``--window`` simulates exactly what the driver's CORRECTNESS harness
+checks — the first 50 entries of __spark_entry__.queries() (PRIORITY +
+PRIORITY_NEXT) — so a rotation can be proven green before any code
+changes (VERDICT r10 item 7: previously this discipline lived only in
+SCALE.md prose; tests/test_exhaustive.py::test_driver_window_sim now
+runs it as a committed gate).
 """
 
 from __future__ import annotations
@@ -28,7 +36,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(sf_dir: str) -> int:
+#: The driver's CORRECTNESS window: first N of ordered_queries().
+DRIVER_WINDOW = 50
+
+
+def main(sf_dir: str, window_only: bool = False) -> int:
     from pyspark.sql import SparkSession
 
     spark = (
@@ -43,6 +55,8 @@ def main(sf_dir: str) -> int:
     from tests.oracle_utils import compare
 
     qs, oracles = m.queries(), m.oracle_sql()
+    if window_only:
+        qs = dict(list(qs.items())[:DRIVER_WINDOW])
     n_ok = 0
     failures: list[tuple[str, str]] = []
     for i, (name, fn) in enumerate(qs.items()):
@@ -61,8 +75,9 @@ def main(sf_dir: str) -> int:
         if (i + 1) % 50 == 0:
             print(f"... {i + 1}/{len(qs)} ({n_ok} green)", flush=True)
     n_oracle = sum(1 for n in qs if n in oracles)
+    label = "driver-window sim" if window_only else "hostile sweep"
     print(
-        f"hostile sweep @ {sf_dir}: {n_ok}/{len(qs)} green "
+        f"{label} @ {sf_dir}: {n_ok}/{len(qs)} green "
         f"({n_oracle} oracled strict-compared, {len(qs) - n_oracle} rows-only "
         f"canonicalized); {len(failures)} red"
     )
@@ -70,4 +85,10 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    argv = [a for a in sys.argv[1:] if a != "--window"]
+    sys.exit(
+        main(
+            argv[0] if argv else "/root/testdata/sf0.01",
+            window_only="--window" in sys.argv[1:],
+        )
+    )

@@ -68,6 +68,16 @@ def test_hostile_session_sweep() -> None:
     _run([sys.executable, "tests/hostile_sweep.py", _corpus("sf0.01")])
 
 
+def test_driver_window_sim() -> None:
+    """Exactly the current 50-entry driver window (PRIORITY +
+    PRIORITY_NEXT) on a hostile vanilla session, strict DuckDB compare —
+    the rotation-proof step that previously lived only in SCALE.md
+    prose (VERDICT r10 item 7).  A subset of the full hostile sweep,
+    but cheap enough (~4 min) to run at round START the moment the
+    PRIORITY rotation lands, before any code changes."""
+    _run([sys.executable, "tests/hostile_sweep.py", "--window", _corpus("sf0.01")])
+
+
 def test_size_sensitivity_sweep_sf0001() -> None:
     """Full oracle suite at sf0.001 — a different corpus size moves
     percentile interpolation points, even/odd median counts, and

@@ -45,19 +45,25 @@ def test_priority_oracle_coverage():
         if n not in registry.ORACLES
     }
     assert rows_only == {
-        # round-10 window (4 r9 streaming oracle upgrades + 2 r04-stale
-        # merge rows + b113 re-check + 42 of the r05 cohort + the b180
-        # addition): the
-        # declared rows-only entries, each with its own pytest
-        # invariants.  NOTE b23/b24/b58/b64 are NOT here — round 9
-        # upgraded them to exact oracles; driver-confirming those
-        # upgrades is this window's whole point (VERDICT r9 item 1).
-        # real pixel resize over fixture bytes (byte-exact pure-Python
-        # replay pins in tests/test_llmops.py)
-        "b32_ppm_resize",
-        # custom-state timeout eviction: update-mode emission order is
-        # engine-defined (eviction-set pins in tests/test_streaming.py)
-        "b126_state_timeout_eviction",
+        # round-11 window (8 r05-stale entries + 42 of the r06 cohort):
+        # the declared rows-only entries, each with its own pytest
+        # invariants.
+        # HLL sketch estimate — ±ε pins in tests/test_relational.py
+        "b10_approx_distinct",
+        # simhash near-dup — hamming-threshold heuristic, recall pins
+        "b29_simhash",
+        # streaming foreachBatch sink — side-effecting writer demo
+        "b135_stream_sink",
+        # IVF-PQ ADC search — approximate; ADC-identity + recall pins
+        "b137_pq_adc_search",
+        # transformWithState custom processor — update-mode emission
+        "b24_custom_stateful",
+        # n-gram langid heuristic — confusion-matrix pins
+        "b31_langid",
+        # text-file ingest connector — input_file_name/path metadata
+        "b36_file_ingest",
+        # envelope ingest e2e — error-channel divergence demo
+        "wildweb_envelope_e2e",
     }
 
 
@@ -114,6 +120,13 @@ def _last_checked() -> tuple[dict[str, int], int]:
 #: query MUST be in the current verification window.  VERDICT r9 item
 #: 5: this arithmetic previously lived in SCALE.md prose and registry
 #: comments, where it miscounted twice in round 9 — now it is a gate.
+#:
+#: ATOMICITY (ADVICE r10 item 2): committing a new CORRECTNESS_r*.json
+#: artifact and rotating registry.PRIORITY must happen in the SAME
+#: commit — an artifact-only commit makes this gate red by design (the
+#: forcing function firing, not a regression).  At round-start the
+#: driver may land the artifact outside the repo's own commits; in
+#: that case the round's FIRST commit is the rotation.
 MAX_DRIVER_ROW_AGE = 4
 
 
