@@ -471,40 +471,53 @@ def b113_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ranking then runs over the PART-cardinality rollup, not the
     fact table.  Through round 9 that ranking was a single-direction
     global window — the bounded-report shape, fine while the rollup
-    fits one partition.  This round it IS the b87-style two-phase
+    fits one partition.  Since round 10 it IS the b87-style two-phase
     prefix scan the old docstring promised (VERDICT r9 item 6):
-    bucket the rollup into 64 equal-width cents ranges (bounds via one
-    scalar driver hop, the b87 pattern — bucketing is internal, any
-    order-monotonic assignment preserves semantics), run the
+    bucket the rollup into 64 equal-width cents ranges, run the
     cumulative sum and row_number PER BUCKET in parallel, aggregate
     one (sum, count) row per bucket, take the exclusive prefix over
-    that ≤64-row summary (the only single-partition window), and
-    broadcast it back as per-bucket base offsets.  cum = base_cents +
-    local_cum and rk = base_rk + local_rk are exact because bucket b's
-    cents are strictly greater than bucket b+1's (equal-width ranges
-    on the DESC key are order-monotonic and ties share a bucket).
-    Exchange-visible shape pinned in tests/test_plans.py; oracle
-    unchanged."""
+    that ≤64-row summary (a single-partition window over ≤64 rows),
+    and broadcast it back as per-bucket base offsets.  cum =
+    base_cents + local_cum and rk = base_rk + local_rk are exact
+    because bucket b's cents are strictly greater than bucket b+1's
+    (equal-width ranges on the DESC key are order-monotonic and ties
+    share a bucket).
+
+    Round 11 (ADVICE r10 item 1): the bucket bounds moved from a
+    driver hop over a persisted rollup INTO the plan as a broadcast
+    scalar subquery — rev ⨝ broadcast(rev.agg(min,max)), a 1-row
+    BroadcastNestedLoopJoin.  That removes both the ownerless
+    rev.persist() (which leaked a cache entry per invocation in
+    long-lived sessions) and the separate bounds job: Catalyst's
+    ReusedExchange shares the single partkey-rollup shuffle across
+    all three consumers (bounds agg, per-bucket windows, bucket
+    summary), so lineitem is scanned and shuffled exactly once per
+    invocation with NO cache at all.  Exchange-visible shape pinned
+    in tests/test_plans.py; oracle unchanged."""
     li = table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
             "cents"
         )
-    ).persist()  # the bounds hop below materializes the rollup once;
-    # both downstream branches (per-bucket windows + bucket summary)
-    # then read the cache instead of re-shuffling lineitem (round-10
-    # review find: without this, the heaviest exchange ran twice).
-    # Part-cardinality-sized (~3 GB across a cluster at 100 TB), spills
-    # to disk if needed; bench clears cache between passes.
-    lo, hi = rev.agg(F.min("cents"), F.max("cents")).first()
-    if hi is None:  # empty corpus: keep the (empty) schema
-        lo, hi = 0, 0
+    )
     n_buckets = 64
-    width = max(1, (hi - lo + n_buckets) // n_buckets)
+    # 1-row bounds frame, broadcast-crossed into the rollup: stays in
+    # the same executed plan, so the rollup exchange below it is
+    # REUSED, not recomputed (and nothing is collected or cached).
+    bounds = rev.agg(F.min("cents").alias("_lo"), F.max("cents").alias("_hi"))
+    # greatest(1, ...) also covers the empty-corpus null bounds: rev
+    # has no rows then, so _b is never evaluated against real data.
+    # `div` (exact bigint floor-division) matches the Python `//` the
+    # monotonicity hypothesis pin replays — float floor() would drift
+    # past 2^53.
+    width = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr(f"(_hi - _lo + {n_buckets}) div {n_buckets}"),
+    )
     # ascending _b == descending cents range; ties (same cents) share a
     # bucket, so per-bucket (cents DESC, partkey) order IS global order
-    bucketed = rev.withColumn(
-        "_b", ((F.lit(hi) - F.col("cents")) / width).cast("int")
+    bucketed = rev.crossJoin(F.broadcast(bounds)).withColumn(
+        "_b", ((F.col("_hi") - F.col("cents")) / width).cast("int")
     )
 
     w_ord = Window.partitionBy("_b").orderBy(F.col("cents").desc(), "l_partkey")

@@ -93,7 +93,19 @@ def test_pareto_prefix_is_minimal_cover(spark, sf_dir):
     assert 5 * (covered - last.cents) < 4 * total
 
 
-def test_slice_overlap_symmetric_bounds(spark, sf_dir):
+def test_b113_empty_corpus_keeps_schema(spark, sf_dir, tmp_path):
+    """Round 11 moved b113's bucket bounds into the plan as a
+    broadcast agg(min,max) scalar subquery — on an EMPTY lineitem the
+    bounds row is (null, null) and the old Python-side `if hi is None`
+    guard is gone, so pin the replacement: null bounds flow through
+    greatest()/div without error and the result is empty with the
+    contracted schema."""
+    li = table(spark, sf_dir, "lineitem")
+    empty = str(tmp_path / "empty_sf")
+    li.limit(0).write.parquet(f"{empty}/lineitem.parquet")
+    out = registry.QUERIES["b113_pareto_coverage"](spark, empty)
+    assert [f.name for f in out.schema.fields] == ["l_partkey", "cents", "rk"]
+    assert out.count() == 0
     rows = registry.QUERIES["b128_slice_overlap"](spark, sf_dir).collect()
     assert rows
     for r in rows:

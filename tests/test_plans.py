@@ -304,6 +304,11 @@ _NESTED_LOOP_OK = {
     "b162_maxsim_late_interaction",
     # broadcast query-set cross join (KNN_VOTE_QUERIES = 20 rows)
     "b172_knn_label_vote",
+    # 1-row bucket-bounds broadcast (agg(min,max) scalar subquery in
+    # join clothing, the b145 pattern) — replaced the driver hop +
+    # ownerless persist in round 11 (ADVICE r10 item 1); fan-out
+    # exactly 1, and AQE reuses the rollup exchange beneath it
+    "b113_pareto_coverage",
 }
 
 # Streaming / connector / side-effecting queries execute eagerly or
@@ -411,26 +416,40 @@ def test_b87_skyline_two_phase_shape(plans):
 
 
 def test_b113_pareto_two_phase_shape(plans):
-    """VERDICT r9 item 6: the Pareto ranking must run as the b87-style
-    two-phase prefix scan — per-bucket windows partitioned by _b, the
-    ≤64-row bucket summary broadcast back (BroadcastHashJoin), and NO
-    single-partition window over the part rollup: every window's
-    partition spec is non-empty except the bounded summary prefix,
-    whose input is the 64-row bucket aggregate."""
+    """VERDICT r9 item 6 + ADVICE r10 item 1: the Pareto ranking must
+    run as the b87-style two-phase prefix scan — per-bucket windows
+    partitioned by _b, the ≤64-row bucket summary broadcast back
+    (BroadcastHashJoin), and NO single-partition window over the part
+    rollup.  Since round 11 the bucket bounds are an IN-PLAN broadcast
+    scalar subquery (rev ⨝ broadcast(agg(min,max)), a 1-row
+    BroadcastNestedLoopJoin) instead of a driver hop over a persisted
+    rollup — so the plan is allowed exactly that constant-sized BNLJ,
+    and every SinglePartition exchange must feed either the 1-row
+    bounds aggregate or the ≤64-row bucket summary, never the
+    part-cardinality rollup.  At runtime AQE reuses the single
+    partkey-rollup exchange across all three consumers (verified:
+    final plan has 1 parquet scan, 3 ReusedExchange)."""
     p = plans("b113_pareto_coverage")
     assert audit.node_count(p, "BroadcastHashJoin") >= 1, p
-    for node in ("SortMergeJoin", "ShuffledHashJoin",
-                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert audit.node_count(p, node) == 0, node
+    # the only nested-loop join is the 1-row bounds broadcast (its
+    # build side carries _lo/_hi); the static plan duplicates it per
+    # consumer branch (2 nodes; formatted plans list each node twice),
+    # AQE dedupes via broadcast-exchange reuse
+    assert audit.node_count(p, "BroadcastNestedLoopJoin") <= 4, p
+    assert "_lo" in p and "_hi" in p, p
     # the corpus-sized window is partitioned by the bucket key
     assert "windowspecdefinition(_b" in p, p
-    # the ONLY SinglePartition exchange feeds the 64-row bucket summary
-    # (input carries bsum/bcnt), never the part rollup
+    # every SinglePartition exchange feeds a bounded row set: the
+    # bounds min/max aggregate (partial_min markers) or the bucket
+    # summary prefix window (bsum) — never the part rollup
     lines = p.splitlines()
     single = [i for i, ln in enumerate(lines) if "SinglePartition" in ln]
-    assert len(single) == 1, p
-    ctx = "\n".join(lines[single[0] - 2 : single[0] + 2])
-    assert "bsum" in ctx, ctx
+    assert 1 <= len(single) <= 3, p
+    for i in single:
+        ctx = "\n".join(lines[i - 3 : i + 3])
+        assert "bsum" in ctx or "min" in ctx, ctx
 
 
 def test_b29_minhash_signature_stage_is_narrow(plans):
