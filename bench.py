@@ -173,10 +173,18 @@ BENCH_QUERIES = [
     # twin: it re-runs the already-benched b175 plus a SAMPLED exact
     # probe; its 16x scaling note lives in SCALE.md)
     "b178_quality_classifier",
-    # (b180_stream_stream_full_outer is not benched separately: its
-    # cost is the same fixed stream-stream join machinery b177 already
-    # represents — the full-outer shape adds only the eviction-time
-    # null emission; its 16x scaling note lives in SCALE.md)
+    # round-11 (VERDICT r10 item 8): b180 gets its own bench row after
+    # all — it shares b177's fixed stream-stream machinery, but the
+    # FULL-OUTER eviction-time null emission is the one cost b177
+    # can't represent, and a dedicated row makes it visible
+    # driver-to-driver.  Like b177 it tracks scheduler latency, not
+    # CPU (the md5 calibration can't normalize it).
+    "b180_stream_stream_full_outer",
+    # round-11: suffix-array-quality exact-substring dedup — the
+    # char-granularity sliding-window corpus frequency is the heaviest
+    # per-character explode in the engine (one 8-byte hash per corpus
+    # char); benched so regressions show
+    "b181_exact_substring",
     # (b179_stream_late_audit is not benched separately: its cost is
     # the same fixed multi-micro-batch scheduling machinery b177
     # already represents — the audit itself is free, observe() rides

@@ -1,0 +1,216 @@
+"""Suffix-array-quality EXACT-SUBSTRING dedup (SURVEY.md beyond-§2;
+VERDICT r10 item 3 — the round-11 upgrade of b139's K-gram-anchor
+approximation to the full ExactSubstr semantics of Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better").
+
+b139 (operators/text.py) deduplicates TOKEN-level spans repeated across
+>= 2 DISTINCT DOCUMENTS.  True suffix-array ExactSubstr differs in two
+ways, both closed here:
+
+1. granularity — spans are CHARACTER-level (the paper uses 50 bytes;
+   here ``EXSUB_K`` = 40 chars), so a duplicated phrase is caught even
+   when token boundaries disagree;
+2. occurrence counting — a span occurring at >= 2 distinct (doc, pos)
+   positions ANYWHERE in the corpus is a duplicate, including twice
+   within the SAME document and including self-overlapping repeats
+   (``aaaa…`` counts) — exactly what "appears more than once in the
+   suffix array of the concatenated corpus" means.
+
+Semantic equivalence to the suffix-array formulation (no approximation):
+a character position p is inside some duplicated span of length >= K
+iff p is covered by some duplicated K-char window — (⇐) any span of
+length >= K containing p contains a K-window around p, and every
+K-window of a duplicated span is itself duplicated; (⇒) a duplicated
+K-window IS a duplicated span of length K.  So the union of positions
+of duplicated K-windows equals the union of positions of maximal
+duplicated spans, which is precisely what ExactSubstr excises.  A
+suffix array is one ALGORITHM for finding that set; this operator
+computes the same set with corpus-wide group-bys instead.
+
+Scale (the reason NOT to build a distributed suffix array): both
+representations carry one entry per corpus character.  Prefix-doubling
+suffix-array construction is O(log n) full-corpus SORT rounds; the
+window-hash formulation is ONE map-side-combinable groupBy over 8-byte
+xxhash64 keys (phase 1), then string verification restricted to the
+zipfian-head survivors (phase 2) — candidates-then-verify, the same
+architecture as the MinHash/LSH stack.  Hashing costs O(n·K) here
+(each window hashes K chars JVM-side, whole-stage-codegen); at 100 TB
+swap phase 1's hash for a per-document Karp–Rabin ROLLING hash in a
+mapInPandas (O(n) total, parallel across documents) — the dataflow
+above it is unchanged.  The rewrite phase touches only documents that
+actually contain a duplicated span (the overwhelming minority), never
+re-exploding the clean corpus — b139's touched-only pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import lift_parallelism, table
+from ..registry import query
+
+#: Duplicated-span threshold, in characters (Lee et al. use 50 bytes;
+#: 40 chars keeps the synthetic corpus' planted duplicates in range).
+EXSUB_K = 40
+
+
+def exact_substring_dedup(d: DataFrame, k: int = EXSUB_K) -> DataFrame:
+    """ExactSubstr over any (doc_id, text) frame: every maximal
+    character span of length >= k whose text occurs at >= 2 distinct
+    (doc_id, position) corpus positions is excised from EVERY
+    occurrence.  Returns (doc_id, n_chars, n_removed, clean_text).
+
+    Separated from the registered query so the planted-span boundary
+    fixture (tests/test_llmops.py) drives the exact semantics — the
+    >=2-occurrences rule, the same-document repeat, the overlapping
+    self-repeat, and the k-1 boundary — against a pure-Python replay.
+    """
+    d = lift_parallelism(d, "doc_id")
+    n_chars = F.length("text")
+
+    # phase 1: candidate windows as 8-byte hashes — one row per char
+    # position, NEVER a materialized gram string; the corpus-wide
+    # frequency shuffle carries (gh) only.
+    positions = F.sequence(F.lit(1), n_chars - k + 1)
+    gh_stream = (
+        d.filter(n_chars >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    positions,
+                    lambda i: F.xxhash64(F.substring("text", i, F.lit(k))),
+                )
+            ).alias("i0", "gh"),
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "gh")
+    )
+    # >= 2 occurrences at distinct positions — count(*), NOT distinct
+    # docs: same-document and overlapping repeats are duplicates here.
+    # Plain count is map-side combinable; collisions only ADD phase-2
+    # verification work, never a wrong result.
+    cand = (
+        gh_stream.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gh")
+    )
+    surv = gh_stream.join(cand, "gh").select("doc_id", "i")
+
+    # phase 2: true strings for surviving positions only (zipfian-head
+    # sized), re-test >= 2 occurrences on the real substring.
+    grams = surv.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "i",
+        F.substring("text", F.col("i"), F.lit(k)).alias("gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + k - 1)).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+        # three consumers below and a corpus-wide shuffle in its
+        # lineage — materialize once (b139's localCheckpoint pattern;
+        # eager, context-cleaner-owned, no cacheManager entry)
+        .localCheckpoint(eager=True)
+    )
+
+    # touched-only rewrite: clean documents pass through as a narrow
+    # projection; only documents with a covered position are exploded
+    # to characters and reassembled.
+    touched = covered.select("doc_id").distinct()
+    untouched_out = d.join(touched, "doc_id", "left_anti").select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        F.lit(0).cast("bigint").alias("n_removed"),
+        F.col("text").alias("clean_text"),
+    )
+    chars_t = (
+        d.join(touched, "doc_id")
+        .select("doc_id", F.posexplode(F.split("text", "")).alias("pos0", "ch"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "ch")
+    )
+    kept = chars_t.join(covered, ["doc_id", "pos"], "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ch"))),
+                lambda s: s.ch,
+            ),
+            "",
+        ).alias("clean_text"),
+    )
+    touched_out = (
+        d.join(touched, "doc_id")
+        .select("doc_id", n_chars.cast("bigint").alias("n_chars"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.col("n_chars") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+    return untouched_out.unionByName(touched_out)
+
+
+@query(
+    "b181_exact_substring",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, CAST(u.i AS INTEGER) AS i,
+             substring(text, CAST(u.i AS INTEGER), {EXSUB_K}) AS gram
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, len(text) - {EXSUB_K} + 2)) AS i) u
+      WHERE len(text) >= {EXSUB_K}),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+    covered AS (
+      SELECT DISTINCT g.doc_id, CAST(u.pos AS INTEGER) AS pos
+      FROM grams g JOIN dup USING (gram),
+           LATERAL (SELECT unnest(range(g.i, g.i + {EXSUB_K})) AS pos) u),
+    chars AS (
+      SELECT doc_id, CAST(u.pos AS INTEGER) AS pos,
+             substring(text, CAST(u.pos AS INTEGER), 1) AS ch
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, len(text) + 1)) AS pos) u),
+    kept AS (
+      SELECT c.doc_id, c.pos, c.ch FROM chars c
+      WHERE NOT EXISTS (SELECT 1 FROM covered v
+                        WHERE v.doc_id = c.doc_id AND v.pos = c.pos))
+    SELECT d.doc_id,
+           CAST(len(d.text) AS BIGINT) AS n_chars,
+           CAST(len(d.text)
+                - COALESCE((SELECT count(*) FROM kept k
+                            WHERE k.doc_id = d.doc_id), 0) AS BIGINT)
+             AS n_removed,
+           COALESCE((SELECT string_agg(k.ch, '' ORDER BY k.pos)
+                     FROM kept k WHERE k.doc_id = d.doc_id), '')
+             AS clean_text
+    FROM documents d
+    """,
+)
+def b181_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-quality exact-substring dedup over the documents
+    table — see the module docstring for the semantics and the
+    equivalence argument, and ``exact_substring_dedup`` for the
+    dataflow.  The DuckDB oracle is the brute-force window formulation
+    (every K-char window, HAVING count(*) >= 2 — occurrences, not
+    distinct docs); the planted-span fixture in tests/test_llmops.py
+    pins the boundaries the corpus can't exercise (same-document
+    repeat, overlapping self-repeat, the K-1 near-miss)."""
+    return exact_substring_dedup(table(spark, sf_dir, "documents"))

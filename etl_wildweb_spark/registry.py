@@ -134,7 +134,10 @@ PRIORITY: list[str] = [
     "b17_date_funcs",
     "b18_math_funcs",
     "b19_array_funcs",
-    "b19_map_funcs",
+    # b19_map_funcs gave its slot to this round's b181 addition (the
+    # r10 precedent: the addition is driver-checked the round it
+    # registers); its same-file sibling b19_array_funcs stays in-window
+    # and the staleness gate forces b19_map_funcs into r12.
     "b20_json_funcs",
     "b21_sliding_window",
     "b22_session_window",
@@ -177,12 +180,16 @@ ADDITIONS_PER_ROUND_CAP = 10
 #: Candidates for the NEXT round's window: additions made this round
 #: (VERDICT r5 item 7: everything new enters PRIORITY_NEXT in the same
 #: commit that registers it).  Round 10's single addition (b180) got a
-#: green r10 driver row, so it rotates out; round 11 opens at
-#: PRIORITY==50 / PRIORITY_NEXT==[] — when this round's planned
-#: addition (the b139 suffix-array-quality exact-substring upgrade,
-#: VERDICT r10 item 3) registers, it enters here and one deferred-safe
-#: r06 entry moves out of PRIORITY to keep the sum at 50.
-PRIORITY_NEXT: list[str] = []
+#: green r10 driver row, so it rotates out.
+PRIORITY_NEXT: list[str] = [
+    # round-11: suffix-array-quality exact-substring dedup (VERDICT
+    # r10 item 3) — closes b139's two documented gaps vs ExactSubstr
+    # (character granularity; >=2 occurrences ANYWHERE incl. the same
+    # document and self-overlaps), exact-oracled from birth via the
+    # brute-force window SQL, boundary semantics pinned by the
+    # planted-span fixture in tests/test_llmops.py
+    "b181_exact_substring",
+]
 
 
 def ordered_queries() -> dict[str, QueryFn]:
@@ -206,6 +213,7 @@ def load_all() -> None:
         skew,
         corpus,
         dedup,
+        exact_substring,
         geo,
         merge,
         mining,

@@ -642,6 +642,69 @@ def test_b139_substring_dedup_planted_spans(spark):
     assert out[9] == (9, 6, "r1 r2 r3")
 
 
+def _exsub_replay(texts: dict[int, str], k: int) -> dict[int, tuple]:
+    """Brute-force ExactSubstr replay: every k-char window, duplicated
+    iff it occurs at >= 2 distinct (doc, pos) positions (same doc and
+    overlapping included); covered positions excised."""
+    from collections import Counter
+
+    occ = Counter()
+    for t in texts.values():
+        for i in range(len(t) - k + 1):
+            occ[t[i : i + k]] += 1
+    out = {}
+    for d, t in texts.items():
+        cov = set()
+        for i in range(len(t) - k + 1):
+            if occ[t[i : i + k]] >= 2:
+                cov.update(range(i, i + k))
+        clean = "".join(c for j, c in enumerate(t) if j not in cov)
+        out[d] = (len(t), len(cov), clean)
+    return out
+
+
+def test_b181_exact_substring_planted_spans(spark):
+    """Suffix-array-quality boundary semantics on planted duplicates
+    (k=4, char-level): an exactly-k cross-doc span is excised from
+    both docs, a (k-1) span is kept, a longer span is removed in FULL;
+    and the two deltas vs b139's cross-doc token rule are load-bearing
+    — a span repeated twice WITHIN one document is excised, and an
+    overlapping self-repeat ('aaaaaa') empties out because every
+    window occurs at >= 2 distinct positions.  The whole fixture is
+    also checked against a pure-Python brute-force replay."""
+    from etl_wildweb_spark.operators.exact_substring import (
+        exact_substring_dedup,
+    )
+
+    docs = {
+        1: "xyzSPAN4uv",      # exactly-k span shared with 2
+        2: "qSPAN4rst",
+        3: "abWXYcd",         # (k-1) span shared with 4 — kept
+        4: "WXYefgh",
+        5: "mnDUPXdupzDUPXo",  # same-document repeat (b139-invisible)
+        6: "aaaaaa",           # overlapping self-repeat — empties out
+        7: "pq",               # shorter than k — untouched
+        8: "12LONGSPAN634",    # (k+5)-span shared with 9 — maximal
+        9: "LONGSPAN6zw",
+    }
+    d = spark.createDataFrame(
+        sorted(docs.items()), "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_chars"], r["n_removed"], r["clean_text"])
+        for r in exact_substring_dedup(d, k=4).collect()
+    }
+    assert out == _exsub_replay(docs, 4)
+    # the hand-checked boundary rows, so a replay bug can't hide both
+    assert out[1] == (10, 5, "xyzuv")         # SPAN4 excised
+    assert out[3] == (7, 0, "abWXYcd")        # below threshold: kept
+    assert out[5] == (15, 8, "mndupzo")       # SAME-DOC repeat excised
+    assert out[6] == (6, 6, "")               # self-overlap empties out
+    assert out[7] == (2, 0, "pq")             # sub-k untouched
+    assert out[8] == (13, 9, "1234")          # maximal span, full width
+    assert out[9] == (11, 9, "zw")
+
+
 def test_b144_no_near_dup_pair_straddles_splits(spark, sf_dir):
     """b144's whole point, pinned edge-by-edge: for EVERY exact n-gram
     Jaccard near-dup pair, both endpoints land in the same split; and
