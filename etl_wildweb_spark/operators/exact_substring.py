@@ -46,6 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import lift_parallelism, table
 from ..registry import query
@@ -88,31 +89,40 @@ def exact_substring_dedup(d: DataFrame, k: int = EXSUB_K) -> DataFrame:
     )
     # >= 2 occurrences at distinct positions — count(*), NOT distinct
     # docs: same-document and overlapping repeats are duplicates here.
-    # Plain count is map-side combinable; collisions only ADD phase-2
-    # verification work, never a wrong result.
-    cand = (
-        gh_stream.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # The test runs as count-over-window BY gh, not groupBy + join
+    # back: a groupBy produces only the duplicated KEYS, and rejoining
+    # them to recover positions shuffles the full stream a SECOND time
+    # and recomputes the hash stage under the probe (measured 3x
+    # slower at the 16x sweep once the candidate set outgrows the
+    # broadcast threshold — SCALE.md round 11).  The window shuffles
+    # the stream exactly once, keyed by gh; collisions only ADD
+    # phase-2 verification work, never a wrong result.  Skew note: a
+    # pathologically frequent gram makes one hot gh partition — the
+    # identical hot key would sit on one reducer under the groupBy
+    # formulation too; the escape at 100 TB is a two-level salted
+    # count (per-(gh, salt) partials, summed by a bounded second
+    # pass), the b73 pattern.
+    w_gh = Window.partitionBy("gh")
+    surv = (
+        gh_stream.withColumn("n", F.count(F.lit(1)).over(w_gh))
         .filter(F.col("n") >= 2)
-        .select("gh")
+        .select("doc_id", "i")
     )
-    surv = gh_stream.join(cand, "gh").select("doc_id", "i")
 
     # phase 2: true strings for surviving positions only (zipfian-head
-    # sized), re-test >= 2 occurrences on the real substring.
+    # sized), re-test >= 2 occurrences on the real substring — same
+    # one-shuffle window, keyed by the gram text.  The join back to d
+    # re-reads only texts of documents holding a surviving position;
+    # its shuffle is survivor-volume + one pass of the doc table,
+    # co-partitioned on doc_id with the rewrite stages below.
     grams = surv.join(d.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         "i",
         F.substring("text", F.col("i"), F.lit(k)).alias("gram"),
     )
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("gram")
-    )
     covered = (
-        grams.join(dup, "gram")
+        grams.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+        .filter(F.col("n") >= 2)
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("i"), F.col("i") + k - 1)).alias(
