@@ -72,6 +72,13 @@ def main(sf_dir: str, window_only: bool = False) -> int:
         except Exception as e:  # noqa: BLE001 — report and continue
             failures.append((name, f"{type(e).__name__}: {e}"))
             print(f"RED {name}: {failures[-1][1][:400]}", flush=True)
+        finally:
+            # queries that cache multi-consumer intermediates (the
+            # minhash/ngram shingle frames, connector fetches) have no
+            # post-materialization unpersist point — the sweep owns the
+            # session, so it owns cache cleanup (ADVICE r10 item 1's
+            # harness-side option; bench.py already does this per pass)
+            spark.catalog.clearCache()
         if (i + 1) % 50 == 0:
             print(f"... {i + 1}/{len(qs)} ({n_ok} green)", flush=True)
     n_oracle = sum(1 for n in qs if n in oracles)

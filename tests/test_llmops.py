@@ -705,6 +705,38 @@ def test_b181_exact_substring_planted_spans(spark):
     assert out[9] == (11, 9, "zw")
 
 
+def test_b181_randomized_differential(spark):
+    """Seeded randomized differential for the suffix-array semantics:
+    small corpora over a 3-char alphabet (maximal duplicate / overlap /
+    collision density — most 4-grams occur many times, docs repeat
+    themselves, spans straddle doc boundaries in every combination),
+    each corpus strict-compared to the brute-force Python replay.  The
+    planted fixture pins the RULES; this pins their composition on
+    adversarial data (the r10 randomized-differential pattern)."""
+    import random
+
+    from etl_wildweb_spark.operators.exact_substring import (
+        exact_substring_dedup,
+    )
+
+    for seed in (3, 17, 42):
+        rng = random.Random(seed)
+        texts = {
+            did: "".join(
+                rng.choice("abc") for _ in range(rng.randrange(0, 26))
+            )
+            for did in range(1, 13)
+        }
+        d = spark.createDataFrame(
+            sorted(texts.items()), "doc_id bigint, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_chars"], r["n_removed"], r["clean_text"])
+            for r in exact_substring_dedup(d, k=4).collect()
+        }
+        assert got == _exsub_replay(texts, 4), seed
+
+
 def test_b144_no_near_dup_pair_straddles_splits(spark, sf_dir):
     """b144's whole point, pinned edge-by-edge: for EVERY exact n-gram
     Jaccard near-dup pair, both endpoints land in the same split; and
