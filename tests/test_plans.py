@@ -249,6 +249,10 @@ _SHUFFLE_BUDGET = {
     #   hash-freq pass run over duplicated-span volume, not corpus)
     "b142_concat_chunk": 5,      # shard totals + 16-row offset window (lazy,
     #   replaced the driver-side cumulation) + shard window + chunk agg
+    "b181_exact_substring": 7,   # rewrite-phase lineage (phase 1/2 run at
+    #   build time behind the covered localCheckpoint, like b139):
+    #   touched distinct + char-explode joins + doc agg — all over
+    #   duplicated-span volume, not corpus volume
 }
 
 
