@@ -156,6 +156,12 @@ def exact_substring_dedup(
     >=2-occurrences rule, the same-document repeat, the overlapping
     self-repeat, and the k-1 boundary — against a pure-Python replay.
     """
+    # NULL text normalizes to '' up front: without this the two
+    # phase-1 paths diverge (the JVM length() filter silently drops a
+    # null row; the Arrow batch join would raise on it) and the output
+    # row would carry NULL n_chars/clean_text — a (0, 0, '') row is
+    # the consistent answer, matching the oracle's COALESCE.
+    d = d.withColumn("text", F.coalesce("text", F.lit("")))
     d = lift_parallelism(d, "doc_id")
     n_chars = F.length("text")
 
@@ -287,10 +293,12 @@ def exact_substring_dedup(
 @query(
     "b181_exact_substring",
     oracle=f"""
-    WITH grams AS (
+    WITH docs AS (
+      SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    grams AS (
       SELECT doc_id, CAST(u.i AS INTEGER) AS i,
              substring(text, CAST(u.i AS INTEGER), {EXSUB_K}) AS gram
-      FROM documents,
+      FROM docs,
            LATERAL (SELECT unnest(range(1, len(text) - {EXSUB_K} + 2)) AS i) u
       WHERE len(text) >= {EXSUB_K}),
     dup AS (
@@ -302,7 +310,7 @@ def exact_substring_dedup(
     chars AS (
       SELECT doc_id, CAST(u.pos AS INTEGER) AS pos,
              substring(text, CAST(u.pos AS INTEGER), 1) AS ch
-      FROM documents,
+      FROM docs,
            LATERAL (SELECT unnest(range(1, len(text) + 1)) AS pos) u),
     kept AS (
       SELECT c.doc_id, c.pos, c.ch FROM chars c
@@ -317,7 +325,7 @@ def exact_substring_dedup(
            COALESCE((SELECT string_agg(k.ch, '' ORDER BY k.pos)
                      FROM kept k WHERE k.doc_id = d.doc_id), '')
              AS clean_text
-    FROM documents d
+    FROM docs d
     """,
 )
 def b181_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -101,12 +101,14 @@ def capabilities(
 #: as the CORRECTNESS_r10 artifact so the staleness gate flips red →
 #: green atomically — ADVICE r10 item 2): first the eight r05 entries
 #: the r10 window deliberately deferred (the gate names exactly this
-#: set), then 42 of the 47-entry r06 cohort (next-oldest driver rows).
-#: Five r06 entries defer to r12, each with a same-file direct sibling
+#: set), then 41 of the 47-entry r06 cohort (next-oldest driver rows)
+#: = 49, plus the b181 addition in PRIORITY_NEXT = the 50-slot window.
+#: SIX r06 entries defer to r12, each with a same-file direct sibling
 #: in-window this round (b14_topk_global ↔ b14_topk_per_group,
 #: b34_hash_sample ↔ b34_stratified_sample/b34_weighted_mix,
 #: b31_term_freq/b31_lang_stats ↔ six other b31 entries,
-#: b11_pivot ↔ b11_grouping_sets/b11_time_rollup/b11_rollup/b11_cube);
+#: b11_pivot ↔ b11_grouping_sets/b11_time_rollup/b11_rollup/b11_cube,
+#: b19_map_funcs ↔ b19_array_funcs — it gave its slot to b181);
 #: the staleness gate forces them into r12's window the moment
 #: CORRECTNESS_r11 lands — that red-at-round-start is the designed
 #: forcing function, not a regression.

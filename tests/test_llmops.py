@@ -771,16 +771,20 @@ def test_b181_rolling_phase1_equivalence(spark, sf_dir):
         want = want - (1 << 64) if want >= (1 << 63) else want
         assert got[i + 1] == want, i
 
-    # 2) result equivalence on adversarial corpora
+    # 2) result equivalence on adversarial corpora — including a NULL
+    # text row, which both paths must normalize to the (0, 0, '') row
+    # (review find: the raw JVM length() filter silently dropped it
+    # while the Arrow batch path raised on it)
     rng = random.Random(7)
     texts = {
         did: "".join(rng.choice("abc") for _ in range(rng.randrange(0, 26)))
         for did in range(1, 13)
     }
+    null_corpus = spark.createDataFrame(
+        sorted(texts.items()) + [(99, None)], "doc_id bigint, text string"
+    )
     for corpus in (
-        spark.createDataFrame(
-            sorted(texts.items()), "doc_id bigint, text string"
-        ),
+        null_corpus,
         None,  # sf corpus below
     ):
         if corpus is None:
@@ -801,6 +805,8 @@ def test_b181_rolling_phase1_equivalence(spark, sf_dir):
             ).collect()
         }
         assert ref == alt
+        if kk == 4:  # the random corpus carries the planted NULL row
+            assert ref[99] == (0, 0, "")
 
 
 def test_b144_no_near_dup_pair_straddles_splits(spark, sf_dir):

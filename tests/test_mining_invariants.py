@@ -106,6 +106,9 @@ def test_b113_empty_corpus_keeps_schema(spark, sf_dir, tmp_path):
     out = registry.QUERIES["b113_pareto_coverage"](spark, empty)
     assert [f.name for f in out.schema.fields] == ["l_partkey", "cents", "rk"]
     assert out.count() == 0
+
+
+def test_slice_overlap_symmetric_bounds(spark, sf_dir):
     rows = registry.QUERIES["b128_slice_overlap"](spark, sf_dir).collect()
     assert rows
     for r in rows:
