@@ -186,3 +186,58 @@ def test_b80_digitless_props_get_untagged_channel(spark, sf_dir, tmp_path):
     got = {r.channel: r.n_purchases
            for r in registry.QUERIES[name](spark, planted).collect()}
     assert got.get("untagged") == 1, got  # user 1's purchase
+
+
+def test_b08_asof_family_randomized_tie_differential(spark, sf_dir, tmp_path):
+    """Seeded randomized tie-dense differential over the four as-of
+    variants this round's window re-confirms (b05–b08 were the
+    r05-stale cohort): coarse timestamps manufacture heavy same-user
+    ts ties (the (ts, event_id) tiebreak is each window variant's
+    pinned subtlety), several orders share one (custkey, orderdate)
+    (the packed max_by tiebreak), and events land exactly AT order-date
+    midnights (the DATE <= TIMESTAMP boundary).  Full strict oracle
+    parity on the planted corpus for all four."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(23)
+    base = dt.datetime(2024, 5, 1)
+    # six coarse instants incl. two exact midnights → dense ts ties
+    instants = [
+        base,
+        base + dt.timedelta(hours=6),
+        base + dt.timedelta(hours=6),  # doubled: even denser ties
+        base + dt.timedelta(days=1),
+        base + dt.timedelta(days=1, hours=12),
+        base + dt.timedelta(days=2, minutes=1),
+    ]
+    ev_rows = [
+        (eid, rng.choice(instants), rng.randrange(1, 15),
+         rng.choice(["view", "purchase"]), 1.0)
+        for eid in range(1, 121)
+    ]
+    ev = _events([(e, t.isoformat(), u, ty, v) for e, t, u, ty, v in ev_rows])
+    dates = [dt.date(2024, 4, 29), dt.date(2024, 5, 1),
+             dt.date(2024, 5, 2), dt.date(2024, 5, 3)]
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": pd.array(range(1, 81), dtype="int64"),
+            # custkey drawn from HALF the event users (some events have
+            # no as-of match) and repeated per date (max_by tiebreak)
+            "o_custkey": pd.array(
+                [rng.randrange(1, 8) for _ in range(80)], dtype="int64"
+            ),
+            "o_orderdate": [rng.choice(dates) for _ in range(80)],
+            "o_totalprice": [float(rng.randrange(100, 900)) for _ in range(80)],
+        }
+    )
+    planted = _planted_dir(tmp_path, sf_dir, {"events": ev, "orders": orders})
+    for name in (
+        "b08_join_asof",
+        "b08_asof_forward",
+        "b08_asof_tolerance",
+        "b08_asof_payload",
+    ):
+        compare(
+            spark, planted, name, registry.QUERIES[name], registry.ORACLES[name]
+        )
