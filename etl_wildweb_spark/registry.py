@@ -101,17 +101,20 @@ def capabilities(
 #: as the CORRECTNESS_r10 artifact so the staleness gate flips red →
 #: green atomically — ADVICE r10 item 2): first the eight r05 entries
 #: the r10 window deliberately deferred (the gate names exactly this
-#: set), then 41 of the 47-entry r06 cohort (next-oldest driver rows)
-#: = 49, plus the b181 addition in PRIORITY_NEXT = the 50-slot window.
-#: SIX r06 entries defer to r12, each with a same-file direct sibling
-#: in-window this round (b14_topk_global ↔ b14_topk_per_group,
+#: set), then 40 of the 47-entry r06 cohort (next-oldest driver rows),
+#: then b72 (its exact-gap session boundary rule changed this round —
+#: modified queries re-enter the window) = 49, plus the b181 addition
+#: in PRIORITY_NEXT = the 50-slot window.  SEVEN r06 entries defer to
+#: r12, each with a same-file direct sibling in-window this round
+#: (b14_topk_global ↔ b14_topk_per_group,
 #: b34_hash_sample ↔ b34_stratified_sample/b34_weighted_mix,
 #: b31_term_freq/b31_lang_stats ↔ six other b31 entries,
 #: b11_pivot ↔ b11_grouping_sets/b11_time_rollup/b11_rollup/b11_cube,
-#: b19_map_funcs ↔ b19_array_funcs — it gave its slot to b181);
-#: the staleness gate forces them into r12's window the moment
-#: CORRECTNESS_r11 lands — that red-at-round-start is the designed
-#: forcing function, not a regression.
+#: b19_map_funcs ↔ b19_array_funcs — it gave its slot to b181,
+#: b23_stream_static_join ↔ b21/b22/b23_stream_stream/b24 — its slot
+#: went to b72); the staleness gate forces them into r12's window the
+#: moment CORRECTNESS_r11 lands — that red-at-round-start is the
+#: designed forcing function, not a regression.
 PRIORITY: list[str] = [
     # -- the r05 cohort remainder: the staleness gate's named set
     #    (VERDICT r10 item 1 — this outranks everything) --
@@ -143,8 +146,13 @@ PRIORITY: list[str] = [
     "b20_json_funcs",
     "b21_sliding_window",
     "b22_session_window",
-    "b23_stream_static_join",
+    # b23_stream_static_join defers to r12 (same-file siblings
+    # b21_sliding/b22_session/b23_stream_stream/b24_custom in-window);
+    # its slot goes to b72, whose exact-gap boundary rule CHANGED this
+    # round (windows.py/stateful.py session fix) — modified queries
+    # re-enter the window the round they change.
     "b23_stream_stream_join",
+    "b72_stateful_sessionize",
     "b24_custom_stateful",
     "b25_pandas_udf",
     "b26_pandas_udaf",

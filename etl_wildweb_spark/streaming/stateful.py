@@ -434,7 +434,12 @@ SESS_OUT = "user_id bigint, session_start_us bigint, n_events bigint, seq int"
 SESS_STATE = (
     "starts array<bigint>, ends array<bigint>, counts array<bigint>, seq int"
 )
-#: Same 5-minute gap as b22_session_window (strictly-less merges).
+#: Same 5-minute gap as b22_session_window.  INCLUSIVE at exactly the
+#: gap: Spark's session_window extends a session for an event landing
+#: precisely at its end (probed round 11, boundary plant in
+#: tests/test_streaming.py) — so the custom fold merges on <= and the
+#: oracle splits only on strictly-greater gaps, or the
+#: snapshot==session_window invariant breaks on exact-gap corpora.
 _SESS_GAP_US = 5 * 60 * 1_000_000
 
 
@@ -477,7 +482,7 @@ def sessionize_progress(
     items.sort()
     merged: list[tuple[int, int, int]] = []
     for s, e, c in items:
-        if merged and s - merged[-1][1] < _SESS_GAP_US:
+        if merged and s - merged[-1][1] <= _SESS_GAP_US:
             ps, pe, pc = merged[-1]
             merged[-1] = (ps, max(pe, e), pc + c)
         else:
@@ -507,7 +512,7 @@ def sessionize_progress(
     WITH marked AS (
         SELECT user_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
-                      OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                      OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
                     THEN 1 ELSE 0 END AS brk
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -537,7 +542,9 @@ def b72_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete session set — so the emitted rows are a pure function of
     the data (the classic lag/island construction, b22's oracle with
     µs output).  Break condition mirrored exactly: a new session
-    starts when ts − prev ≥ 5 min (the fold merges on strict <)."""
+    starts only when ts − prev > 5 min — INCLUSIVE at exactly the gap,
+    matching session_window's probed rule (the fold merges on <=;
+    round-11 boundary plant)."""
     stream, chunk_dir = _chunked_events_stream(spark, sf_dir)
     try:
         updates = stream.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(

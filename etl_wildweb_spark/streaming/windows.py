@@ -177,7 +177,7 @@ def b21_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
         SELECT user_id, ts, value,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         >= INTERVAL 5 MINUTE
+                         > INTERVAL 5 MINUTE
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -194,8 +194,14 @@ def b21_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b22_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B22: session windows with a 5-minute gap.  Spark's session_window
-    merges events whose gap is < 5 min; the oracle reproduces that with
-    the classic lag/cumulative-flag island construction."""
+    merges events whose gap is <= 5 min — INCLUSIVE at exactly the gap
+    (probed round 11: an event landing precisely at the previous
+    session's end extends it; +1 µs starts a new one; boundary plant in
+    tests/test_streaming.py) — and the oracle reproduces that with the
+    classic lag/cumulative-flag island construction, splitting only on
+    strictly-greater gaps.  The µs-resolution corpus never produces an
+    exact-gap pair, which is how the pre-r11 strict-split oracle stayed
+    green for ten rounds."""
     e = table(spark, sf_dir, "events")
     return (
         e.groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))

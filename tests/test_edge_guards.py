@@ -241,3 +241,48 @@ def test_b08_asof_family_randomized_tie_differential(spark, sf_dir, tmp_path):
         compare(
             spark, planted, name, registry.QUERIES[name], registry.ORACLES[name]
         )
+
+
+def test_b12_b14_rank_family_tie_dense_differential(spark, sf_dir, tmp_path):
+    """Tie-dense planted differential over the ranking family in this
+    round's window (b12 ranks, b14 top-k per group/global): acctbals
+    and totalprices drawn from THREE values, so nearly every window
+    frame is one long tie run — rank/dense_rank tie plateaus, ntile
+    cut points inside tie runs, WindowGroupLimit's partial top-k under
+    ties, and TakeOrderedAndProject's k-set under ties all resolve
+    through the pinned unique-key tiebreaks or tie-stability rules.
+    Full strict oracle parity on the planted corpus for all three."""
+    import random
+
+    rng = random.Random(31)
+    n = 120
+    customer = pd.DataFrame(
+        {
+            "c_custkey": pd.array(range(1, n + 1), dtype="int64"),
+            "c_name": [f"c{i}" for i in range(1, n + 1)],
+            "c_nationkey": pd.array(
+                [rng.randrange(0, 4) for _ in range(n)], dtype="int32"
+            ),
+            "c_acctbal": [rng.choice([100.0, 250.5, 999.0]) for _ in range(n)],
+            "c_mktsegment": ["BUILDING"] * n,
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": pd.array(range(1, n + 1), dtype="int64"),
+            "o_custkey": pd.array(
+                [rng.randrange(1, 30) for _ in range(n)], dtype="int64"
+            ),
+            "o_orderpriority": [
+                rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"]) for _ in range(n)
+            ],
+            "o_totalprice": [rng.choice([10.0, 20.0, 30.0]) for _ in range(n)],
+        }
+    )
+    planted = _planted_dir(
+        tmp_path, sf_dir, {"customer": customer, "orders": orders}
+    )
+    for name in ("b12_window_rank", "b14_topk_per_group", "b14_topk_global"):
+        compare(
+            spark, planted, name, registry.QUERIES[name], registry.ORACLES[name]
+        )

@@ -90,6 +90,88 @@ def test_session_window_stream_equals_batch(spark, sf_dir):
     assert got == want
 
 
+def test_session_window_exact_gap_boundary(spark, tmp_path):
+    """Probed round 11: session_window's merge rule is INCLUSIVE at
+    exactly the gap — an event landing precisely at the previous
+    session's end (prev_ts + 5 min, to the microsecond) EXTENDS the
+    session; +1 µs starts a new one; −1 µs obviously merges.  The
+    µs-resolution corpus never produces an exact-gap pair, so this
+    plant is the only thing standing between the oracle's strict-split
+    formulation (the pre-r11 bug) and ten more green rounds of it.
+    Both the engine emission set and oracle agreement are pinned."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    import duckdb
+
+    from .oracle_utils import rows_multiset
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    gap = dt.timedelta(minutes=5)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # user 1: exact-gap chain of three — ONE session of 3
+        (1, t0, 1), (2, t0 + gap, 1), (3, t0 + 2 * gap, 1),
+        # user 2: gap − 1 µs — merges
+        (4, t0, 2), (5, t0 + gap - us, 2),
+        # user 3: gap + 1 µs — splits
+        (6, t0, 3), (7, t0 + gap + us, 3),
+    ]
+    df = spark.createDataFrame(
+        [(e, ts, u, "view", 1.0, "{}") for e, ts, u in rows],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    d = str(tmp_path / "sessb")
+    os.makedirs(d)
+    st = os.path.join(d, "_s")
+    df.coalesce(1).write.parquet(st)
+    shutil.copy(
+        glob.glob(os.path.join(st, "part-*.parquet"))[0],
+        os.path.join(d, "events.parquet"),
+    )
+    shutil.rmtree(st)
+
+    out = registry.QUERIES["b22_session_window"](spark, d)
+    got = {
+        (r.user_id, r.session_start, r.n_events) for r in out.collect()
+    }
+    assert got == {
+        (1, t0, 3),                       # inclusive boundary ×2 merged
+        (2, t0, 2),                       # sub-gap merged
+        (3, t0, 1), (3, t0 + gap + us, 1),  # over-gap split
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    res = con.execute(registry.ORACLES["b22_session_window"])
+    d_cols = [c[0] for c in res.description]
+    d_rows = res.fetchall()
+    s_rows = [tuple(r) for r in out.collect()]
+    assert rows_multiset(list(out.columns), s_rows) == rows_multiset(
+        d_cols, d_rows
+    )
+
+    # b72's custom interval fold must agree with session_window AND
+    # its own oracle at the same boundaries (it split at exactly-gap
+    # until round 11 — the fold merged on strict <)
+    out72 = registry.QUERIES["b72_stateful_sessionize"](spark, d)
+    got72 = {
+        (r.user_id, r.session_start_us, r.n_events) for r in out72.collect()
+    }
+    us_of = lambda t: int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)  # noqa: E731
+    assert got72 == {
+        (u, us_of(ts), n) for (u, ts, n) in got
+    }
+    res = con.execute(registry.ORACLES["b72_stateful_sessionize"])
+    assert rows_multiset(
+        list(out72.columns), [tuple(r) for r in out72.collect()]
+    ) == rows_multiset([c[0] for c in res.description], res.fetchall())
+
+
 def test_custom_stateful_equals_batch_agg(spark, sf_dir):
     # final cross-batch state per user must equal the batch aggregate
     out = registry.QUERIES["b24_custom_stateful"](spark, sf_dir)
