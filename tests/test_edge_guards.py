@@ -286,3 +286,55 @@ def test_b12_b14_rank_family_tie_dense_differential(spark, sf_dir, tmp_path):
         compare(
             spark, planted, name, registry.QUERIES[name], registry.ORACLES[name]
         )
+
+
+def test_boundary_dense_events_differential(spark, sf_dir, tmp_path):
+    """One boundary-dense planted events corpus strict-compared across
+    the hand-rolled-construction oracle family (round 11, written
+    after the session-gap find proved these boundaries are exactly
+    where oracles rot): exactly-touching 300 s coverage intervals and
+    ±1 µs on either side (b77's island touch rule), duplicate
+    timestamps (ordering ties everywhere), midnight-straddling
+    day-streak events (b118), events exactly 7 days apart ±1 µs (b74's
+    range-frame edge), plus jitter filler.  The session family's own
+    plant lives in tests/test_streaming.py."""
+    import datetime as dt
+    import random
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    s300 = dt.timedelta(seconds=300)
+    rng = random.Random(5)
+    rows = []
+
+    def add(t, u, ty="view", v=1.0):
+        # datetime objects, not isoformat strings: pd.to_datetime
+        # rejects a MIX of with/without-microsecond strings
+        rows.append((len(rows) + 1, t, u, ty, v))
+
+    add(t0, 1); add(t0 + s300, 1); add(t0 + 2 * s300, 1); add(t0 + 2 * s300, 1)
+    add(t0, 2); add(t0 + s300 + us, 2)
+    add(t0 + 3 * s300, 2); add(t0 + 4 * s300 - us, 2)
+    for dd in range(3):
+        add(dt.datetime(2024, 3, 1 + dd, 23, 59, 59, 999999), 3)
+        add(dt.datetime(2024, 3, 2 + dd, 0, 0, 0), 3)
+    add(t0, 4, "purchase", 10.0)
+    add(t0 + dt.timedelta(days=7), 4, "purchase", 20.0)
+    add(t0 + dt.timedelta(days=7) + us, 4, "purchase", 30.0)
+    for _ in range(30):
+        add(t0 + dt.timedelta(minutes=rng.randrange(0, 2000)), 5,
+            rng.choice(["view", "purchase"]), rng.choice([1.0, 2.5]))
+
+    planted = _planted_dir(tmp_path, sf_dir, {"events": _events(rows)})
+    for name in (
+        "b77_interval_union",
+        "b118_longest_streak",
+        "b119_clamped_balance",
+        "b74_rolling_features",
+        "b121_linear_interpolate",
+        "b125_seasonal_anomaly",
+        "b116_bounce_rate",
+    ):
+        compare(
+            spark, planted, name, registry.QUERIES[name], registry.ORACLES[name]
+        )
