@@ -334,6 +334,9 @@ def test_boundary_dense_events_differential(spark, sf_dir, tmp_path):
         "b121_linear_interpolate",
         "b125_seasonal_anomaly",
         "b116_bounce_rate",
+        # the 300 s chain lands events at exact window/slide starts
+        "b21_tumbling_window",
+        "b21_sliding_window",
     ):
         compare(
             spark, planted, name, registry.QUERIES[name], registry.ORACLES[name]
