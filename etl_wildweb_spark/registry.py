@@ -94,89 +94,76 @@ def capabilities(
 
 #: Explicit verification-priority order.  The driver's correctness
 #: harness checks the FIRST 50 entries of ``__spark_entry__.queries()``
-#: (dict insertion order) per round.  Round 10's window, per VERDICT r9
-#: items 1/2/3: FIRST the four round-9 streaming oracle upgrades whose
-#: new exact oracles have never been driver-hash-checked
-#: ROUND 11 window (VERDICT r10 items 1–2, landed in the SAME commit
-#: as the CORRECTNESS_r10 artifact so the staleness gate flips red →
-#: green atomically — ADVICE r10 item 2): first the eight r05 entries
-#: the r10 window deliberately deferred (the gate names exactly this
-#: set), then 40 of the 47-entry r06 cohort (next-oldest driver rows),
-#: then b72 (its exact-gap session boundary rule changed this round —
-#: modified queries re-enter the window) = 49, plus the b181 addition
-#: in PRIORITY_NEXT = the 50-slot window.  SEVEN r06 entries defer to
-#: r12, each with a same-file direct sibling in-window this round
-#: (b14_topk_global ↔ b14_topk_per_group,
-#: b34_hash_sample ↔ b34_stratified_sample/b34_weighted_mix,
-#: b31_term_freq/b31_lang_stats ↔ six other b31 entries,
-#: b11_pivot ↔ b11_grouping_sets/b11_time_rollup/b11_rollup/b11_cube,
-#: b19_map_funcs ↔ b19_array_funcs — it gave its slot to b181,
-#: b23_stream_static_join ↔ b21/b22/b23_stream_stream/b24 — its slot
-#: went to b72); the staleness gate forces them into r12's window the
-#: moment CORRECTNESS_r11 lands — that red-at-round-start is the
-#: designed forcing function, not a regression.
+#: (dict insertion order) per round.
+#: ROUND 12 window (VERDICT r11 items 1–3, landed in the round's FIRST
+#: commit so the staleness gate flips red → green atomically):
+#: first the seven r06 deferrals the gate names (b11_pivot,
+#: b14_topk_global, b19_map_funcs, b23_stream_static_join,
+#: b31_lang_stats, b31_term_freq, b34_hash_sample), then the three
+#: queries whose code is planned to change this round (modified
+#: queries re-enter the window the round they change: b113's bucket
+#: expression goes exact-bigint per ADVICE r11, b31_langid upgrades to
+#: an exact oracle per VERDICT r11 item 4, b64 shares machinery with
+#: the b182 right-outer addition per item 5), then 40 of the 50-entry
+#: r07 cohort (next-oldest driver rows).  TEN r07 tpch entries defer
+#: to r13 at age 5 — legal under MAX_DRIVER_ROW_AGE=5 (see
+#: tests/test_registry_order.py for the capacity arithmetic) — each
+#: with same-file siblings in-window (tpch_q6/tpch_q17).
 PRIORITY: list[str] = [
-    # -- the r05 cohort remainder: the staleness gate's named set
-    #    (VERDICT r10 item 1 — this outranks everything) --
-    "b05_join_left",
-    "b06_join_anti",
-    "b08_asof_payload",
-    "b08_asof_tolerance",
-    "b10_approx_distinct",
-    "b11_cube",
-    "b28_hash_dedup",
-    "b29_simhash",
-    # -- the r06 cohort, next-oldest confirmations (VERDICT r10 item 2) --
-    "b06_scalar_subquery",
-    "b07_join_range_banded",
-    "b10_percentile",
-    "b11_grouping_sets",
-    "b11_time_rollup",
-    "b13_window_frames",
-    "b14_topk_per_group",
-    "b15_setops",
-    "b16_string_funcs",
-    "b17_date_funcs",
-    "b18_math_funcs",
-    "b19_array_funcs",
-    # b19_map_funcs gave its slot to this round's b181 addition (the
-    # r10 precedent: the addition is driver-checked the round it
-    # registers); its same-file sibling b19_array_funcs stays in-window
-    # and the staleness gate forces b19_map_funcs into r12.
-    "b20_json_funcs",
-    "b21_sliding_window",
-    "b22_session_window",
-    # b23_stream_static_join defers to r12 (same-file siblings
-    # b21_sliding/b22_session/b23_stream_stream/b24_custom in-window);
-    # its slot goes to b72, whose exact-gap boundary rule CHANGED this
-    # round (windows.py/stateful.py session fix) — modified queries
-    # re-enter the window the round they change.
-    "b23_stream_stream_join",
-    "b72_stateful_sessionize",
-    "b24_custom_stateful",
-    "b25_pandas_udf",
-    "b26_pandas_udaf",
-    "b27_udtf",
-    "b31_bpe_token_count",
-    "b31_fingerprint",
-    "b31_gopher_filters",
+    # -- the r06 cohort remainder: the staleness gate's named set
+    #    (VERDICT r11 item 1 — this outranks everything) --
+    "b11_pivot",
+    "b14_topk_global",
+    "b19_map_funcs",
+    "b23_stream_static_join",
+    "b31_lang_stats",
+    "b31_term_freq",
+    "b34_hash_sample",
+    # -- queries whose code changes this round (re-enter on change) --
+    "b113_pareto_coverage",
     "b31_langid",
-    "b31_quality_score",
-    "b31_text_stats",
-    "b34_stratified_sample",
-    "b34_weighted_mix",
-    "b36_file_ingest",
-    "b132_vocab_oov",
-    "b133_epoch_shuffle",
-    "b135_stream_sink",
-    "b136_dynamic_partition_pruning",
-    "b137_pq_adc_search",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "wildweb_envelope_e2e",
-    "wildweb_pipeline_errors",
+    "b64_stream_stream_left_outer",
+    # -- the r07 cohort, next-oldest confirmations (VERDICT r11 item 3) --
+    "b152_triangle_count",
+    "b165_markov_attribution",
+    "b171_kaplan_meier",
+    "b145_zorder_layout",
+    "b150_bm25_rank",
+    "b155_perplexity_filter",
+    "b157_inverted_index",
+    "b158_pmi_assoc",
+    "b161_source_novelty",
+    "b149_semdedup",
+    "b159_containment_dedup",
+    "b166_spatial_cell_join",
+    "b167_geo_knn",
+    "b168_geofence_rollup",
+    "b169_tile_pyramid",
+    "b170_trajectory_segments",
+    "b173_dbscan_complexes",
+    "b143_cms_rollup",
+    "b147_mad_outliers",
+    "b153_freq_items_rollup",
+    "b163_grouped_trend",
+    "b164_ab_test",
+    "b146_binaryfile_ingest",
+    "b142_concat_chunk",
+    "b140_kll_quantile_rollup",
+    "b141_theta_retention_sketch",
+    "b144_leakage_safe_split",
+    "b151_dsir_weights",
+    "b134_pq_encode",
+    "b154_jl_projection",
+    "b162_maxsim_late_interaction",
+    "b172_knn_label_vote",
+    "b139_substring_dedup",
+    "b156_bpe_train",
+    "b160_bpe_apply",
+    "tpch_q6",
+    "tpch_q17",
+    "wildweb_pipeline",
+    "b138_stream_pipeline_e2e",
+    "b148_stream_error_channel",
 ]
 
 #: Hard cap on per-round additions (VERDICT r6 items 2/7): the driver
@@ -191,15 +178,7 @@ ADDITIONS_PER_ROUND_CAP = 10
 #: (VERDICT r5 item 7: everything new enters PRIORITY_NEXT in the same
 #: commit that registers it).  Round 10's single addition (b180) got a
 #: green r10 driver row, so it rotates out.
-PRIORITY_NEXT: list[str] = [
-    # round-11: suffix-array-quality exact-substring dedup (VERDICT
-    # r10 item 3) — closes b139's two documented gaps vs ExactSubstr
-    # (character granularity; >=2 occurrences ANYWHERE incl. the same
-    # document and self-overlaps), exact-oracled from birth via the
-    # brute-force window SQL, boundary semantics pinned by the
-    # planted-span fixture in tests/test_llmops.py
-    "b181_exact_substring",
-]
+PRIORITY_NEXT: list[str] = []
 
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -45,25 +45,31 @@ def test_priority_oracle_coverage():
         if n not in registry.ORACLES
     }
     assert rows_only == {
-        # round-11 window (8 r05-stale entries + 42 of the r06 cohort):
-        # the declared rows-only entries, each with its own pytest
-        # invariants.
-        # HLL sketch estimate — ±ε pins in tests/test_relational.py
-        "b10_approx_distinct",
-        # simhash near-dup — hamming-threshold heuristic, recall pins
-        "b29_simhash",
-        # streaming foreachBatch sink — side-effecting writer demo
-        "b135_stream_sink",
-        # IVF-PQ ADC search — approximate; ADC-identity + recall pins
-        "b137_pq_adc_search",
-        # transformWithState custom processor — update-mode emission
-        "b24_custom_stateful",
-        # n-gram langid heuristic — confusion-matrix pins
+        # round-12 window (7 r06-stale entries + 3 modified-this-round
+        # + 40 of the r07 cohort): the declared rows-only entries, each
+        # with its own pytest invariants.
+        # n-gram langid heuristic — confusion-matrix pins (upgrading
+        # to an exact integer-scoring oracle this round, VERDICT r11
+        # item 4 — drop from this set when that lands)
         "b31_langid",
-        # text-file ingest connector — input_file_name/path metadata
-        "b36_file_ingest",
-        # envelope ingest e2e — error-channel divergence demo
-        "wildweb_envelope_e2e",
+        # iterative Markov chain absorption — convergence pins
+        "b165_markov_attribution",
+        # binaryFile connector — path/modtime metadata, byte-exact pins
+        "b146_binaryfile_ingest",
+        # KLL sketch quantiles — ±ε rank-error pins
+        "b140_kll_quantile_rollup",
+        # theta sketch set ops — ±ε estimate pins
+        "b141_theta_retention_sketch",
+        # PQ codebook encode — numpy-replay bit-exact pins
+        "b134_pq_encode",
+        # iterative BPE merge training — equivalence-pinned driver loop
+        "b156_bpe_train",
+        # BPE segmentation apply — roundtrip identity pins (decode IS
+        # exact-oracled as b176)
+        "b160_bpe_apply",
+        # streaming e2e pipeline / error channel — availableNow replay
+        "b138_stream_pipeline_e2e",
+        "b148_stream_error_channel",
     }
 
 
@@ -127,7 +133,39 @@ def _last_checked() -> tuple[dict[str, int], int]:
 #: forcing function firing, not a regression).  At round-start the
 #: driver may land the artifact outside the repo's own commits; in
 #: that case the round's FIRST commit is the rotation.
-MAX_DRIVER_ROW_AGE = 4
+#:
+#: CAPACITY (VERDICT r11 item 2): the bound is satisfiable by a
+#: greedy oldest-first rotation iff the live-query count fits
+#: (MAX_DRIVER_ROW_AGE + 1) consecutive 50-row windows — a query
+#: re-enters the window within ceil(N/50) rounds of its last row, so
+#: N <= (AGE+1)*50 keeps every gap <= AGE.  At bound 4 that capacity
+#: was 250 < the 253 live queries, which made the gate go red every
+#: round by arithmetic (r12's forced set alone was 57: the 7 r06
+#: stragglers plus the entire 50-query r07 cohort).  Bound 5 gives
+#: capacity 300 with ~46 slots of headroom for future additions;
+#: test_rotation_capacity below turns the pigeonhole argument into a
+#: standing gate so over-registration is a red test, not a surprise.
+MAX_DRIVER_ROW_AGE = 5
+
+DRIVER_WINDOW = 50
+
+
+def test_rotation_capacity():
+    """Pigeonhole satisfiability of the staleness bound: a greedy
+    oldest-first rotation refreshes every live query within
+    ceil(N/DRIVER_WINDOW) rounds, so the bound is achievable every
+    round iff N <= (MAX_DRIVER_ROW_AGE + 1) * DRIVER_WINDOW.  When
+    this goes red, consolidate genuinely twinned registry entries
+    (e.g. *_observed metric twins) or stop adding."""
+    registry.load_all()
+    n = len(registry.QUERIES)
+    cap = (MAX_DRIVER_ROW_AGE + 1) * DRIVER_WINDOW
+    assert n <= cap, (
+        f"{n} live queries exceed the {cap}-query rotation capacity of a "
+        f"{DRIVER_WINDOW}-row window under MAX_DRIVER_ROW_AGE="
+        f"{MAX_DRIVER_ROW_AGE} — consolidate twinned entries or raise the "
+        "bound (with the judge's sign-off)"
+    )
 
 
 def test_driver_row_staleness_bound():
