@@ -515,9 +515,16 @@ def b113_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(_hi - _lo + {n_buckets}) div {n_buckets}"),
     )
     # ascending _b == descending cents range; ties (same cents) share a
-    # bucket, so per-bucket (cents DESC, partkey) order IS global order
-    bucketed = rev.crossJoin(F.broadcast(bounds)).withColumn(
-        "_b", ((F.col("_hi") - F.col("cents")) / width).cast("int")
+    # bucket, so per-bucket (cents DESC, partkey) order IS global order.
+    # `div` keeps the bucket id exact bigint arithmetic end-to-end
+    # (ADVICE r11 item 1): float division is monotone so semantics
+    # would survive, but the exactness argument above only holds if
+    # neither the width nor the bucket expression round-trips through
+    # doubles.
+    bucketed = (
+        rev.crossJoin(F.broadcast(bounds))
+        .withColumn("_w", width)
+        .withColumn("_b", F.expr("(_hi - cents) div _w").cast("int"))
     )
 
     w_ord = Window.partitionBy("_b").orderBy(F.col("cents").desc(), "l_partkey")

@@ -453,7 +453,14 @@ def test_b113_pareto_two_phase_shape(plans):
     assert 1 <= len(single) <= 3, p
     for i in single:
         ctx = "\n".join(lines[i - 3 : i + 3])
-        assert "bsum" in ctx or "min" in ctx, ctx
+        # specific aggregate markers only (ADVICE r11 item 3): bare
+        # "min" could match any identifier containing the substring and
+        # silently bless a single-partition exchange on the part
+        # rollup.  "min#NNN" is the bounds aggregate's partial-min
+        # buffer column (a column literally named min); "partial_min("
+        # is its aggregate expression form — no part-rollup identifier
+        # (l_partkey/cents/loc_*) contains either.
+        assert "bsum" in ctx or "partial_min(" in ctx or "min#" in ctx, ctx
 
 
 def test_b29_minhash_signature_stage_is_narrow(plans):
