@@ -160,10 +160,12 @@ def b31_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Character-trigram profiles per language for the heuristic classifier.
-# Deterministic and tiny on purpose: the *plumbing* (Arrow-batched
-# pandas UDF over a scan) is the engine feature; swap profiles for a
-# real model (fastText etc.) in production.
+# Character n-gram marker profiles per language for the deterministic
+# classifier.  Deterministic and tiny on purpose: the *kernel* (marker
+# occurrence counting + integer argmax, all inside whole-stage
+# codegen) is the engine feature; swap profiles for an offline-trained
+# model (fastText etc.) in production and nothing else changes —
+# b178_quality_classifier shows the same swap for the quality gate.
 _LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "ing", " th", "ion"),
     "es": ("ión", " de", "los", "ar ", "que"),
@@ -173,8 +175,67 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _langid_score_sql(col: str, markers: tuple[str, ...], intdiv: str) -> str:
+    """Integer marker-occurrence score as portable SQL: each marker
+    contributes its NON-OVERLAPPING occurrence count, computed as
+    (length(t) - length(replace(t, m, ''))) ÷ length(m) — exact
+    integer division because the numerator is a multiple of the marker
+    length; both engines' length()/replace() are character-based and
+    case-sensitive, and greedy left-to-right replace removes exactly
+    the occurrences Python's str.count counts.  ``intdiv`` is the one
+    dialect split: Spark spells integer division ``div``, DuckDB
+    ``//``."""
+    return " + ".join(
+        f"((length({col}) - length(replace({col}, '{m}', ''))) "
+        f"{intdiv} {len(m)})"
+        for m in markers
+    )
+
+
+#: The classifier decision over pre-computed per-language score
+#: columns s_<lang>: strict-argmax over the fixed language order
+#: (first language attaining the max wins — exactly Python's
+#: ``score > best_score`` fold over dict order), 'und' when every
+#: score is zero.  Shared verbatim by the Spark projection and the
+#: DuckDB oracle.
+_LANGID_CASE_SQL = (
+    "CASE WHEN _m = 0 THEN 'und' "
+    + " ".join(f"WHEN s_{lang} = _m THEN '{lang}'" for lang in _LANG_MARKERS)
+    + " ELSE 'und' END"
+)
+_LANGID_MAX_SQL = (
+    "greatest(" + ", ".join(f"s_{lang}" for lang in _LANG_MARKERS) + ")"
+)
+
+
+def _langid_oracle_sql() -> str:
+    """The whole classifier replayed as DuckDB SQL: a scores CTE (one
+    integer column per language), then the shared max + CASE."""
+    score_cols = ",\n           ".join(
+        f"{_langid_score_sql('coalesce(text, ' + chr(39) + chr(39) + ')', m, '//')}"
+        f" AS s_{lang}"
+        for lang, m in _LANG_MARKERS.items()
+    )
+    return f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+           {score_cols}
+      FROM documents
+    ), mx AS (
+      SELECT *, {_LANGID_MAX_SQL} AS _m FROM scores
+    )
+    SELECT doc_id, lang, {_LANGID_CASE_SQL} AS lang_pred FROM mx
+    """
+
+
 @pandas_udf(T.StringType())
 def langid_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-batched twin of the expression classifier — kept as the
+    reference implementation of the scoring rule (a real model swap
+    lands here first); tests/test_llmops.py pins it exactly equal to
+    the registered expression path on fixtures, ties, NULLs, and the
+    corpus."""
+
     def classify(t: str) -> str:
         if t is None:
             return "und"
@@ -188,14 +249,34 @@ def langid_udf(texts: pd.Series) -> pd.Series:
     return texts.map(classify)
 
 
-@query("b31_langid")  # heuristic model → rows-only check
+@query("b31_langid", oracle=_langid_oracle_sql())
 def b31_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B31: n-gram-marker language ID as an Arrow-batched pandas UDF —
-    the vectorized slow path, used only because the logic is genuinely
-    non-relational.  tests/test_llmops.py asserts ≥80% agreement with
-    the corpus lang label on en docs."""
+    """B31: character-n-gram-marker language ID as a pure JVM
+    expression — per-language integer marker-occurrence scores
+    (length-of-replace counting, the non-overlapping count both
+    engines and Python agree on) and a strict-argmax CASE over the
+    fixed language order, 'und' when no marker fires.  Deterministic
+    integer scoring end-to-end, so the whole rule replays in the
+    DuckDB oracle (VERDICT r11 item 4 — the b178 pattern; formerly a
+    rows-only pandas UDF).
+
+    Engine shape at 100 TB: a single narrow projection inside
+    whole-stage codegen over the scan — no UDF, no Arrow round-trip,
+    no shuffle, no state; identical cost to any other per-row string
+    expression.  The Arrow-batched twin (langid_udf) stays as the
+    model-swap seam, equivalence-pinned in tests/test_llmops.py."""
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", langid_udf(F.col("text")).alias("lang_pred"))
+    scored = d.withColumn("_t", F.coalesce(F.col("text"), F.lit(""))).select(
+        "doc_id",
+        "lang",
+        *[
+            F.expr(_langid_score_sql("_t", m, "div")).alias(f"s_{lang}")
+            for lang, m in _LANG_MARKERS.items()
+        ],
+    )
+    return scored.withColumn("_m", F.expr(_LANGID_MAX_SQL)).select(
+        "doc_id", "lang", F.expr(_LANGID_CASE_SQL).alias("lang_pred")
+    )
 
 
 #: GPT-2-style pre-tokenizer regex, restricted to constructs both Java

@@ -179,13 +179,17 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
 def test_langid_on_multilingual_fixtures(spark):
     # the corpus 'lang' column is random metadata over identical
     # English-ish text (verified), so accuracy is asserted on real
-    # multilingual sentences instead
+    # multilingual sentences instead; None/''/markerless rows pin the
+    # 'und' fallback and the expr path's NULL normalization
     rows = [
         (1, "the quick brown fox is jumping over the lazy dog in the morning", "en"),
         (2, "los datos que llegan a la tabla son los valores de los clientes", "es"),
         (3, "les résultats de la requête sont dans les tables de la base", "fr"),
         (4, "der schnelle braune fuchs springt über einen faulen hund im wald", "de"),
         (5, "数据表的行和列在查询中被过滤和排序", "zh"),
+        (6, None, "und"),
+        (7, "", "und"),
+        (8, "xyz qrs 123", "und"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     out = {r.doc_id: r.pred for r in df.select(
@@ -193,6 +197,59 @@ def test_langid_on_multilingual_fixtures(spark):
     expected = {r[0]: r[2] for r in rows}
     acc = sum(out[k] == expected[k] for k in expected) / len(expected)
     assert acc >= 0.8, (out, expected)
+    assert out[6] == out[7] == out[8] == "und", out
+
+
+def test_langid_expr_equals_udf_twin(spark, sf_dir):
+    """The registered b31_langid (pure JVM expression, exact-oracled
+    since round 12) must agree EXACTLY with the Arrow-batched reference
+    twin on every corpus row and on tie-dense fixtures — the expression
+    is a transcription of the UDF's scoring rule (non-overlapping
+    marker counts, strict-argmax over dict order, 'und' at zero), so
+    any divergence is a transcription bug, not model noise."""
+    from etl_wildweb_spark.io import table
+    from etl_wildweb_spark.operators import text as tmod
+    from etl_wildweb_spark.registry import QUERIES
+
+    # corpus sweep
+    got = {
+        r.doc_id: r.lang_pred for r in QUERIES["b31_langid"](spark, sf_dir).collect()
+    }
+    d = table(spark, sf_dir, "documents")
+    ref = {
+        r.doc_id: r.p
+        for r in d.select("doc_id", langid_udf(F.col("text")).alias("p")).collect()
+    }
+    assert got == ref
+    # tie-dense plants: equal max scores must resolve by dict order on
+    # both paths ("the de" ties en/es/fr at 1; "ión der" ties es/de)
+    rows = [
+        (1, "the de"),
+        (2, "ión der"),
+        (3, "que cht"),
+        (4, "the the  de  de"),
+        (5, None),
+        (6, "的 les"),
+    ]
+    fdf = spark.createDataFrame(rows, "doc_id long, text string")
+    scored = fdf.withColumn("_t", F.coalesce(F.col("text"), F.lit(""))).select(
+        "doc_id",
+        *[
+            F.expr(tmod._langid_score_sql("_t", m, "div")).alias(f"s_{lang}")
+            for lang, m in tmod._LANG_MARKERS.items()
+        ],
+    )
+    expr_pred = {
+        r.doc_id: r.p
+        for r in scored.withColumn("_m", F.expr(tmod._LANGID_MAX_SQL))
+        .select("doc_id", F.expr(tmod._LANGID_CASE_SQL).alias("p"))
+        .collect()
+    }
+    udf_pred = {
+        r.doc_id: r.p
+        for r in fdf.select("doc_id", langid_udf(F.col("text")).alias("p")).collect()
+    }
+    assert expr_pred == udf_pred, (expr_pred, udf_pred)
 
 
 def test_fake_decode_deterministic(spark, sf_dir):

@@ -48,10 +48,6 @@ def test_priority_oracle_coverage():
         # round-12 window (7 r06-stale entries + 3 modified-this-round
         # + 40 of the r07 cohort): the declared rows-only entries, each
         # with its own pytest invariants.
-        # n-gram langid heuristic — confusion-matrix pins (upgrading
-        # to an exact integer-scoring oracle this round, VERDICT r11
-        # item 4 — drop from this set when that lands)
-        "b31_langid",
         # iterative Markov chain absorption — convergence pins
         "b165_markov_attribution",
         # binaryFile connector — path/modtime metadata, byte-exact pins
