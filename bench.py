@@ -185,6 +185,11 @@ BENCH_QUERIES = [
     # per-character explode in the engine (one 8-byte hash per corpus
     # char); benched so regressions show
     "b181_exact_substring",
+    # round-12: stream-stream RIGHT OUTER interval join — same
+    # fixed-machinery scheduler-latency class as b177/b180; a
+    # dedicated row so the one-sided eviction cost is visible
+    # driver-to-driver (read it through calib like b177/b180)
+    "b182_stream_stream_right_outer",
     # (b179_stream_late_audit is not benched separately: its cost is
     # the same fixed multi-micro-batch scheduling machinery b177
     # already represents — the audit itself is free, observe() rides

@@ -104,11 +104,12 @@ def capabilities(
 #: queries re-enter the window the round they change: b113's bucket
 #: expression goes exact-bigint per ADVICE r11, b31_langid upgrades to
 #: an exact oracle per VERDICT r11 item 4, b64 shares machinery with
-#: the b182 right-outer addition per item 5), then 40 of the 50-entry
-#: r07 cohort (next-oldest driver rows).  TEN r07 tpch entries defer
-#: to r13 at age 5 — legal under MAX_DRIVER_ROW_AGE=5 (see
+#: the b182 right-outer addition per item 5), then 39 of the 50-entry
+#: r07 cohort (next-oldest driver rows).  ELEVEN r07 tpch entries
+#: defer to r13 at age 5 (ten at round open + tpch_q17, whose slot
+#: went to the b182 addition) — legal under MAX_DRIVER_ROW_AGE=5 (see
 #: tests/test_registry_order.py for the capacity arithmetic) — each
-#: with same-file siblings in-window (tpch_q6/tpch_q17).
+#: with the same-file sibling tpch_q6 in-window.
 PRIORITY: list[str] = [
     # -- the r06 cohort remainder: the staleness gate's named set
     #    (VERDICT r11 item 1 — this outranks everything) --
@@ -160,7 +161,10 @@ PRIORITY: list[str] = [
     "b156_bpe_train",
     "b160_bpe_apply",
     "tpch_q6",
-    "tpch_q17",
+    # tpch_q17 gave its slot to this round's b182 addition (the
+    # r10/r11 precedent: the addition is driver-checked the round it
+    # registers); its same-file sibling tpch_q6 stays in-window and
+    # tpch_q17 joins the eleven-entry r07 tpch deferral to r13.
     "wildweb_pipeline",
     "b138_stream_pipeline_e2e",
     "b148_stream_error_channel",
@@ -178,7 +182,14 @@ ADDITIONS_PER_ROUND_CAP = 10
 #: (VERDICT r5 item 7: everything new enters PRIORITY_NEXT in the same
 #: commit that registers it).  Round 10's single addition (b180) got a
 #: green r10 driver row, so it rotates out.
-PRIORITY_NEXT: list[str] = []
+PRIORITY_NEXT: list[str] = [
+    # round-12: stream-stream RIGHT OUTER interval join (VERDICT r11
+    # item 5) — the last hole in the declared streaming join matrix,
+    # exact-oracled from birth (b64's construction mirrored; purchase
+    # closure rule probed on ±1 ms boundary corpora before the oracle
+    # was written), boundary plants in tests/test_streaming.py
+    "b182_stream_stream_right_outer",
+]
 
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -253,6 +253,70 @@ def b180_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "b182_stream_stream_right_outer",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+               FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         -- NULL (→ no closures) unless BOTH streams have events: an
+         -- empty VIEW side still freezes Spark's MIN-policy watermark
+         -- at epoch even though no view column is emitted (probed:
+         -- purchases-only corpus emits nothing)
+         wm AS (SELECT CASE WHEN (SELECT max(v_ts) FROM v) IS NOT NULL
+                             AND (SELECT max(p_ts) FROM p) IS NOT NULL
+                        THEN make_timestamp(least(
+                               epoch_ms((SELECT max(v_ts) FROM v)),
+                               epoch_ms((SELECT max(p_ts) FROM p))) * 1000)
+                             - INTERVAL 1 HOUR
+                        END AS w)
+    SELECT v.user_id AS user_id, CAST(v.view_id AS BIGINT) AS view_id,
+           p.purchase_id AS purchase_id
+    FROM v JOIN p ON v.user_id = p.user_id
+     AND p.p_ts BETWEEN v.v_ts AND v.v_ts + INTERVAL 6 HOUR
+    UNION ALL
+    SELECT p.user_id, CAST(NULL AS BIGINT) AS view_id, p.purchase_id
+    FROM p, wm
+    WHERE p.p_ts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id
+                      AND p.p_ts BETWEEN v.v_ts AND v.v_ts + INTERVAL 6 HOUR)
+    """,
+)
+def b182_stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER interval join — the last hole in the
+    declared join matrix (VERDICT r11 item 5) next to b23 (inner), b64
+    (left outer), b177 (semi), b180 (full outer): matched pairs emit on
+    arrival; an unmatched PURCHASE emits its null-view row once the
+    watermark proves no view can still match it; unmatched views emit
+    nothing.
+
+    Exact-oracled from birth with the closure rule PROBED on this
+    round's ±1 ms / sub-µs / ==-boundary corpus BEFORE the oracle was
+    written (the b180 method, plants pinned in tests/test_streaming.py):
+
+    - purchase side closes STRICTLY at the watermark: null-view iff
+      p_ts < wm (a purchase exactly AT the watermark stays open) —
+      identical to b180's purchase branch, confirmed unchanged under
+      the rightOuter plan;
+    - wm = ms-FLOORED min(max_v, max_p) − 1 h (MIN policy across both
+      watermarked streams), NULL-guarded when either side is empty —
+      probed: a purchases-only corpus emits NOTHING even though no
+      view column would be needed, because the view stream's frozen
+      epoch watermark holds the global minimum down.
+
+    100 TB: state bound is b64's mirrored — purchases evict at wm,
+    views at wm after their 6 h horizon; the outer shape adds only the
+    eviction-time emission, no extra state."""
+    views, purchases, cond = _watermarked_views_purchases(spark, sf_dir)
+    joined = views.join(purchases, cond, "rightOuter").select(
+        F.coalesce("v_user", "p_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+    )
+    return run_to_memory(joined, mode="append")
+
+
+@query(
     "b177_stream_semi_join",
     oracle="""
     SELECT v.event_id AS view_id, v.user_id AS user_id

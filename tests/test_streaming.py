@@ -967,6 +967,117 @@ def test_b180_empty_side_freezes_both_closures(spark, tmp_path):
         ).fetchall()
         assert want == [], (etype, want)
 
+def test_b182_right_outer_closure_boundary_semantics(spark, tmp_path):
+    """The round-12 probed rules for the RIGHT outer join, planted
+    permanently (probe ran BEFORE the oracle was written — the b180
+    method): (a) purchase-side null-view emission is STRICT at the
+    watermark (p_ts == wm stays open, wm − 1 ms closes) — b180's
+    purchase branch, confirmed unchanged under the rightOuter plan;
+    (b) unmatched views emit NOTHING; (c) the watermark is the
+    ms-FLOORED min across both streams, frozen at epoch when the view
+    side is empty even though no view column is ever emitted."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    import duckdb
+
+    from etl_wildweb_spark import registry
+
+    M = dt.datetime(2024, 3, 1, 12, 0, 0, 123456)  # sub-ms max-setter
+    wm = dt.datetime(2024, 3, 1, 11, 0, 0, 123000)  # ms_floor(M) - 1h
+    h6 = dt.timedelta(hours=6)
+    ms = dt.timedelta(milliseconds=1)
+    rows = [
+        (9000, M, 999, "purchase", 1.0, "{}"),
+        (9001, M, 998, "view", 1.0, "{}"),
+        # purchase-side boundary (users with no views)
+        (2001, wm - ms, 21, "purchase", 0.5, "{}"),   # closed -> null view
+        (2002, wm, 22, "purchase", 0.5, "{}"),        # AT wm -> open
+        (2003, wm + ms, 23, "purchase", 0.5, "{}"),   # open
+        (2004, wm + dt.timedelta(microseconds=500), 24, "purchase", 0.5, "{}"),
+        (2005, wm - dt.timedelta(seconds=10), 25, "purchase", 0.5, "{}"),
+        # views with no purchases — must emit NOTHING under right outer
+        (1001, wm - h6 - ms, 11, "view", 0.5, "{}"),
+        (1002, wm - h6, 12, "view", 0.5, "{}"),
+        # matched pair away from boundaries
+        (500, dt.datetime(2024, 3, 1, 1, 0), 777, "view", 0.1, "{}"),
+        (501, dt.datetime(2024, 3, 1, 2, 0), 777, "purchase", 2.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    d = str(tmp_path / "b182corpus")
+    os.makedirs(d)
+    stage = os.path.join(d, "_stage")
+    df.coalesce(1).write.parquet(stage)
+    shutil.copy(
+        glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+        os.path.join(d, "events.parquet"),
+    )
+    shutil.rmtree(stage)
+
+    out = registry.QUERIES["b182_stream_stream_right_outer"](spark, d).collect()
+    got = {(r.user_id, r.view_id, r.purchase_id) for r in out}
+    assert got == {
+        (777, 500, 501),    # matched pair, arrival-driven
+        (21, None, 2001),   # purchase 1 ms below the watermark
+        (25, None, 2005),   # purchase well below
+        # open: 2002 (== wm), 2003, 2004, max-setter 9000;
+        # views 1001/1002 emit nothing under right outer
+    }, got
+
+    # and the oracle agrees on this corpus (same construction DuckDB-side)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    want = {
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            registry.ORACLES["b182_stream_stream_right_outer"]
+        ).fetchall()
+    }
+    assert got == want
+
+    # empty-view-side guard: a purchases-only corpus emits NOTHING on
+    # either engine (the frozen epoch watermark holds the minimum down)
+    rows2 = [
+        (i, dt.datetime(2024, 3, 1) + dt.timedelta(days=7 * i),
+         100 + i, "purchase", 1.0, "{}")
+        for i in range(4)
+    ]
+    df2 = spark.createDataFrame(
+        rows2,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    d2 = str(tmp_path / "b182purchonly")
+    os.makedirs(d2)
+    st2 = os.path.join(d2, "_s")
+    df2.coalesce(1).write.parquet(st2)
+    shutil.copy(
+        glob.glob(os.path.join(st2, "part-*.parquet"))[0],
+        os.path.join(d2, "events.parquet"),
+    )
+    shutil.rmtree(st2)
+    assert (
+        registry.QUERIES["b182_stream_stream_right_outer"](spark, d2).collect()
+        == []
+    )
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d2}/events.parquet')"
+    )
+    assert (
+        con2.execute(registry.ORACLES["b182_stream_stream_right_outer"]).fetchall()
+        == []
+    )
+
+
 @pytest.mark.parametrize("seed", [7, 23])
 def test_stream_join_family_randomized_differential(spark, tmp_path, seed):
     """Seeded randomized differential over the WHOLE stream-stream join
@@ -1030,6 +1141,7 @@ def test_stream_join_family_randomized_differential(spark, tmp_path, seed):
         "b64_stream_stream_left_outer",
         "b177_stream_semi_join",
         "b180_stream_stream_full_outer",
+        "b182_stream_stream_right_outer",
     ):
         got = Counter(
             tuple(r) for r in registry.QUERIES[name](spark, d).collect()
