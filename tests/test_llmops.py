@@ -1089,6 +1089,67 @@ def test_bpe_train_driver_path_matches_distributed(spark, sf_dir, monkeypatch):
     assert len(driver) == T.BPE_MERGES
 
 
+def test_bpe_train_threshold_boundary_switches_paths(
+    spark, tmp_path, monkeypatch
+):
+    """The BPE_TRAIN_DRIVER_MAX switch at its exact boundary (VERDICT
+    r11 item 8): on a corpus with a KNOWN vocabulary size V, the
+    threshold set to V takes the driver path (<= is inclusive) and
+    V − 1 takes the distributed path — asserted by spying on both loop
+    functions, not inferred — and the two runs learn the identical
+    merge table."""
+    import glob
+    import os
+    import shutil
+
+    from etl_wildweb_spark.operators import text as T
+
+    docs = [
+        (1, "low low lower lowest", "en", "s1"),
+        (2, "new newer newest low", "en", "s1"),
+        (3, "wide wider widest newer", "en", "s2"),
+    ]
+    rows = [(i, t, lg, s, len(t)) for i, t, lg, s in docs]
+    vocab = {w for _, t, _, _ in docs for w in t.split(" ") if w}
+    df = spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    )
+    d = str(tmp_path / "bpecorp")
+    os.makedirs(d)
+    st = os.path.join(d, "_s")
+    df.coalesce(1).write.parquet(st)
+    shutil.copy(
+        glob.glob(os.path.join(st, "part-*.parquet"))[0],
+        os.path.join(d, "documents.parquet"),
+    )
+    shutil.rmtree(st)
+
+    calls: list[str] = []
+    real_driver, real_dist = T._bpe_train_driver, T._bpe_train_distributed
+
+    def spy_driver(dic):
+        calls.append("driver")
+        return real_driver(dic)
+
+    def spy_dist(words):
+        calls.append("distributed")
+        return real_dist(words)
+
+    monkeypatch.setattr(T, "_bpe_train_driver", spy_driver)
+    monkeypatch.setattr(T, "_bpe_train_distributed", spy_dist)
+
+    monkeypatch.setattr(T, "BPE_TRAIN_DRIVER_MAX", len(vocab))
+    at_bound = [tuple(r) for r in T.b156_bpe_train(spark, d).collect()]
+    monkeypatch.setattr(T, "BPE_TRAIN_DRIVER_MAX", len(vocab) - 1)
+    above_bound = [tuple(r) for r in T.b156_bpe_train(spark, d).collect()]
+
+    assert calls == ["driver", "distributed"], calls
+    assert at_bound == above_bound
+    assert at_bound, "corpus must learn at least one merge"
+
+
 def test_ivfpq_composition_identity(spark, sf_dir):
     """b175 = IVF routing × PQ codes × cell-pruned ADC, pinned by FULL
     numpy replay: using the Spark-computed centroids (collected once),
