@@ -341,3 +341,141 @@ def test_boundary_dense_events_differential(spark, sf_dir, tmp_path):
         compare(
             spark, planted, name, registry.QUERIES[name], registry.ORACLES[name]
         )
+
+
+def _geo_coord(event_id: int, salt: str) -> int:
+    """Python replica of geo._coord: hash_bucket(f"{id}{salt}", span)."""
+    h = int(
+        hashlib.md5(f"{event_id}{salt}".encode()).hexdigest()[:8], 16
+    )
+    return h % 50_000_000
+
+
+def test_geo_family_boundary_dense_plant(spark, sf_dir, tmp_path):
+    """One ==-boundary-dense planted corpus strict-compared across the
+    WHOLE geo oracle family (VERDICT r11 item 6 — the session-gap find
+    proved corpus-only greens can hide ==-boundary rules for rounds;
+    geo was the largest oracled family without a dedicated plant).
+
+    Geo coordinates are md5-derived from event_id, so the plants are
+    MINED ids (tests/mine_geo_boundaries.py, 2e7-id sweep) whose
+    derived coordinates hit the exact integer boundaries; every
+    planted fact is re-derived and asserted here, so a corpus or hash
+    change goes red loudly:
+
+    - a pair at dist² == r² EXACTLY (the 3-4-5 lattice offset
+      80000/60000) — must be INSIDE b166's <= predicate, and its edge
+      is load-bearing for every core in a planted DBSCAN triangle;
+    - a pair at dist² == r²+1 (excluded) and one at r²−3 (included);
+    - a lone ==r² pair whose two points stay noise in b173 (degree
+      1+self < minPts) while still pairing in b166;
+    - a DBSCAN border case: a point whose ONLY in-radius neighbor is
+      a core point;
+    - points exactly ON cell edges at all three pyramid resolutions
+      (lat/lon ≡ 0 mod 0.1°, 1°, 10°) — the div-boundary cells;
+    - points with a coordinate exactly AT a geofence zone bound
+      (20e6/25e6/30e6 micro-deg) — pins the >= lower / < upper rule.
+    """
+    import datetime as dt
+
+    R2 = 100_000**2
+    # mined groups (see docstring); cross-group separation asserted below
+    tri1 = [10366482, 1519328, 26811]     # all-core via the ==r² edge
+    lone = [6063946, 6719509]             # ==r² pair, noise in b173
+    above = [803409, 8644501]             # r²+1 — excluded
+    below = [15823502, 19057423]          # r²−3 — included
+    tri2 = [428170, 92983, 33058]         # second core triangle
+    border = 92048                        # only neighbor is 92983 (core)
+    edges = [91473, 55047, 1578234, 837576]
+    zones = [11441174, 15062366, 10630567, 17034635, 12860468]
+    ids = tri1 + lone + above + below + tri2 + [border] + edges + zones
+
+    pt = {i: (_geo_coord(i, "lat"), _geo_coord(i, "lon")) for i in ids}
+
+    def d2(a, b):
+        return (pt[a][0] - pt[b][0]) ** 2 + (pt[a][1] - pt[b][1]) ** 2
+
+    # the mined boundary facts, re-derived (regeneration-proof)
+    assert d2(tri1[0], tri1[1]) == R2
+    assert d2(lone[0], lone[1]) == R2
+    assert d2(tri2[0], tri2[1]) == R2
+    assert d2(*above) == R2 + 1
+    assert d2(*below) == R2 - 3
+    assert d2(tri1[0], tri1[2]) <= R2 and d2(tri1[1], tri1[2]) <= R2
+    assert d2(tri2[0], tri2[2]) <= R2 and d2(tri2[1], tri2[2]) <= R2
+    assert d2(border, tri2[1]) <= R2
+    assert d2(border, tri2[0]) > R2 and d2(border, tri2[2]) > R2
+    assert pt[91473][0] % 100_000 == 0 and pt[55047][1] % 100_000 == 0
+    assert pt[1578234][0] % 1_000_000 == 0 and pt[837576][1] % 1_000_000 == 0
+    assert pt[11441174][0] == 20_000_000 and pt[15062366][0] == 30_000_000
+    assert pt[10630567][0] == 25_000_000
+    assert pt[17034635][1] == 20_000_000 and pt[12860468][1] == 30_000_000
+    # groups genuinely isolated: no accidental cross-group adjacency
+    groups = [tri1, lone, above, below, tri2 + [border]]
+    for gi, g in enumerate(groups):
+        for go in groups[gi + 1:]:
+            for a in g:
+                for b in go:
+                    assert d2(a, b) > R2, (a, b)
+
+    # ts/user plants drive b170's boundaries on the same corpus:
+    # dt == 0 (same-second fixes, excluded), dt == 1 (minimal kept),
+    # and a kept segment whose displacement is exactly r²
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    user_ts = {
+        tri1[0]: (1, t0), tri1[1]: (1, t0 + dt.timedelta(hours=1)),
+        above[0]: (2, t0), above[1]: (2, t0),
+        below[0]: (3, t0), below[1]: (3, t0 + dt.timedelta(seconds=1)),
+    }
+    rows = []
+    for i, eid in enumerate(ids):
+        u, ts = user_ts.get(eid, (1000 + i, t0 + dt.timedelta(minutes=i)))
+        rows.append((eid, ts, u, "view" if i % 2 else "purchase", 1.0))
+
+    planted = _planted_dir(tmp_path, sf_dir, {"events": _events(rows)})
+    for name in (
+        "b166_spatial_cell_join",
+        "b167_geo_knn",
+        "b168_geofence_rollup",
+        "b169_tile_pyramid",
+        "b170_trajectory_segments",
+        "b173_dbscan_complexes",
+        "b174_polygon_geofence",
+    ):
+        compare(
+            spark, planted, name, registry.QUERIES[name], registry.ORACLES[name]
+        )
+
+    # intent-level pins on top of oracle parity
+    pairs = {
+        (r.id_a, r.id_b): r.dist2_microdeg2
+        for r in registry.QUERIES["b166_spatial_cell_join"](
+            spark, planted
+        ).collect()
+    }
+    k1 = tuple(sorted(tri1[:2]))
+    assert pairs[k1] == R2                     # == boundary INCLUDED
+    assert tuple(sorted(above)) not in pairs   # r²+1 excluded
+    assert pairs[tuple(sorted(below))] == R2 - 3
+    roles = {
+        r.event_id: (r.cluster_id, r.role)
+        for r in registry.QUERIES["b173_dbscan_complexes"](
+            spark, planted
+        ).collect()
+    }
+    c1 = min(tri1)
+    assert all(roles[i] == (c1, "core") for i in tri1), roles
+    assert all(i not in roles for i in lone), roles  # deg 1+1 < minPts
+    c2 = min(tri2)
+    assert all(roles[i] == (c2, "core") for i in tri2), roles
+    assert roles[border] == (c2, "border"), roles
+    segs = {
+        r.user_id: (r.dist2_microdeg2, r.dt_s)
+        for r in registry.QUERIES["b170_trajectory_segments"](
+            spark, planted
+        ).collect()
+        if r.user_id in (1, 2, 3)
+    }
+    assert segs[1] == (R2, 3600)       # exact-radius displacement kept
+    assert 2 not in segs               # dt == 0 excluded (strict > 0)
+    assert segs[3][1] == 1             # minimal positive duration kept
