@@ -324,6 +324,17 @@ def test_boundary_dense_events_differential(spark, sf_dir, tmp_path):
     for _ in range(30):
         add(t0 + dt.timedelta(minutes=rng.randrange(0, 2000)), 5,
             rng.choice(["view", "purchase"]), rng.choice([1.0, 2.5]))
+    # round 12: same-INSTANT attribute flips — three rows at one
+    # identical timestamp with alternating event_type, so SCD
+    # versioning, snapshot latest-row picks, funnel step ordering, and
+    # CEP matches are decided purely by the (ts, event_id) tie-break;
+    # plus a ±1 µs flip straddle around a fourth row
+    add(t0 + dt.timedelta(hours=5), 6, "view")
+    add(t0 + dt.timedelta(hours=5), 6, "purchase", 3.0)
+    add(t0 + dt.timedelta(hours=5), 6, "view")
+    add(t0 + dt.timedelta(hours=6), 6, "purchase", 4.0)
+    add(t0 + dt.timedelta(hours=6) - us, 6, "view")
+    add(t0 + dt.timedelta(hours=6) + us, 6, "view")
 
     planted = _planted_dir(tmp_path, sf_dir, {"events": _events(rows)})
     for name in (
@@ -337,6 +348,22 @@ def test_boundary_dense_events_differential(spark, sf_dir, tmp_path):
         # the 300 s chain lands events at exact window/slide starts
         "b21_tumbling_window",
         "b21_sliding_window",
+        # round 12: the ordering-tie family — SCD versioning, snapshot
+        # latest-row, as-of picks, funnel/CEP step order, path mining,
+        # Markov transitions all key on the (ts, event_id) tie-break
+        # the same-instant flips above exercise
+        "b41_scd2_history",
+        "b117_scd3_current",
+        "b76_snapshot_diff",
+        "b98_asof_snapshot",
+        "b47_funnel",
+        "b52_sequence_match",
+        "b68_cep_kleene",
+        "b80_attribution",
+        "b105_event_paths",
+        "b102_markov_transitions",
+        "b38_merge_upsert",
+        "b75_merge_full",
     ):
         compare(
             spark, planted, name, registry.QUERIES[name], registry.ORACLES[name]
