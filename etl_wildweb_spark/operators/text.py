@@ -211,9 +211,9 @@ _LANGID_MAX_SQL = (
 def _langid_oracle_sql() -> str:
     """The whole classifier replayed as DuckDB SQL: a scores CTE (one
     integer column per language), then the shared max + CASE."""
+    col = "coalesce(text, '')"
     score_cols = ",\n           ".join(
-        f"{_langid_score_sql('coalesce(text, ' + chr(39) + chr(39) + ')', m, '//')}"
-        f" AS s_{lang}"
+        f"{_langid_score_sql(col, m, '//')} AS s_{lang}"
         for lang, m in _LANG_MARKERS.items()
     )
     return f"""
