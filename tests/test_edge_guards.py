@@ -506,3 +506,68 @@ def test_geo_family_boundary_dense_plant(spark, sf_dir, tmp_path):
     assert segs[1] == (R2, 3600)       # exact-radius displacement kept
     assert 2 not in segs               # dt == 0 excluded (strict > 0)
     assert segs[3][1] == 1             # minimal positive duration kept
+
+
+def test_outlier_gates_exact_threshold_boundary(spark, sf_dir, tmp_path):
+    """==-boundary plants for the integer decision-predicate gates
+    (round 12, continuing the boundary-plant program): both outlier
+    detectors clear fractions into exact integer cross-multiplication,
+    so the strict-vs-inclusive distinction lives at one equality.
+
+    b104 (1.5σ z-score): a group of p copies of a and q copies of b
+    gives the minority exactly 4q²(a−b)² vs 9pq(a−b)² — with p=4, q=9
+    the two sides are EQUAL, so the strict > must flag nothing; q=10
+    flips the minority to flagged, q=8 is safely below.
+
+    b147 (1.5·MAD): a 5-value group engineered to MAD=400 with a
+    member at dev=600 sits exactly at 2·600 == 3·400 — not flagged;
+    one cent further (dev 700) flags.  A 4-value group pins the
+    even-n LOWER-median rank rule ((n+1) div 2) in both histogram
+    walks."""
+    groups = {
+        "g1-z-at": [10000] * 4 + [20000] * 9,
+        "g2-z-above": [10000] * 4 + [20000] * 10,
+        "g3-z-below": [10000] * 4 + [20000] * 8,
+        "g4-mad-at": [9400, 9600, 10000, 10400, 10600],
+        "g5-mad-above": [9400, 9600, 10000, 10400, 10700],
+        "g6-even-median": [10000, 20000, 30000, 40000],
+    }
+    # the g1 equality, asserted as arithmetic (not just by outcome)
+    n, s = 13, 4 * 10000 + 9 * 20000
+    ssq = 4 * 10000**2 + 9 * 20000**2
+    assert 4 * (n * 10000 - s) ** 2 == 9 * (n * ssq - s * s)
+    # the g4 equality: dev 600 against MAD 400
+    assert 2 * 600 == 3 * 400
+
+    rows = []
+    for prio, cents_list in groups.items():
+        for c in cents_list:
+            assert c % 100 == 0  # exact-double totalprice
+            rows.append((len(rows) + 1, prio, c / 100.0))
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": pd.array([r[0] for r in rows], dtype="int64"),
+            "o_orderpriority": [r[1] for r in rows],
+            "o_totalprice": [r[2] for r in rows],
+        }
+    )
+    planted = _planted_dir(tmp_path, sf_dir, {"orders": orders})
+    for name in ("b104_zscore_outliers", "b147_mad_outliers"):
+        compare(
+            spark, planted, name, registry.QUERIES[name], registry.ORACLES[name]
+        )
+
+    z = registry.QUERIES["b104_zscore_outliers"](spark, planted).collect()
+    z_by_prio = {}
+    for r in z:
+        z_by_prio.setdefault(r.o_orderpriority, set()).add(r.cents)
+    assert "g1-z-at" not in z_by_prio          # == boundary NOT flagged
+    assert z_by_prio.get("g2-z-above") == {10000}
+    assert "g3-z-below" not in z_by_prio
+    m = {
+        r.prio: (r.med_cents, r.mad_cents, r.n_outliers)
+        for r in registry.QUERIES["b147_mad_outliers"](spark, planted).collect()
+    }
+    assert m["g4-mad-at"] == (10000, 400, 0)   # == boundary NOT flagged
+    assert m["g5-mad-above"] == (10000, 400, 1)
+    assert m["g6-even-median"] == (20000, 10000, 1)  # lower median, n even
