@@ -571,3 +571,57 @@ def test_outlier_gates_exact_threshold_boundary(spark, sf_dir, tmp_path):
     assert m["g4-mad-at"] == (10000, 400, 0)   # == boundary NOT flagged
     assert m["g5-mad-above"] == (10000, 400, 1)
     assert m["g6-even-median"] == (20000, 10000, 1)  # lower median, n even
+
+
+def test_b178_quality_logit_exact_boundary(spark, sf_dir, tmp_path):
+    """==-boundary plant for the quality classifier's strict decision
+    (logit_micro_total > 0 · n_grams).  Reachability analysis first:
+    every stand-in weight is 8k − 1020 ≡ 4 (mod 8) and every document
+    has an odd gram count (n unigrams + n−1 bigrams), so logit totals
+    are ≡ 4 (mod 8) and EXACTLY zero is arithmetically unreachable —
+    the nearest reachable boundary values are ±4.  Mined 2-word docs
+    landing exactly there: total +4 must flag high_quality, −4 must
+    not; both are one weight-quantum from the threshold, so any
+    off-by-one in the transcription (>= vs >, a dropped gram, a wrong
+    bucket constant) flips an outcome."""
+    import hashlib as _h
+
+    def bkt(s, n=256):
+        return int(_h.md5(s.encode()).hexdigest()[:8], 16) % n
+
+    def w(g):
+        return bkt(f"qw:{bkt(g)}") * 8 - 1020
+
+    def doc_total(words):
+        grams = [f"u:{x}" for x in words] + [
+            f"b:{a} {b}" for a, b in zip(words, words[1:])
+        ]
+        return sum(w(g) for g in grams), len(grams)
+
+    plus, minus = "w0 w35", "w0 w58"  # mined: first (i, j) hits in scan order
+    assert doc_total(plus.split()) == (4, 3)
+    assert doc_total(minus.split()) == (-4, 3)
+    filler = "w1 w2 w3"
+    t_fill, n_fill = doc_total(filler.split())
+    assert t_fill % 8 == 4, "residue invariant: totals are 4 mod 8"
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, 3], dtype="int64"),
+            "text": [plus, minus, filler],
+            "lang": ["en"] * 3,
+            "source": ["s1"] * 3,
+            "n_chars": pd.array([len(plus), len(minus), len(filler)],
+                                dtype="int64"),
+        }
+    )
+    planted = _planted_dir(tmp_path, sf_dir, {"documents": docs})
+    name = "b178_quality_classifier"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = {
+        r.doc_id: (r.logit_micro_total, r.high_quality)
+        for r in registry.QUERIES[name](spark, planted).collect()
+    }
+    assert got[1] == (4, True)    # one quantum above the strict >
+    assert got[2] == (-4, False)  # one quantum below
+    assert got[3] == (t_fill, t_fill > 0)
