@@ -104,12 +104,16 @@ def capabilities(
 #: queries re-enter the window the round they change: b113's bucket
 #: expression goes exact-bigint per ADVICE r11, b31_langid upgrades to
 #: an exact oracle per VERDICT r11 item 4, b64 shares machinery with
-#: the b182 right-outer addition per item 5), then 39 of the 50-entry
-#: r07 cohort (next-oldest driver rows).  ELEVEN r07 tpch entries
-#: defer to r13 at age 5 (ten at round open + tpch_q17, whose slot
-#: went to the b182 addition) — legal under MAX_DRIVER_ROW_AGE=5 (see
-#: tests/test_registry_order.py for the capacity arithmetic) — each
-#: with the same-file sibling tpch_q6 in-window.
+#: the b182 right-outer addition per item 5; the three remaining
+#: stateful stream-stream joins after the state-partition
+#: right-sizing), then 36 of the 50-entry
+#: r07 cohort (next-oldest driver rows).  FOURTEEN r07 entries defer
+#: to r13 at age 5 — eleven tpch (ten at round open + tpch_q17, whose
+#: slot went to the b182 addition; same-file sibling tpch_q6
+#: in-window) and three corpus.py rows (b155/b158/b161, slots to the
+#: re-entering stream-stream joins; siblings b145/b150/b157
+#: in-window) — legal under MAX_DRIVER_ROW_AGE=5 (see
+#: tests/test_registry_order.py for the capacity arithmetic).
 PRIORITY: list[str] = [
     # -- the r06 cohort remainder: the staleness gate's named set
     #    (VERDICT r11 item 1 — this outranks everything) --
@@ -124,16 +128,21 @@ PRIORITY: list[str] = [
     "b113_pareto_coverage",
     "b31_langid",
     "b64_stream_stream_left_outer",
+    # the state-partition right-sizing (STREAM_STATE_PARTITIONS,
+    # joins.py) touches every stateful stream-stream join's execution,
+    # so the remaining three re-enter too; their slots come from three
+    # r07 corpus.py deferrals (b155/b158/b161 — same-file siblings
+    # b145/b150/b157 stay in-window), legal at age 5.
+    "b23_stream_stream_join",
+    "b177_stream_semi_join",
+    "b180_stream_stream_full_outer",
     # -- the r07 cohort, next-oldest confirmations (VERDICT r11 item 3) --
     "b152_triangle_count",
     "b165_markov_attribution",
     "b171_kaplan_meier",
     "b145_zorder_layout",
     "b150_bm25_rank",
-    "b155_perplexity_filter",
     "b157_inverted_index",
-    "b158_pmi_assoc",
-    "b161_source_novelty",
     "b149_semdedup",
     "b159_containment_dedup",
     "b166_spatial_cell_join",

@@ -47,6 +47,8 @@ def b23_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = s.join(dim, s.user_id == dim.c_custkey).select(
         "event_id", "user_id", "c_mktsegment", "value"
     )
+    # no state, no shuffle (broadcast dim) — the state_partitions knob
+    # below is for the STATEFUL joins only
     return run_to_memory(joined, mode="append")
 
 
@@ -55,6 +57,22 @@ def b23_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: them together.
 _WM_DELAY = "1 hour"
 _INTERVAL = "INTERVAL 6 HOURS"
+
+#: State-shuffle width for the stream-stream joins (round 12).  A
+#: stream-stream join commits FOUR state-store instances per partition
+#: per micro-batch, so partition count is a fixed-cost multiplier that
+#: should track KEY CARDINALITY (users in state), not session cores:
+#: at the bench corpus's few hundred in-state users, 32 partitions
+#: spent 2.4x the wall clock of 8 on store commits alone (b180 at
+#: sf0.1: 7.9 s -> 3.3 s, identical 37,823-row output; b182/b177 move
+#: the same way).  Results are partition-count-invariant (pinned in
+#: tests/test_streaming.py).  At 100 TB this knob goes UP with state
+#: volume — size it per deployment before go-live, because streaming
+#: state partitioning freezes at the first batch; the scheduling
+#: fixed-cost argument is symmetric (once per-partition state is
+#: large enough to dominate the per-store commit overhead, more
+#: partitions win).
+STREAM_STATE_PARTITIONS = 8
 
 
 def _watermarked_views_purchases(spark, sf_dir, source: DataFrame | None = None):
@@ -117,7 +135,12 @@ def b23_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # inner emits on arrival; the trailing no-data batch would only
     # evict state availableNow is about to discard (see run_to_memory)
-    return run_to_memory(joined, mode="append", no_data_batches=False)
+    return run_to_memory(
+        joined,
+        mode="append",
+        no_data_batches=False,
+        state_partitions=STREAM_STATE_PARTITIONS,
+    )
 
 
 @query(
@@ -179,7 +202,9 @@ def b64_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = views.join(purchases, cond, "leftOuter").select(
         F.col("v_user").alias("user_id"), "view_id", "purchase_id"
     )
-    return run_to_memory(joined, mode="append")
+    return run_to_memory(
+        joined, mode="append", state_partitions=STREAM_STATE_PARTITIONS
+    )
 
 
 @query(
@@ -249,7 +274,9 @@ def b180_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         "view_id",
         "purchase_id",
     )
-    return run_to_memory(joined, mode="append")
+    return run_to_memory(
+        joined, mode="append", state_partitions=STREAM_STATE_PARTITIONS
+    )
 
 
 @query(
@@ -313,7 +340,9 @@ def b182_stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFram
         "view_id",
         "purchase_id",
     )
-    return run_to_memory(joined, mode="append")
+    return run_to_memory(
+        joined, mode="append", state_partitions=STREAM_STATE_PARTITIONS
+    )
 
 
 @query(
@@ -353,4 +382,9 @@ def b177_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the property that makes it exact-oracled) — the same property
     # makes the trailing eviction-only batch skippable: measured ~50%
     # of wall time at sf0.1, byte-identical output (round 9)
-    return run_to_memory(joined, mode="append", no_data_batches=False)
+    return run_to_memory(
+        joined,
+        mode="append",
+        no_data_batches=False,
+        state_partitions=STREAM_STATE_PARTITIONS,
+    )

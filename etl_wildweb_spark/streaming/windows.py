@@ -55,6 +55,7 @@ def run_to_memory(
     mode: str = "append",
     timeout_sec: int = 420,
     no_data_batches: bool = True,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming plan with Trigger.AvailableNow into a memory
     sink and return the materialized result (bounded test/dev harness;
@@ -67,6 +68,21 @@ def run_to_memory(
     hostile 200-shuffle-partition driver session, where a state-heavy
     run overran the old 120 s budget and the harness returned 100 of
     250 rows as if complete.
+
+    ``state_partitions`` right-sizes the stateful shuffle for THIS
+    query (spark.sql.shuffle.partitions, snapshotted into the query's
+    cloned session at .start() exactly like the no-data flag below —
+    set→start→restore): streaming state pays a PER-PARTITION fixed
+    cost (each micro-batch commits a delta per state store instance;
+    a stream-stream join carries FOUR stores per partition), so a
+    session-parallelism partition count multiplies store commits far
+    past the key cardinality at test scale — measured on b180 at
+    sf0.1: 7.9 s at 32 partitions → 3.3 s at 8 → 3.3 s at 4,
+    identical output (37,823 rows).  At 100 TB the knob goes the
+    OTHER way: size it to state volume / key cardinality per
+    deployment (state partitioning freezes at the first batch, so
+    pick it before go-live); the queries below default it to
+    joins.STREAM_STATE_PARTITIONS and document the sizing rule.
 
     ``no_data_batches=False`` skips the trailing NO-DATA finalization
     micro-batch (spark.sql.streaming.noDataMicroBatches.enabled) —
@@ -84,6 +100,11 @@ def run_to_memory(
     spark = stream_df.sparkSession
     conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     prev = spark.conf.get(conf_key)
+    parts_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(parts_key)
+    if state_partitions is not None:
+        # same snapshot-at-start scoping argument as the no-data flag
+        spark.conf.set(parts_key, str(state_partitions))
     if not no_data_batches:
         # The flag is SNAPSHOTTED into the query's cloned session inside
         # .start() (probed, and pinned by
@@ -109,6 +130,8 @@ def run_to_memory(
     finally:
         if not no_data_batches:
             spark.conf.set(conf_key, prev)
+        if state_partitions is not None:
+            spark.conf.set(parts_key, prev_parts)
     finished = q.awaitTermination(timeout_sec)
     if not finished:
         q.stop()

@@ -1222,3 +1222,43 @@ def test_stateful_family_randomized_differential(spark, tmp_path):
         assert rows_multiset(sdf.columns, sdf.collect()) == rows_multiset(
             ocols, orows
         ), name
+
+
+def test_stream_join_state_partition_invariance(spark, sf_dir):
+    """The round-12 state-shuffle right-sizing
+    (joins.STREAM_STATE_PARTITIONS, set→start→restore through
+    run_to_memory) must be purely a cost knob: the registered b180
+    (default width) and the same plan forced to 32 state partitions
+    emit the identical multiset, and the session's shuffle-partition
+    conf is restored after each run."""
+    from collections import Counter
+
+    from etl_wildweb_spark import registry
+    from etl_wildweb_spark.streaming.joins import (
+        _watermarked_views_purchases,
+    )
+    from etl_wildweb_spark.streaming.windows import run_to_memory
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    got_default = Counter(
+        tuple(r)
+        for r in registry.QUERIES["b180_stream_stream_full_outer"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    views, purchases, cond = _watermarked_views_purchases(spark, sf_dir)
+    joined = views.join(purchases, cond, "fullOuter").select(
+        F.coalesce("v_user", "p_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+    )
+    got_wide = Counter(
+        tuple(r)
+        for r in run_to_memory(
+            joined, mode="append", state_partitions=32
+        ).collect()
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert got_default == got_wide
