@@ -625,3 +625,49 @@ def test_b178_quality_logit_exact_boundary(spark, sf_dir, tmp_path):
     assert got[1] == (4, True)    # one quantum above the strict >
     assert got[2] == (-4, False)  # one quantum below
     assert got[3] == (t_fill, t_fill > 0)
+
+
+def test_b113_pareto_exact_coverage_boundary(spark, sf_dir, tmp_path):
+    """==-boundary plant for the Pareto coverage cut (strict
+    (cum_before)·5 < total·4): a three-part corpus with revenue shares
+    40/40/20 puts the third part's preceding cumulative revenue at
+    EXACTLY 80% of total — excluded by the strict <; shifting one
+    cent of revenue from the second part to the third (40/39.99/20.01
+    → preceding cum 79.99%) flips it to kept.  Also pins the
+    equal-revenue tie order (rank by partkey within equal cents)."""
+
+    def planted_lineitem(cents_by_part):
+        rows = [(pk, c / 100.0) for pk, c in cents_by_part]
+        return pd.DataFrame(
+            {
+                "l_partkey": pd.array([r[0] for r in rows], dtype="int64"),
+                "l_extendedprice": [r[1] for r in rows],
+            }
+        )
+
+    name = "b113_pareto_coverage"
+
+    # AT the boundary: part 3's preceding cum = 8000 of 10000 cents
+    at = planted_lineitem([(1, 4000), (2, 4000), (3, 2000)])
+    assert (4000 + 4000) * 5 == 10000 * 4
+    (tmp_path / "at").mkdir()
+    d_at = _planted_dir(tmp_path / "at", sf_dir, {"lineitem": at})
+    compare(spark, d_at, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = {
+        r.l_partkey: (r.cents, r.rk)
+        for r in registry.QUERIES[name](spark, d_at).collect()
+    }
+    assert got == {1: (4000, 1), 2: (4000, 2)}, got  # part 3 excluded
+
+    # one cent below: preceding cum 7999 of 10000 → kept
+    below = planted_lineitem([(1, 4000), (2, 3999), (3, 2001)])
+    (tmp_path / "below").mkdir()
+    d_below = _planted_dir(tmp_path / "below", sf_dir, {"lineitem": below})
+    compare(
+        spark, d_below, name, registry.QUERIES[name], registry.ORACLES[name]
+    )
+    got = {
+        r.l_partkey: (r.cents, r.rk)
+        for r in registry.QUERIES[name](spark, d_below).collect()
+    }
+    assert got == {1: (4000, 1), 2: (3999, 2), 3: (2001, 3)}, got
