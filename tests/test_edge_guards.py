@@ -671,3 +671,72 @@ def test_b113_pareto_exact_coverage_boundary(spark, sf_dir, tmp_path):
         for r in registry.QUERIES[name](spark, d_below).collect()
     }
     assert got == {1: (4000, 1), 2: (3999, 2), 3: (2001, 3)}, got
+
+
+def test_frequency_gates_exact_retention_boundary(spark, sf_dir, tmp_path):
+    """==-boundary plants for the two Misra-Gries-style retention
+    rules, both strict integer cross-products:
+
+    b109 (heavy hitters, 29·n > N over the corpus token stream): a
+    token occurring exactly N/29 times sits AT the boundary and must
+    NOT be emitted; the same count over a one-token-shorter stream
+    (29·n == N+ boundary crossed) must be.
+
+    b153 (daily frequent items, c·50 > day_total): a (day, user) cell
+    holding exactly 1/50 of its day's events is dropped by the sketch
+    retention; the same cell over a one-event-smaller day is kept.
+    Both days coexist in one planted corpus."""
+    import datetime as dt
+
+    # --- b109: hot×2 + 56 distinct fillers -> N=58, 29·2 == 58
+    at_tokens = ["hot"] * 2 + [f"f{i}" for i in range(56)]
+    assert 29 * 2 == len(at_tokens)
+    docs_at = pd.DataFrame(
+        {
+            "doc_id": pd.array([1], dtype="int64"),
+            "text": [" ".join(at_tokens)],
+            "lang": ["en"],
+            "source": ["s1"],
+            "n_chars": pd.array([len(" ".join(at_tokens))], dtype="int64"),
+        }
+    )
+    # one filler fewer -> N=57, 29·2 = 58 > 57
+    above_tokens = ["hot"] * 2 + [f"f{i}" for i in range(55)]
+    docs_above = docs_at.copy()
+    docs_above.loc[0, "text"] = " ".join(above_tokens)
+    docs_above.loc[0, "n_chars"] = len(" ".join(above_tokens))
+
+    name = "b109_heavy_hitters"
+    (tmp_path / "hh_at").mkdir()
+    d = _planted_dir(tmp_path / "hh_at", sf_dir, {"documents": docs_at})
+    compare(spark, d, name, registry.QUERIES[name], registry.ORACLES[name])
+    assert registry.QUERIES[name](spark, d).collect() == []  # == excluded
+    (tmp_path / "hh_above").mkdir()
+    d = _planted_dir(tmp_path / "hh_above", sf_dir, {"documents": docs_above})
+    compare(spark, d, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = {(r.token, r.n) for r in registry.QUERIES[name](spark, d).collect()}
+    assert got == {("hot", 2)}, got
+
+    # --- b153: day1 user 7 holds 2 of 100 events (2·50 == 100 — AT
+    # the boundary, dropped); day2 user 7 holds 2 of 99 (kept)
+    rows = []
+    day1 = dt.datetime(2024, 3, 4, 0, 0, 0)   # a Monday
+    day2 = dt.datetime(2024, 3, 5, 0, 0, 0)
+    for day, fillers in ((day1, 98), (day2, 97)):
+        rows.append((len(rows) + 1, day, 7, "view", 1.0))
+        rows.append((len(rows) + 1, day + dt.timedelta(minutes=1), 7, "view", 1.0))
+        for i in range(fillers):
+            rows.append(
+                (len(rows) + 1, day + dt.timedelta(minutes=2 + i),
+                 1000 + i, "view", 1.0)
+            )
+    name = "b153_freq_items_rollup"
+    (tmp_path / "fi").mkdir()
+    d = _planted_dir(tmp_path / "fi", sf_dir, {"events": _events(rows)})
+    compare(spark, d, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = {
+        (r.user_id, r.lower_cnt, r.n_days_retained)
+        for r in registry.QUERIES[name](spark, d).collect()
+    }
+    # only day2's cell survives: lower bound 2, one retained day
+    assert got == {(7, 2, 1)}, got
