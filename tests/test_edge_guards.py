@@ -740,3 +740,87 @@ def test_frequency_gates_exact_retention_boundary(spark, sf_dir, tmp_path):
     }
     # only day2's cell survives: lower bound 2, one retained day
     assert got == {(7, 2, 1)}, got
+
+
+def test_rank_threshold_family_exact_boundaries(spark, sf_dir, tmp_path):
+    """==-boundary plants for the histogram rank-threshold family —
+    every rule is an exact integer rank cut, so the interesting cases
+    are exact divisibility and even-count ties:
+
+    b45 (decile = cum_before·10 // total, capped): value groups sized
+    so cum_before·10 lands exactly on multiples of the total;
+    b50 (lower median, cumc >= (n+1) div 2): an even group whose two
+    middle values differ must pick the LOWER one;
+    b63 (percentile_disc bands, rank ⌈q·n⌉): a 20-value group makes
+    q·n exactly divisible at p50/p95 (rank 10/19 — NOT 11/20) while
+    p99 rounds up to rank 20."""
+    docs = []
+    # b45: counts 5 (n_chars=100), 5 (200), 10 (300) — cum_before
+    # 0/5/10 → deciles 0, (50//20)=2, (100//20)=5, both exact-divisible
+    for i in range(5):
+        docs.append((len(docs) + 1, "x " * 3, "da", "s", 100))
+    for i in range(5):
+        docs.append((len(docs) + 1, "x " * 3, "da", "s", 200))
+    for i in range(10):
+        docs.append((len(docs) + 1, "x " * 3, "da", "s", 300))
+    # b50 groups ride the same table via lang: even group with distinct
+    # middles, odd control, and an even group whose median value's
+    # cumulative count EXACTLY hits the threshold
+    b50_rows = [
+        ("ev", 10), ("ev", 20), ("ev", 30), ("ev", 40),
+        ("od", 10), ("od", 20), ("od", 30),
+        ("tt", 10), ("tt", 10), ("tt", 20), ("tt", 20),
+    ]
+    for lang, nc in b50_rows:
+        docs.append((len(docs) + 1, "x " * 3, lang, "s", nc))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array([d[0] for d in docs], dtype="int64"),
+            "text": [d[1] for d in docs],
+            "lang": [d[2] for d in docs],
+            "source": [d[3] for d in docs],
+            "n_chars": pd.array([d[4] for d in docs], dtype="int64"),
+        }
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1)
+    ev = [
+        (i + 1, t0 + dt.timedelta(minutes=i), 1, "t20", float(i + 1))
+        for i in range(20)
+    ]
+    planted = _planted_dir(
+        tmp_path, sf_dir, {"documents": pdf, "events": _events(ev)}
+    )
+
+    for name in (
+        "b45_quality_deciles",
+        "b50_grouped_median",
+        "b63_quantile_bands",
+    ):
+        compare(
+            spark, planted, name, registry.QUERIES[name], registry.ORACLES[name]
+        )
+
+    dec = {
+        r.decile
+        for r in registry.QUERIES["b45_quality_deciles"](spark, planted).collect()
+    }
+    # exact-divisible cum_before·10 edges land on deciles 0/2/5 for the
+    # three planted value groups; the b50 rows add their own values but
+    # the three planted groups' deciles must be present
+    assert {0, 2, 5} <= dec, dec
+    med = {
+        r.lang: r.median_chars
+        for r in registry.QUERIES["b50_grouped_median"](spark, planted).collect()
+    }
+    assert med["ev"] == 20  # lower of the two middles, n even
+    assert med["od"] == 20
+    assert med["tt"] == 10  # cumc(10) == threshold exactly
+    bands = {
+        r.event_type: (r.n, r.p50, r.p95, r.p99)
+        for r in registry.QUERIES["b63_quantile_bands"](spark, planted).collect()
+        if r.event_type == "t20"
+    }
+    # exact divisibility: rank ⌈0.5·20⌉=10, ⌈0.95·20⌉=19; ⌈0.99·20⌉=20
+    assert bands["t20"] == (20, 10.0, 19.0, 20.0), bands
