@@ -824,3 +824,147 @@ def test_rank_threshold_family_exact_boundaries(spark, sf_dir, tmp_path):
     }
     # exact divisibility: rank ⌈0.5·20⌉=10, ⌈0.95·20⌉=19; ⌈0.99·20⌉=20
     assert bands["t20"] == (20, 10.0, 19.0, 20.0), bands
+
+
+def _doc_rows(specs) -> pd.DataFrame:
+    """documents rows from (doc_id, token-list) specs."""
+    ids = [s[0] for s in specs]
+    texts = [" ".join(s[1]) for s in specs]
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(ids, dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(ids),
+            "source": ["plant"] * len(ids),
+            "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+
+
+def test_dedup_gram_threshold_family_exact_boundaries(spark, sf_dir, tmp_path):
+    """==-boundary plants for the gram-threshold dedup family (round
+    12, continuing the boundary-plant program): both thresholds are
+    set-size ratios over word-3-gram sets, so exact boundaries are
+    constructible by token-count arithmetic — a doc of n distinct
+    tokens (no repeated triple) has exactly n−2 grams.
+
+    Jaccard (≥ 0.8, b29 family): X = x1..x10 (8 grams) ⊂ Y = x1..x12
+    (10 grams) gives 8/10 == 0.8 EXACTLY — and |Y| = 10 is the very
+    set size where the old float prefix-length formula under-counted
+    (the sf0.1 regression pinned unit-side in test_llmops), so this
+    pair walks that code path end-to-end.  The == edge is made
+    LOAD-BEARING for transitivity: Z = x1..x13 has J(Y,Z) = 10/11 and
+    J(X,Z) = 8/11 < 0.8, so X joins cluster {X,Y,Z} only through the
+    inclusive == edge — a strict > would leave X a singleton in both
+    CC variants.  A second == pair (201/202: inter 8, union 10, sizes
+    9/9) covers the non-subset shape; 301/302 (7/9) sits below, and
+    401/402 (9/11) just above.  Y's id (105) is ≡ 0 mod 5, so the ==
+    pair also crosses b82's batch×corpus split.
+
+    Containment (≥ 0.9, b159): A = ca1..ca12 (10 grams) against
+    B = ca1..ca11+cb1+cb2 (11 grams, 9 shared) gives |A∩B|/|A| ==
+    9/10 EXACTLY (emitted, containment_ppm == 900000; the reverse
+    direction 9/11 is not); 601/602 plant 8/10 safely below.  Their
+    Jaccard values (9/12, 8/12) stay below 0.8, so the families stay
+    disjoint.  Every ratio is re-derived from the token counts inside
+    the test, and all six queries are strict-compared against their
+    O(n²) DuckDB oracles on the planted corpus."""
+    xt = [f"x{i}" for i in range(1, 14)]
+    at = [f"a{i}" for i in range(1, 12)]
+    ct = [f"c{i}" for i in range(1, 12)]
+    et = [f"e{i}" for i in range(1, 14)]
+    ca = [f"ca{i}" for i in range(1, 13)]
+    da = [f"da{i}" for i in range(1, 13)]
+    specs = [
+        # jaccard == 0.8 chain: X(101) -0.8- Y(105) -10/11- Z(102)
+        (101, xt[:10]),
+        (105, xt[:12]),
+        (102, xt[:13]),
+        # jaccard == 0.8, non-subset shape
+        (201, at[:11]),
+        (202, at[:10] + ["b1"]),
+        # just below: 7/9
+        (301, ct[:9]),
+        (302, ct[:11]),
+        # just above: 9/11
+        (401, et[:11]),
+        (402, et[:13]),
+        # containment == 0.9: inter 9 of |A| = 10
+        (501, ca[:12]),
+        (502, ca[:11] + ["cb1", "cb2"]),
+        # containment below: inter 8 of |A| = 10
+        (601, da[:12]),
+        (602, da[:10] + ["db1", "db2"]),
+        # filler so df ranks and prefix ordering see a real vocabulary
+        *[
+            (700 + i, [f"f{i}g{j}" for j in range(6)])
+            for i in range(1, 9)
+        ],
+    ]
+
+    def grams(toks):
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    g = {doc_id: grams(toks) for doc_id, toks in specs}
+
+    def jac(i, j):
+        return (len(g[i] & g[j]), len(g[i] | g[j]))
+
+    # the planted ratios, re-derived from the token lists (not trusted
+    # from the docstring): == boundary, the transitive bridge, the
+    # below/above flanks, and the containment cut
+    assert jac(101, 105) == (8, 10) and 8 * 5 == 10 * 4      # == 0.8
+    assert jac(201, 202) == (8, 10)                          # == 0.8
+    assert jac(105, 102) == (10, 11)                         # above
+    assert jac(101, 102) == (8, 11)                          # below — bridge only via ==
+    assert jac(301, 302) == (7, 9)                           # below
+    assert jac(401, 402) == (9, 11)                          # above
+    i_ab, a_sz = len(g[501] & g[502]), len(g[501])
+    assert (i_ab, a_sz) == (9, 10) and 10 * i_ab == 9 * a_sz  # == 0.9
+    assert 10 * len(g[601] & g[602]) < 9 * len(g[601])        # below
+    # reverse containment of the == pair sits below the cut
+    assert 10 * 9 < 9 * len(g[502])
+
+    planted = _planted_dir(tmp_path, sf_dir, {"documents": _doc_rows(specs)})
+    for name in (
+        "b29_ngram_jaccard",
+        "b29_minhash_near_dedup",
+        "b29_dup_clusters",
+        "b29_cc_bigstar",
+        "b82_incremental_neardup",
+        "b159_containment_dedup",
+    ):
+        compare(
+            spark, planted, name, registry.QUERIES[name], registry.ORACLES[name]
+        )
+
+    # intent on top of the oracle agreement: the == pairs are IN, the
+    # below pairs OUT, and the == edge carries X into the cluster
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in registry.QUERIES["b29_ngram_jaccard"](spark, planted).collect()
+    }
+    assert pairs[(101, 105)] == 0.8          # == boundary INCLUDED
+    assert pairs[(201, 202)] == 0.8
+    assert (301, 302) not in pairs
+    assert (101, 102) not in pairs           # the bridge pair itself is below
+    assert (401, 402) in pairs
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in registry.QUERIES["b29_dup_clusters"](spark, planted).collect()
+    }
+    assert clusters[101] == clusters[105] == clusters[102]  # == edge load-bearing
+    assert 301 not in clusters or clusters[301] != clusters.get(302)
+    inc = {
+        (r.batch_id, r.corpus_id): r.jaccard
+        for r in registry.QUERIES["b82_incremental_neardup"](spark, planted).collect()
+    }
+    assert inc[(105, 101)] == 0.8            # == boundary crosses the batch split
+    assert (105, 102) in inc
+    cont = {
+        (r.id_a, r.id_b): r.containment_ppm
+        for r in registry.QUERIES["b159_containment_dedup"](spark, planted).collect()
+    }
+    assert cont[(501, 502)] == 900000        # == boundary INCLUDED, exact ppm
+    assert (502, 501) not in cont            # reverse 9/11 below the cut
+    assert (601, 602) not in cont and (602, 601) not in cont
