@@ -968,3 +968,65 @@ def test_dedup_gram_threshold_family_exact_boundaries(spark, sf_dir, tmp_path):
     assert cont[(501, 502)] == 900000        # == boundary INCLUDED, exact ppm
     assert (502, 501) not in cont            # reverse 9/11 below the cut
     assert (601, 602) not in cont and (602, 601) not in cont
+
+
+def test_b68_cep_gap_exact_boundaries(spark, sf_dir, tmp_path):
+    """==-boundary plant for the CEP Kleene gap rule (48 h = G, round
+    12): the operator has THREE distinct G-comparisons and each gets a
+    user planted exactly ON it —
+
+    user 10: two clicks exactly G apart (segmenter splits on gap > G,
+    so == G must KEEP the chain: n_clicks == 2), opened by a view
+    exactly G before chain_start and closed by a purchase exactly G
+    after chain_end (attachment rule BETWEEN 1 AND G: == G INCLUDED)
+    — the matched span is exactly 3G;
+    user 11: clicks G+1 µs apart must SPLIT (two chains; only the
+    first can be opened/closed, n_clicks == 1);
+    user 12: view at the SAME INSTANT as the click (gap_open == 0,
+    excluded by the >= 1 strictly-before rule) — no match;
+    user 13: view G+1 µs before (just out) — no match;
+    user 14: purchase G+1 µs after (just out) — no match;
+    user 15: comfortably in-range control — one match.
+
+    Each no-match user carries an otherwise-valid other side, so the
+    absence is attributable to the planted boundary alone; the whole
+    corpus is strict-compared against the oracle for b68 and its
+    fixed-length sibling b52."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 10, 12, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    G = dt.timedelta(hours=48)
+    h = dt.timedelta(hours=1)
+    rows = []
+
+    def add(t, u, ty, v=1.0):
+        rows.append((len(rows) + 1, t, u, ty, v))
+
+    add(t0, 10, "click"); add(t0 + G, 10, "click")
+    add(t0 - G, 10, "view"); add(t0 + 2 * G, 10, "purchase", 5.0)
+    add(t0, 11, "click"); add(t0 + G + us, 11, "click")
+    add(t0 - us, 11, "view"); add(t0 + G, 11, "purchase", 5.0)
+    add(t0, 12, "click"); add(t0, 12, "view"); add(t0 + h, 12, "purchase", 5.0)
+    add(t0, 13, "click"); add(t0 - G - us, 13, "view")
+    add(t0 + h, 13, "purchase", 5.0)
+    add(t0, 14, "click"); add(t0 - h, 14, "view")
+    add(t0 + G + us, 14, "purchase", 5.0)
+    add(t0, 15, "click"); add(t0 - h, 15, "view")
+    add(t0 + h, 15, "purchase", 5.0)
+
+    planted = _planted_dir(tmp_path, sf_dir, {"events": _events(rows)})
+    for name in ("b68_cep_kleene", "b52_sequence_match"):
+        compare(
+            spark, planted, name, registry.QUERIES[name], registry.ORACLES[name]
+        )
+
+    m = {
+        r.user_id: r
+        for r in registry.QUERIES["b68_cep_kleene"](spark, planted).collect()
+    }
+    assert set(m) == {10, 11, 15}, sorted(m)
+    assert m[10].n_clicks == 2                    # == G gap KEEPS the chain
+    assert m[10].span_us == 3 * G // us           # view -G, chain G, purchase +G
+    assert m[11].n_clicks == 1                    # G+1 µs SPLITS; chain 1 matched
+    assert m[15].n_clicks == 1
