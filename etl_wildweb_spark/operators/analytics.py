@@ -833,9 +833,15 @@ def b112_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts,
+             -- STRICTLY greater: Spark's session_window EXTENDS a
+             -- session for an event landing exactly at prev_ts + gap
+             -- (the b22/b72 inclusive-gap find, a33793e; probed again
+             -- batch-side for this twin — an exactly-30:00 pair is ONE
+             -- Spark session).  >= here split it for eleven rounds,
+             -- invisible because no corpus gap ever landed on :00.000000.
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id)
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_s

@@ -139,7 +139,16 @@ PRIORITY: list[str] = [
     # -- the r07 cohort, next-oldest confirmations (VERDICT r11 item 3) --
     "b152_triangle_count",
     "b165_markov_attribution",
-    "b171_kaplan_meier",
+    # b116_bounce_rate re-enters MID-ROUND: its oracle split sessions
+    # on >= INTERVAL 30 MINUTE while Spark's session_window merges an
+    # event landing exactly at prev + gap — the batch-side sibling of
+    # the a33793e inclusive-gap find, wrong for eleven rounds and
+    # invisible because no corpus gap ever landed on :00.000000 (probed
+    # and ==-planted in tests/test_edge_guards.py).  Its slot comes
+    # from b171_kaplan_meier (same-file analytics.py sibling, code
+    # untouched, age 5 at r12 — the tpch_q17 deferral precedent), which
+    # MUST join the r13 must-lead set (SCALE.md round-12 handoff).
+    "b116_bounce_rate",
     "b145_zorder_layout",
     "b150_bm25_rank",
     "b157_inverted_index",
