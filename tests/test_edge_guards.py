@@ -335,6 +335,20 @@ def test_boundary_dense_events_differential(spark, sf_dir, tmp_path):
     add(t0 + dt.timedelta(hours=6), 6, "purchase", 4.0)
     add(t0 + dt.timedelta(hours=6) - us, 6, "view")
     add(t0 + dt.timedelta(hours=6) + us, 6, "view")
+    # round 12: EXACT 30:00 session gaps on an isolated day — Spark's
+    # session_window merges an event landing exactly at prev + gap
+    # (the a33793e inclusive rule), and b116's oracle split on >= for
+    # eleven rounds because no corpus gap ever hit :00.000000 (found by
+    # probing this exact pair; fixed to > in the same commit as this
+    # plant).  One merged ==-gap pair, one +1 µs split pair, one −1 µs
+    # merged pair → day 2024-03-20 must read 4 sessions / 2 bounces.
+    d20 = dt.datetime(2024, 3, 20)
+    m30 = dt.timedelta(minutes=30)
+    add(d20, 7); add(d20 + m30, 7)
+    add(d20 + dt.timedelta(hours=5), 7)
+    add(d20 + dt.timedelta(hours=5) + m30 + us, 7)
+    add(d20 + dt.timedelta(hours=10), 7)
+    add(d20 + dt.timedelta(hours=10) + m30 - us, 7)
 
     planted = _planted_dir(tmp_path, sf_dir, {"events": _events(rows)})
     for name in (
@@ -368,6 +382,14 @@ def test_boundary_dense_events_differential(spark, sf_dir, tmp_path):
         compare(
             spark, planted, name, registry.QUERIES[name], registry.ORACLES[name]
         )
+
+    # intent for the ==-gap sessions: the isolated day carries exactly
+    # user 7's three planted pairs — merged, split, merged
+    days = {
+        str(r.day): (r.n_sessions, r.n_bounces)
+        for r in registry.QUERIES["b116_bounce_rate"](spark, planted).collect()
+    }
+    assert days["2024-03-20"] == (4, 2), days
 
 
 def _geo_coord(event_id: int, salt: str) -> int:
@@ -1030,3 +1052,109 @@ def test_b68_cep_gap_exact_boundaries(spark, sf_dir, tmp_path):
     assert m[10].span_us == 3 * G // us           # view -G, chain G, purchase +G
     assert m[11].n_clicks == 1                    # G+1 µs SPLITS; chain 1 matched
     assert m[15].n_clicks == 1
+
+
+def test_b120_linkage_exact_edit_and_block_boundaries(spark, sf_dir, tmp_path):
+    """==-boundary plant for record linkage (round 12): both of b120's
+    decision rules are exact integer cuts — Levenshtein <= 1 and a
+    16-char blocking-prefix equality — so each gets a planted pair ON
+    it.  Only custkey 20 is ≡ 0 mod 10, so exactly one dirty record
+    (16 P's + 'ABX') probes the block:
+
+    26: clean name IDENTICAL to the dirty string      → dist 0, in;
+    20/21/22/25: distance exactly 1 (delete / insert /
+        substitute-at-18 / substitute-at-17)          → in;
+    23: distance exactly 2                            → out;
+    24: distance 1 BUT the block key flips at char 16 → blocked out —
+        the substitution at position 16 vs 17 (24 vs 25) pins the
+        prefix length exactly (a 15- or 17-char block key flips one
+        of them), and 24 is the documented recall cost of blocking."""
+    P = "P" * 16
+    names = {
+        20: P + "AB",     # dirty = P+ABX; lev(ABX, AB) = 1 (delete)
+        21: P + "ABXY",   # lev 1 (insert)
+        22: P + "ABY",    # lev 1 (substitute, pos 18)
+        23: P + "AYZ",    # lev 2 — just out
+        24: "P" * 15 + "QABX",  # lev 1, but block key differs at char 16
+        25: P + "BBX",    # lev 1 (substitute, pos 17 — first past block)
+        26: P + "ABX",    # lev 0 — identical
+        31: "Q" * 16 + "ZZ",  # unrelated block
+    }
+    cust = pd.DataFrame(
+        {
+            "c_custkey": pd.array(sorted(names), dtype="int64"),
+            "c_name": [names[k] for k in sorted(names)],
+            "c_nationkey": pd.array([0] * len(names), dtype="int32"),
+            "c_acctbal": [0.0] * len(names),
+            "c_mktsegment": ["BUILDING"] * len(names),
+        }
+    )
+
+    def lev(a, b):
+        import numpy as np
+        m = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, m[0] = m[0], i
+            for j, cb in enumerate(b, 1):
+                prev, m[j] = m[j], min(m[j] + 1, m[j - 1] + 1,
+                                       prev + (ca != cb))
+        return int(m[-1])
+
+    dirty = names[20] + "X"
+    assert [lev(dirty, names[k]) for k in (26, 20, 21, 22, 25)] == [0, 1, 1, 1, 1]
+    assert lev(dirty, names[23]) == 2
+    assert lev(dirty, names[24]) == 1 and dirty[:16] != names[24][:16]
+    assert dirty[:16] == names[25][:16] and dirty[15] != names[24][15]
+
+    planted = _planted_dir(tmp_path, sf_dir, {"customer": cust})
+    name = "b120_record_linkage"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = {
+        r.matched_custkey: r.dist
+        for r in registry.QUERIES[name](spark, planted).collect()
+    }
+    assert got == {26: 0, 20: 1, 21: 1, 22: 1, 25: 1}, got
+
+
+def test_b171_km_day_boundaries_and_terminal_day(spark, sf_dir, tmp_path):
+    """==-boundary plant for Kaplan-Meier's day clock and terminal day
+    (round 12): t_day is a CALENDAR-day diff of microsecond timestamps,
+    so the boundaries live at midnight, not at elapsed time —
+
+    u1 converts 1 µs after origin but ACROSS midnight   → t_day 1;
+    u2 converts 86399.999999 s later, same calendar day → t_day 0;
+    u3's first event IS the purchase (origin == conv)   → t_day 0;
+    u4 never converts: censored at the corpus horizon, origin late →
+       leaves at t_day 1 TOGETHER with u1's conversion (the same-day
+       death+censor mix: d = 1, leaving = 2);
+    u5/u6 convert at the horizon instant itself → the terminal day has
+       d == n_risk == 2, the documented S(t) == 0 sentinel (step NULL).
+
+    Day table re-derived by hand: t 0 → (d 2, risk 6), 1 → (1, 4),
+    10 → (2, 2); strict-compared against the oracle (the two engines'
+    day-diff functions must agree at the midnight boundary)."""
+    import datetime as dt
+
+    us = dt.timedelta(microseconds=1)
+    d1 = dt.datetime(2024, 3, 1)
+    rows = []
+
+    def add(t, u, ty, v=1.0):
+        rows.append((len(rows) + 1, t, u, ty, v))
+
+    add(dt.datetime(2024, 3, 2) - us, 1, "view")
+    add(dt.datetime(2024, 3, 2), 1, "purchase", 5.0)
+    add(d1, 2, "view"); add(dt.datetime(2024, 3, 2) - us, 2, "purchase", 5.0)
+    add(d1 + dt.timedelta(hours=12), 3, "purchase", 5.0)
+    add(dt.datetime(2024, 3, 10, 6), 4, "view")
+    add(d1, 5, "view"); add(dt.datetime(2024, 3, 11), 5, "purchase", 5.0)
+    add(d1, 6, "view"); add(dt.datetime(2024, 3, 11), 6, "purchase", 5.0)
+
+    planted = _planted_dir(tmp_path, sf_dir, {"events": _events(rows)})
+    name = "b171_kaplan_meier"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = {
+        r.t_day: (r.n_events, r.n_risk)
+        for r in registry.QUERIES[name](spark, planted).collect()
+    }
+    assert got == {0: (2, 6), 1: (1, 4), 10: (2, 2)}, got
