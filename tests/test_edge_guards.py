@@ -1158,3 +1158,98 @@ def test_b171_km_day_boundaries_and_terminal_day(spark, sf_dir, tmp_path):
         for r in registry.QUERIES[name](spark, planted).collect()
     }
     assert got == {0: (2, 6), 1: (1, 4), 10: (2, 2)}, got
+
+
+def test_packing_exact_capacity_boundaries(spark, sf_dir, tmp_path):
+    """==-boundary plants for the two context-layout operators (round
+    12): both budgets are exact integer cuts at 512 tokens.
+
+    b35 (greedy first-fit, new bin on fill + t > BUDGET):
+      s_fit:   256 + 256 == 512 share a bin (the == fit), +1 spills;
+      s_over:  256 + 257 == 513 splits;
+      s_big:   an exactly-512 doc fills a bin alone;
+      s_jumbo: an OVERSIZED 513-token doc mid-stream takes a bin alone
+               and the 1-token docs around it get their own bins;
+      s_ceil:  n_chars 1023/1024 both ceil to 256 (== fit again) while
+               1025 ceils to 257 — the /4 estimator's own boundary.
+
+    b142 (concat-and-chunk): token totals are assigned by md5-ORDER
+    POSITION (computed inside the test, so the plant is immune to id
+    choice): 512 → the first doc's <eod> is the LAST token of chunk 0
+    (a document edge landing exactly ON the chunk edge), then 300 +
+    512 + 100 make doc 3 straddle chunks 1→2 and leave a 400-token
+    final chunk.  Both strict-compared against their recursive-CTE /
+    window oracles."""
+    import hashlib as _h
+
+    rows = []
+
+    def add(doc_id, source, n_chars, text="x y z"):
+        rows.append((doc_id, text, "en", source, n_chars))
+
+    for i, nc in enumerate([256 * 4, 256 * 4, 1 * 4]):
+        add(10 + i, "s_fit", nc)
+    for i, nc in enumerate([256 * 4, 257 * 4]):
+        add(20 + i, "s_over", nc)
+    for i, nc in enumerate([512 * 4, 1 * 4]):
+        add(30 + i, "s_big", nc)
+    for i, nc in enumerate([1 * 4, 513 * 4, 1 * 4]):
+        add(40 + i, "s_jumbo", nc)
+    for i, nc in enumerate([1023, 1024, 1025]):
+        add(50 + i, "s_ceil", nc)
+    docs35 = pd.DataFrame(
+        {
+            "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "text": [r[1] for r in rows],
+            "lang": [r[2] for r in rows],
+            "source": [r[3] for r in rows],
+            "n_chars": pd.array([r[4] for r in rows], dtype="int64"),
+        }
+    )
+    (tmp_path / "p35").mkdir()
+    p35 = _planted_dir(tmp_path / "p35", sf_dir, {"documents": docs35})
+    for name in ("b35_sequence_pack", "b35_pack_utilization"):
+        compare(
+            spark, p35, name, registry.QUERIES[name], registry.ORACLES[name]
+        )
+    bins = {
+        (r.source, r.doc_id): r.bin
+        for r in registry.QUERIES["b35_sequence_pack"](spark, p35).collect()
+    }
+    assert [bins[("s_fit", i)] for i in (10, 11, 12)] == [0, 0, 1]
+    assert [bins[("s_over", i)] for i in (20, 21)] == [0, 1]
+    assert [bins[("s_big", i)] for i in (30, 31)] == [0, 1]
+    assert [bins[("s_jumbo", i)] for i in (40, 41, 42)] == [0, 1, 2]
+    assert [bins[("s_ceil", i)] for i in (50, 51, 52)] == [0, 0, 1]
+
+    # --- b142: totals by md5 order position ---
+    ids = [70, 71, 72, 73]
+    order = sorted(ids, key=lambda i: (_h.md5(str(i).encode()).hexdigest(), i))
+    totals = [512, 300, 512, 100]  # tokens INCLUDING the <eod> separator
+    texts = {}
+    for doc_id, tot in zip(order, totals):
+        texts[doc_id] = " ".join(f"w{j}" for j in range(tot - 1))
+    docs142 = pd.DataFrame(
+        {
+            "doc_id": pd.array(ids, dtype="int64"),
+            "text": [texts[i] for i in ids],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": pd.array([len(texts[i]) for i in ids], dtype="int64"),
+        }
+    )
+    (tmp_path / "p142").mkdir()
+    p142 = _planted_dir(tmp_path / "p142", sf_dir, {"documents": docs142})
+    name = "b142_concat_chunk"
+    compare(spark, p142, name, registry.QUERIES[name], registry.ORACLES[name])
+    chunks = {
+        r.chunk_id: (r.n_tokens, r.n_docs, r.chunk_text)
+        for r in registry.QUERIES[name](spark, p142).collect()
+    }
+    assert set(chunks) == {0, 1, 2}
+    # doc edge exactly ON the chunk edge: chunk 0 is doc 1 alone and
+    # its final token is the separator
+    assert chunks[0][0] == 512 and chunks[0][1] == 1
+    assert chunks[0][2].endswith(" <eod>")
+    assert chunks[1][0] == 512 and chunks[1][1] == 2   # doc 3 straddles
+    assert chunks[2][0] == 400 and chunks[2][1] == 2    # partial tail
