@@ -1253,3 +1253,135 @@ def test_packing_exact_capacity_boundaries(spark, sf_dir, tmp_path):
     assert chunks[0][2].endswith(" <eod>")
     assert chunks[1][0] == 512 and chunks[1][1] == 2   # doc 3 straddles
     assert chunks[2][0] == 400 and chunks[2][1] == 2    # partial tail
+
+
+def _emb_rows(specs) -> pd.DataFrame:
+    """embeddings rows from (vec_id, label, {dim: int_value}) specs —
+    64-dim float32, integer components only (exact in both engines)."""
+    import numpy as np
+
+    ids, labels, vecs = [], [], []
+    for vec_id, label, comps in specs:
+        v = np.zeros(64, dtype=np.float32)
+        for d, x in comps.items():
+            assert 0 <= x < 2**24  # float32-exact integers
+            v[d] = x
+        ids.append(vec_id)
+        labels.append(label)
+        vecs.append(v)
+    return pd.DataFrame(
+        {
+            "vec_id": pd.array(ids, dtype="int64"),
+            "embedding": pd.Series(vecs, dtype="object"),
+            "label": pd.array(labels, dtype="int32"),
+        }
+    )
+
+
+def _fill_squares(target: int, start_dim: int) -> dict:
+    """Greedy decomposition of `target` into integer squares on dims
+    start_dim.. (components < 2^24) — norm-filling for exact-cosine
+    vectors."""
+    import math
+
+    out, d, r = {}, start_dim, target
+    while r > 0:
+        a = min(math.isqrt(r), 2**24 - 1)
+        out[d] = a
+        r -= a * a
+        d += 1
+    assert d <= 64
+    return out
+
+
+def test_similarity_tie_and_rounding_exact_boundaries(spark, sf_dir, tmp_path):
+    """==-boundary plants for the distance/vote family (round 12), all
+    in exact dyadic arithmetic so both engines compute bit-identical
+    cosines:
+
+    b97: a member at c0 + c1 is EXACTLY equidistant from both
+    centroids (the same expression by symmetry) — the smaller-cid
+    tie-break must place it in cluster 0 in both engines;
+
+    b172, three queries on orthogonal axes:
+      q0: an IDENTICAL corpus pair (same vector, labels 5 vs 7)
+          contests the 5th vote slot — micro-cosine ties resolve on
+          vec_id asc, flipping the 3-2 majority if broken;
+      q1: a 2-2-1 vote tie — the smaller label must win;
+      q2: the ROUNDING boundary — cos exactly 1/128 makes
+          1e6·cos == 7812.5 (dyadic, exactly representable), which
+          HALF-UP rounds to 7813 and ties a 16385/2^21 neighbor
+          (7812.98… → 7813); a banker's-rounding engine would send it
+          to 7812, below a planted 16383/2^21 decoy (7812.02… → 7812,
+          smaller vec_id), flipping the prediction from 31 to 33."""
+    # ---- b97 corpus: exact centroid tie ----
+    b97 = [
+        (0, 0, {0: 4}),
+        (1, 0, {1: 4}),
+        (100, 0, {0: 4, 1: 4}),   # exact tie -> cluster 0
+        (101, 0, {0: 8, 1: 1}),
+        (102, 0, {0: 1, 1: 8}),
+    ]
+    (tmp_path / "p97").mkdir()
+    p97 = _planted_dir(tmp_path / "p97", sf_dir, {"embeddings": _emb_rows(b97)})
+    name = "b97_kmeans_update"
+    compare(spark, p97, name, registry.QUERIES[name], registry.ORACLES[name])
+    members = {
+        r.cluster_id: r.n_members
+        for r in registry.QUERIES[name](spark, p97).collect()
+        if r.pos == 0
+    }
+    assert members == {0: 3, 1: 2}, members  # tie member lands in 0
+
+    # ---- b172 corpus ----
+    def axis_vec(axis, x0, nrm):
+        comps = {axis: x0}
+        comps.update(_fill_squares(nrm * nrm - x0 * x0, 3))
+        return comps
+
+    specs = [
+        (0, 5, {0: 128}),   # queries: 128*e_axis
+        (1, 9, {1: 128}),
+        (2, 31, {2: 128}),
+        # q0 gadgets (axis 0): top-4 labels 5,5,7,7 then the identical
+        # pair at cos 0.3125 — ids 30 < 31
+        (20, 5, axis_vec(0, 96, 128)),
+        (21, 5, axis_vec(0, 80, 128)),
+        (22, 7, axis_vec(0, 64, 128)),
+        (23, 7, axis_vec(0, 48, 128)),
+        (30, 5, axis_vec(0, 40, 128)),
+        (31, 7, axis_vec(0, 40, 128)),
+        # q1 gadgets (axis 1): distinct cosines, labels 9,9,11,11,13
+        (40, 9, axis_vec(1, 96, 128)),
+        (41, 9, axis_vec(1, 80, 128)),
+        (42, 11, axis_vec(1, 64, 128)),
+        (43, 11, axis_vec(1, 48, 128)),
+        (44, 13, axis_vec(1, 40, 128)),
+        # q2 (axis 2): three clear (33, 33, 31), then the rounding
+        # contest — A at 16385/2^21 (7813), B at 1/128 == 7812.5
+        # (HALF-UP 7813), decoy C at 16383/2^21 (7812, smaller id
+        # than B so a misrounded B loses the tie to it)
+        (50, 33, axis_vec(2, 96, 128)),
+        (51, 33, axis_vec(2, 80, 128)),
+        (52, 31, axis_vec(2, 64, 128)),
+        (53, 31, axis_vec(2, 16385, 2**21)),   # A
+        (54, 33, axis_vec(2, 16383, 2**21)),   # C (decoy, id < B)
+        (55, 31, axis_vec(2, 16384, 2**21)),   # B: cos exactly 1/128
+    ]
+    # the dyadic claims, re-derived
+    assert 1_000_000 * (16384 / 2**21) == 7812.5
+    assert round(16385 * 15625 / 2**15) == 7813
+    assert round(16383 * 15625 / 2**15) == 7812
+    (tmp_path / "p172").mkdir()
+    p172 = _planted_dir(
+        tmp_path / "p172", sf_dir, {"embeddings": _emb_rows(specs)}
+    )
+    name = "b172_knn_label_vote"
+    compare(spark, p172, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = {
+        r.query_id: (r.predicted, r.n_votes, r.correct)
+        for r in registry.QUERIES[name](spark, p172).collect()
+    }
+    assert got[0] == (5, 3, True)    # id 30 beat id 31 for the 5th slot
+    assert got[1] == (9, 2, True)    # 2-2 vote tie -> smaller label
+    assert got[2] == (31, 3, True)   # B rounded HALF-UP into the vote set
