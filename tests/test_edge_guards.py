@@ -1385,3 +1385,76 @@ def test_similarity_tie_and_rounding_exact_boundaries(spark, sf_dir, tmp_path):
     assert got[0] == (5, 3, True)    # id 30 beat id 31 for the 5th slot
     assert got[1] == (9, 2, True)    # 2-2 vote tie -> smaller label
     assert got[2] == (31, 3, True)   # B rounded HALF-UP into the vote set
+
+
+def test_b149_semdedup_exact_tau_boundary(spark, sf_dir, tmp_path):
+    """==-boundary plant for SemDeDup's keep/drop cut (round 12): the
+    predicate is round(1e6·cos) >= 400000 on integer micro-cosine, so
+    the boundary lives at the micro value itself.  Dyadic geometry
+    (axis component x0, norm 2^21) gives cos = x0/2^21 exactly:
+    x0 = 838861 → 1e6·cos = 400000.095… → micro == 400000, AT the cut
+    (the higher-id twin must be DROPPED — a strict > would keep it);
+    x0 = 838859 → 399999.14… → 399999, one micro below (kept).  The
+    two members' norm fillers live on disjoint dims so their mutual
+    cosine stays far from τ, and the single centroid sits on its own
+    axis (cos 0 to every member) so membership is decided only by the
+    planted pair."""
+    base = [
+        (0, 0, {2: 4}),                       # lone centroid, own axis
+        (100, 0, {0: 2**21}),                 # pure axis-0 anchor
+        (101, 0, {0: 838861, **_fill_squares(2**42 - 838861**2, 3)}),
+        (102, 0, {0: 838859, **_fill_squares(2**42 - 838859**2, 33)}),
+    ]
+    for vid, _, comps in base[2:]:
+        assert max(comps.values()) < 2**24
+    assert round(1_000_000 * 838861 / 2**21) == 400000   # AT the cut
+    assert round(1_000_000 * 838859 / 2**21) == 399999   # below
+    (tmp_path / "p149").mkdir()
+    p = _planted_dir(tmp_path / "p149", sf_dir, {"embeddings": _emb_rows(base)})
+    name = "b149_semdedup"
+    compare(spark, p, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = {
+        r.vec_id: (r.n_sem_dups, r.keep)
+        for r in registry.QUERIES[name](spark, p).collect()
+    }
+    assert got[0] == (0, True)
+    assert got[100] == (0, True)     # lower id survives
+    assert got[101] == (1, False)    # == tau twin counted, dropped
+    assert got[102] == (0, True)     # one micro below, kept
+
+
+def test_b87_skyline_exact_tie_boundaries(spark, sf_dir, tmp_path):
+    """==-boundary plant for skyline dominance (round 12): dominance
+    requires >= on both dims AND strictly better on one, so every
+    interesting case is an exact tie —
+
+    two EXACT DUPLICATES (10000 cents, dist 5) dominate each other on
+    neither dim: BOTH stay on the frontier (the range-frame tie-group
+    rule; a rows-frame or a > in the incl window drops one);
+    a same-dist point one cent lower is dominated;
+    a same-bal point one dist further is dominated;
+    the (200.00, 7) point ties neither way with (100.00, 5) — both
+    frontier (the Pareto incomparability case)."""
+    rows = [
+        (1, "s1", 5, 100.00),
+        (2, "s2", 5, 100.00),   # exact duplicate of 1
+        (3, "s3", 5, 99.99),    # same dist, one cent lower -> dominated
+        (5, "s5", 7, 200.00),
+        (6, "s6", 8, 200.00),   # same bal, one dist further -> dominated
+    ]
+    sup = pd.DataFrame(
+        {
+            "s_suppkey": pd.array([r[0] for r in rows], dtype="int64"),
+            "s_name": [r[1] for r in rows],
+            "s_nationkey": pd.array([r[2] for r in rows], dtype="int32"),
+            "s_acctbal": [r[3] for r in rows],
+        }
+    )
+    planted = _planted_dir(tmp_path, sf_dir, {"supplier": sup})
+    name = "b87_skyline"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    keys = {
+        r.s_suppkey
+        for r in registry.QUERIES[name](spark, planted).collect()
+    }
+    assert keys == {1, 2, 5}, keys   # both duplicates kept; ties dominated
