@@ -1458,3 +1458,48 @@ def test_b87_skyline_exact_tie_boundaries(spark, sf_dir, tmp_path):
         for r in registry.QUERIES[name](spark, planted).collect()
     }
     assert keys == {1, 2, 5}, keys   # both duplicates kept; ties dominated
+
+
+def test_week_truncation_exact_monday_boundaries(spark, sf_dir, tmp_path):
+    """==-boundary plant for the week-cohort family (round 12): both
+    b48 and b112 key on date_trunc('week') of microsecond timestamps,
+    so the decisive boundary is Monday 00:00:00.000000 itself —
+
+    user 20 first appears exactly AT Monday 2024-03-04 00:00:00 (the
+    cohort must be that same Monday, not the week before); a purchase
+    at Sunday 23:59:59.999999 stays week_k 0 while one exactly at the
+    NEXT Monday midnight is week_k 1;
+    user 21 first appears 1 µs BEFORE that Monday — cohort 2024-02-26,
+    one week earlier, so their Monday-03-04 purchase is week_k 1.
+
+    Both engines truncate timestamps to Monday week starts; this pins
+    the truncation AND the //7 day-diff at the exact flip instant."""
+    import datetime as dt
+
+    us = dt.timedelta(microseconds=1)
+    mon = dt.datetime(2024, 3, 4)          # a Monday
+    nxt = dt.datetime(2024, 3, 11)         # the next Monday
+    rows = []
+
+    def add(t, u, ty, v=1.0):
+        rows.append((len(rows) + 1, t, u, ty, v))
+
+    add(mon, 20, "purchase", 1.0)          # cohort anchor AT midnight
+    add(nxt - us, 20, "purchase", 2.0)     # Sunday 23:59:59.999999 -> k 0
+    add(nxt, 20, "purchase", 4.0)          # next Monday midnight -> k 1
+    add(mon - us, 21, "view")              # cohort = 2024-02-26
+    add(mon, 21, "purchase", 8.0)          # -> week_k 1 for user 21
+
+    planted = _planted_dir(tmp_path, sf_dir, {"events": _events(rows)})
+    for name in ("b48_retention", "b112_cohort_ltv"):
+        compare(
+            spark, planted, name, registry.QUERIES[name], registry.ORACLES[name]
+        )
+    ltv = {
+        (str(r.cohort_week), r.week_k): (r.week_rev_micro, r.cum_rev_micro)
+        for r in registry.QUERIES["b112_cohort_ltv"](spark, planted).collect()
+    }
+    assert ltv[("2024-03-04 00:00:00", 0)] == (3_000_000, 3_000_000)
+    assert ltv[("2024-03-04 00:00:00", 1)] == (4_000_000, 7_000_000)
+    assert ltv[("2024-02-26 00:00:00", 1)] == (8_000_000, 8_000_000)
+    assert len(ltv) == 3, ltv
