@@ -1503,3 +1503,38 @@ def test_week_truncation_exact_monday_boundaries(spark, sf_dir, tmp_path):
     assert ltv[("2024-03-04 00:00:00", 1)] == (4_000_000, 7_000_000)
     assert ltv[("2024-02-26 00:00:00", 1)] == (8_000_000, 8_000_000)
     assert len(ltv) == 3, ltv
+
+
+def test_b121_floor_division_exact_and_negative_boundaries(spark, sf_dir, tmp_path):
+    """==-boundary plant for linear interpolation's floor division
+    (round 12): Spark div and DuckDB // both truncate toward zero, so
+    the engine computes floor as (num − nonneg_mod) div den — a rule
+    only a NEGATIVE non-divisible slope can distinguish.
+
+    user 30: 0 → −3 micro over 2 days: the midpoint is −3//2 — FLOOR
+    gives −2, truncation gives −1 (the planted discriminator);
+    user 31: 0 → −4 micro over 2 days: remainder EXACTLY 0 at the
+    midpoint (−2, where floor == truncate — the divisibility edge);
+    user 32: the positive mirror 0 → +3 (midpoint 1)."""
+    import datetime as dt
+
+    d = lambda day: dt.datetime(2024, 3, day)
+    rows = []
+
+    def add(t, u, v):
+        rows.append((len(rows) + 1, t, u, "view", v))
+
+    add(d(1), 30, 0.0); add(d(3), 30, -0.000003)
+    add(d(1), 31, 0.0); add(d(3), 31, -0.000004)
+    add(d(1), 32, 0.0); add(d(3), 32, 0.000003)
+
+    planted = _planted_dir(tmp_path, sf_dir, {"events": _events(rows)})
+    name = "b121_linear_interpolate"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = {
+        (r.user_id, str(r.day)): (r.observed, r.v_interp_micro)
+        for r in registry.QUERIES[name](spark, planted).collect()
+    }
+    assert got[(30, "2024-03-02 00:00:00")] == (False, -2)  # floor, not truncate
+    assert got[(31, "2024-03-02 00:00:00")] == (False, -2)  # exact division
+    assert got[(32, "2024-03-02 00:00:00")] == (False, 1)
