@@ -1538,3 +1538,48 @@ def test_b121_floor_division_exact_and_negative_boundaries(spark, sf_dir, tmp_pa
     assert got[(30, "2024-03-02 00:00:00")] == (False, -2)  # floor, not truncate
     assert got[(31, "2024-03-02 00:00:00")] == (False, -2)  # exact division
     assert got[(32, "2024-03-02 00:00:00")] == (False, 1)
+
+
+def test_b125_seasonal_gate_exact_equality_boundary(spark, sf_dir, tmp_path):
+    """==-boundary plant for the seasonal anomaly gate (round 12):
+    the decision is dev² > n·ssq − s² in exact integers, and with p
+    days at count A and q at count B on one weekday, an A-day has
+    dev² = q²Δ² against variance pqΔ² — so EQUAL group sizes (p == q)
+    land every day EXACTLY ON the boundary (strict >, nothing
+    flagged), while p=3, q=4 flags exactly the minority days.
+
+    Mondays: counts 5,5,5,9,9,9 → dev² == var for every day, no flag;
+    Tuesdays: counts 5,5,5,9,9,9,9 → the three 5-count days flagged
+    (256 > 192), the 9-count days not (144 < 192)."""
+    import datetime as dt
+
+    p, q = 3, 3
+    assert q * q == p * q                     # the Monday equality
+    assert 16 * (5 - 9) ** 2 == 256 and 256 > 192 and 144 < 192
+
+    rows = []
+
+    def day_events(date, n, u0):
+        for k in range(n):
+            rows.append(
+                (len(rows) + 1, date + dt.timedelta(hours=k), u0 + k,
+                 "view", 1.0)
+            )
+
+    mon = dt.datetime(2024, 3, 4)
+    for i, c in enumerate([5, 5, 5, 9, 9, 9]):
+        day_events(mon + dt.timedelta(weeks=i), c, 1000 * i)
+    tue = dt.datetime(2024, 3, 5)
+    for i, c in enumerate([5, 5, 5, 9, 9, 9, 9]):
+        day_events(tue + dt.timedelta(weeks=i), c, 50_000 + 1000 * i)
+
+    planted = _planted_dir(tmp_path, sf_dir, {"events": _events(rows)})
+    name = "b125_seasonal_anomaly"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    flagged = {
+        (str(r.day), r.n_events)
+        for r in registry.QUERIES[name](spark, planted).collect()
+    }
+    assert flagged == {
+        (str((tue + dt.timedelta(weeks=i)).date()), 5) for i in range(3)
+    }, flagged                               # Mondays all AT the boundary
