@@ -1583,3 +1583,85 @@ def test_b125_seasonal_gate_exact_equality_boundary(spark, sf_dir, tmp_path):
     assert flagged == {
         (str((tue + dt.timedelta(weeks=i)).date()), 5) for i in range(3)
     }, flagged                               # Mondays all AT the boundary
+
+
+def test_b119_clamp_exact_boundaries(spark, sf_dir, tmp_path):
+    """==-boundary plant for the clamped balance (round 12): a clamp is
+    a STRICT new prefix minimum below zero, so the edges are exact —
+
+    u40: +5 then −5 lands EXACTLY on zero (not a clamp: p < 0 strict);
+    u41: −3, +3, −3 revisits the SAME trough (equal minimum — the ==
+         case must NOT re-clamp: n_clamps 1);
+    u42: −3 then −1 goes exactly one micro deeper (n_clamps 2);
+    u43: control with an interior clamp and positive final balance,
+         recurrence replayed by hand (max(0,·) fold → 4)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = []
+
+    def add(u, k, ty, micro):
+        rows.append(
+            (len(rows) + 1, t0 + dt.timedelta(minutes=k), u, ty, micro / 1e6)
+        )
+
+    add(40, 0, "purchase", 5); add(40, 1, "error", 5)
+    add(41, 0, "error", 3); add(41, 1, "purchase", 3); add(41, 2, "error", 3)
+    add(42, 0, "error", 3); add(42, 1, "error", 1)
+    add(43, 0, "purchase", 2); add(43, 1, "error", 5); add(43, 2, "purchase", 4)
+
+    # hand-replay of the max(0, bal + d) recurrence for each user
+    def replay(deltas):
+        bal, clamps = 0, 0
+        for d in deltas:
+            raw = bal + d
+            if raw < 0:
+                clamps += 1  # strict: raw == 0 is not a clamp
+            bal = max(0, raw)
+        return clamps, bal
+
+    assert replay([5, -5]) == (0, 0)
+    # u41's second −3 lands the balance exactly back on zero (raw == 0,
+    # strict < misses it) — equivalently the prefix sum only re-touches
+    # its old minimum: the recurrence and the prefix-min identity agree
+    # on 1 clamp precisely BECAUSE both comparisons are strict.
+    assert replay([-3, 3, -3]) == (1, 0)
+    assert replay([-3, -1]) == (2, 0)
+    assert replay([2, -5, 4]) == (1, 4)
+    planted = _planted_dir(tmp_path, sf_dir, {"events": _events(rows)})
+    name = "b119_clamped_balance"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = {
+        r.user_id: (r.n_tx, r.n_clamps, r.final_bal_micro)
+        for r in registry.QUERIES[name](spark, planted).collect()
+    }
+    assert got[40] == (2, 0, 0)     # exact zero is not a clamp
+    assert got[41] == (3, 1, 0)     # equal trough does not re-clamp
+    assert got[42] == (2, 2, 0)     # one micro deeper does
+    assert got[43] == (3, 1, 4)      # micro units: the planted deltas are micros
+
+
+def test_b107_window_extent_exact_boundary(spark, sf_dir, tmp_path):
+    """==-boundary plant for the trailing-7-day distinct (round 12):
+    the explode factor IS the window length, so the edge is whether a
+    day exactly 6 vs 7 days later still shares a window — u50's two
+    active days 6 apart overlap in exactly ONE window (13 = 7+7−1
+    windows total), u51's 7 apart never co-occur (14 windows).  A
+    range(6) or range(8) extent flips both counts."""
+    import datetime as dt
+
+    rows = []
+    for i, day in enumerate([3, 9]):          # 6 apart — == inclusive
+        rows.append((i + 1, dt.datetime(2024, 6, day), 50, "view", 1.0))
+    for i, day in enumerate([20, 27]):        # 7 apart — just out
+        rows.append((i + 3, dt.datetime(2024, 6, day), 51, "view", 1.0))
+
+    planted = _planted_dir(tmp_path, sf_dir, {"events": _events(rows)})
+    name = "b107_sliding_distinct"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    wins = {
+        str(r.win_day): r.n_users_7d
+        for r in registry.QUERIES[name](spark, planted).collect()
+    }
+    assert all(v == 1 for v in wins.values())
+    assert len(wins) == 13 + 14, wins
