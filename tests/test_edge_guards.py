@@ -1665,3 +1665,38 @@ def test_b107_window_extent_exact_boundary(spark, sf_dir, tmp_path):
     }
     assert all(v == 1 for v in wins.values())
     assert len(wins) == 13 + 14, wins
+
+
+def test_b51_grid_exact_day_boundaries(spark, sf_dir, tmp_path):
+    """==-boundary plant for the resample grid (round 12): the grid is
+    keyed on day-truncated timestamps, so the decisive edges are a 1 µs
+    midnight straddle (two adjacent grid days, NO silent day between),
+    a single-active-day user (a one-row grid, days_since_seen 0), and
+    a 3-day span whose interior fills with n_events 0 and a carried
+    last_seen_day."""
+    import datetime as dt
+
+    us = dt.timedelta(microseconds=1)
+    rows = []
+
+    def add(t, u):
+        rows.append((len(rows) + 1, t, u, "view", 1.0))
+
+    add(dt.datetime(2024, 7, 5, 12), 60)
+    add(dt.datetime(2024, 7, 2) - us, 61); add(dt.datetime(2024, 7, 2), 61)
+    add(dt.datetime(2024, 7, 1, 6), 62); add(dt.datetime(2024, 7, 4, 6), 62)
+
+    planted = _planted_dir(tmp_path, sf_dir, {"events": _events(rows)})
+    name = "b51_resample_ffill"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = {
+        (r.user_id, str(r.day)): (r.n_events, r.days_since_seen)
+        for r in registry.QUERIES[name](spark, planted).collect()
+    }
+    assert got[(60, "2024-07-05 00:00:00")] == (1, 0)
+    assert got[(61, "2024-07-01 00:00:00")] == (1, 0)
+    assert got[(61, "2024-07-02 00:00:00")] == (1, 0)   # 1 µs straddle
+    assert sum(1 for (u, _d) in got if u == 61) == 2    # no silent day
+    assert got[(62, "2024-07-02 00:00:00")] == (0, 1)
+    assert got[(62, "2024-07-03 00:00:00")] == (0, 2)
+    assert got[(62, "2024-07-04 00:00:00")] == (1, 0)
