@@ -216,7 +216,19 @@ def test_b08_asof_family_randomized_tie_differential(spark, sf_dir, tmp_path):
          rng.choice(["view", "purchase"]), 1.0)
         for eid in range(1, 121)
     ]
-    ev = _events([(e, t.isoformat(), u, ty, v) for e, t, u, ty, v in ev_rows])
+    # round 12: the tolerance rule's own == boundary — user 20's pair
+    # is EXACTLY 3600 s apart (kept: <=), user 21's is 1 µs past (drops)
+    us = dt.timedelta(microseconds=1)
+    h1 = dt.timedelta(hours=1)
+    ev_rows += [
+        (201, base + dt.timedelta(days=5), 20, "view", 1.0),
+        (202, base + dt.timedelta(days=5) + h1, 20, "view", 1.0),
+        (203, base + dt.timedelta(days=6), 21, "view", 1.0),
+        (204, base + dt.timedelta(days=6) + h1 + us, 21, "view", 1.0),
+    ]
+    # datetime objects, not isoformat strings: pd.to_datetime rejects
+    # a MIX of with/without-microsecond strings (the 204 row has µs)
+    ev = _events(ev_rows)
     dates = [dt.date(2024, 4, 29), dt.date(2024, 5, 1),
              dt.date(2024, 5, 2), dt.date(2024, 5, 3)]
     orders = pd.DataFrame(
@@ -241,6 +253,12 @@ def test_b08_asof_family_randomized_tie_differential(spark, sf_dir, tmp_path):
         compare(
             spark, planted, name, registry.QUERIES[name], registry.ORACLES[name]
         )
+    tol = {
+        r.event_id: r.gap_us
+        for r in registry.QUERIES["b08_asof_tolerance"](spark, planted).collect()
+    }
+    assert tol[202] == 3600 * 1_000_000   # == tolerance KEPT
+    assert 204 not in tol                 # 1 µs past the hour drops
 
 
 def test_b12_b14_rank_family_tie_dense_differential(spark, sf_dir, tmp_path):
