@@ -1342,11 +1342,15 @@ def test_similarity_tie_and_rounding_exact_boundaries(spark, sf_dir, tmp_path):
     ]
     (tmp_path / "p97").mkdir()
     p97 = _planted_dir(tmp_path / "p97", sf_dir, {"embeddings": _emb_rows(b97)})
-    name = "b97_kmeans_update"
-    compare(spark, p97, name, registry.QUERIES[name], registry.ORACLES[name])
+    # b40 shares the argmax machinery — the same exact tie must land in
+    # cluster 0 through its per-cluster rollup too
+    for name in ("b97_kmeans_update", "b40_centroid_assign"):
+        compare(
+            spark, p97, name, registry.QUERIES[name], registry.ORACLES[name]
+        )
     members = {
         r.cluster_id: r.n_members
-        for r in registry.QUERIES[name](spark, p97).collect()
+        for r in registry.QUERIES["b97_kmeans_update"](spark, p97).collect()
         if r.pos == 0
     }
     assert members == {0: 3, 1: 2}, members  # tie member lands in 0
@@ -1718,3 +1722,109 @@ def test_b51_grid_exact_day_boundaries(spark, sf_dir, tmp_path):
     assert got[(62, "2024-07-02 00:00:00")] == (0, 1)
     assert got[(62, "2024-07-03 00:00:00")] == (0, 2)
     assert got[(62, "2024-07-04 00:00:00")] == (1, 0)
+
+
+def test_b18_width_bucket_exact_edge_boundaries(spark, sf_dir, tmp_path):
+    """==-boundary plant for width_bucket (round 12): the oracle
+    replays Spark's formula by hand, so any disagreement in edge
+    semantics between the BUILT-IN and the transcription (the b116
+    lesson: built-in vs hand-rolled is where comparators rot) shows
+    only when a value lands EXACTLY on a bucket edge — which the
+    2-decimal corpus never does for 30000-wide buckets.  Planted:
+    x == lo (bucket 1, left-closed), an interior edge 30000.00
+    (bucket 2, not 1), one cent either side, x == hi (overflow
+    bucket 21, right-open), one cent below hi (bucket 20), and a
+    negative underflow (bucket 0)."""
+    prices = {
+        1: 0.00,        # == lo            -> 1
+        2: 30000.00,    # == interior edge -> 2
+        3: 29999.99,    #                  -> 1
+        4: 30000.01,    #                  -> 2
+        5: 600000.00,   # == hi            -> 21 (overflow)
+        6: 599999.99,   #                  -> 20
+        7: -0.01,       # underflow        -> 0
+    }
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": pd.array(sorted(prices), dtype="int64"),
+            "o_orderpriority": ["x"] * len(prices),
+            "o_totalprice": [prices[k] for k in sorted(prices)],
+        }
+    )
+    planted = _planted_dir(tmp_path, sf_dir, {"orders": orders})
+    name = "b18_width_bucket"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = {
+        r.bucket: r.min_key
+        for r in registry.QUERIES[name](spark, planted).collect()
+    }
+    assert got == {1: 1, 2: 2, 20: 6, 21: 5, 0: 7}, got
+
+
+def test_b31_gopher_exact_threshold_boundaries(spark, sf_dir, tmp_path):
+    """==-boundary plants for the Gopher gate's four rules (round 12),
+    one doc per boundary with the other rules held passing (or its
+    verdict read from the per-rule booleans):
+
+    10: exactly 5 words  -> ok_len TRUE (inclusive lower bound);
+    11: 4 words          -> FALSE;
+    12: mean word length exactly 2.0 (five 2-char stopwords) -> TRUE;
+    13: mean 1.8         -> FALSE;
+    14: mean exactly 12.0 (five 12-char words) -> ok_word_len TRUE;
+    15: mean 12.2        -> FALSE;
+    16: alpha exactly 4/5 == 0.8 (one digit-only word) -> TRUE;
+    17: alpha 3/5        -> FALSE;
+    18: stopword ratio exactly 1/100 == 0.01 -> TRUE;
+    19: 1/101            -> FALSE;
+    20: exactly 10000 words -> ok_len TRUE (inclusive upper bound);
+    21: 10001 words      -> FALSE.
+
+    The ratio boundaries 4/5 and 1/100 round to the same doubles as
+    the literals 0.8 and 0.01, so >= holds at exact equality in both
+    engines."""
+    specs = {
+        10: "the cat sat on mat",
+        11: "the cat sat on",
+        12: "of in of in of",
+        13: "of in of in a",
+        14: " ".join(["abcdefghijkl"] * 5),
+        15: " ".join(["abcdefghijkl"] * 4 + ["abcdefghijklm"]),
+        16: "the cat sat on 123",
+        17: "the cat 12 34 56",
+        18: "the " + " ".join(["zzzz"] * 99),
+        19: "the " + " ".join(["zzzz"] * 100),
+        20: "the " + " ".join(["aa"] * 9999),
+        21: "the " + " ".join(["aa"] * 10000),
+    }
+    assert len(specs[12].replace(" ", "")) == 2 * 5        # mean == 2.0
+    assert len(specs[14].replace(" ", "")) == 12 * 5       # mean == 12.0
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(sorted(specs), dtype="int64"),
+            "text": [specs[k] for k in sorted(specs)],
+            "lang": ["en"] * len(specs),
+            "source": ["plant"] * len(specs),
+            "n_chars": pd.array(
+                [len(specs[k]) for k in sorted(specs)], dtype="int64"
+            ),
+        }
+    )
+    planted = _planted_dir(tmp_path, sf_dir, {"documents": docs})
+    name = "b31_gopher_filters"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = {
+        r.doc_id: (r.ok_len, r.ok_word_len, r.ok_alpha, r.ok_stop, r.keep)
+        for r in registry.QUERIES[name](spark, planted).collect()
+    }
+    assert got[10] == (True, True, True, True, True)    # n_words == 5
+    assert got[11][0] is False
+    assert got[12] == (True, True, True, True, True)    # mean == 2.0
+    assert got[13][1] is False
+    assert got[14][1] is True                           # mean == 12.0
+    assert got[15][1] is False
+    assert got[16][2] is True and got[16][4] is True    # alpha == 0.8
+    assert got[17][2] is False
+    assert got[18][3] is True and got[18][4] is True    # stop == 0.01
+    assert got[19][3] is False
+    assert got[20][0] is True                           # n_words == 10000
+    assert got[21][0] is False
