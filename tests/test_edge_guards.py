@@ -1828,3 +1828,42 @@ def test_b31_gopher_exact_threshold_boundaries(spark, sf_dir, tmp_path):
     assert got[19][3] is False
     assert got[20][0] is True                           # n_words == 10000
     assert got[21][0] is False
+
+
+def test_b31_repetition_exact_rounding_half_boundary(spark, sf_dir, tmp_path):
+    """==-boundary plant for the repetition statistics' 4-decimal
+    rounding (round 12): a 32-word doc with exactly one duplicated
+    word makes dup_word_frac = 1/32 = 0.03125 — whose 4-dp rounding
+    sits EXACTLY on the half.  Probed both engines: each rounds half
+    away from zero (0.0313); a banker's-rounding engine would emit
+    0.0312 and split the differential.  A second doc plants the same
+    1/32 half on the 5-gram fraction (one repeated 5-window among 32),
+    and a fully-unique control pins the zero case."""
+    uniq = [f"u{i:02d}" for i in range(40)]
+    d1 = " ".join([f"w{i:02d}" for i in range(31)] + ["w00"])   # 32 words, 31 distinct
+    block = ["ra", "rb", "rc", "rd", "re"]
+    d2 = " ".join(block + uniq[:26] + block)                    # 36 words, one dup 5-gram
+    d3 = " ".join(uniq[:12])
+    assert len(d1.split()) == 32 and len(set(d1.split())) == 31
+    toks2 = d2.split()
+    g5 = [" ".join(toks2[i : i + 5]) for i in range(len(toks2) - 4)]
+    assert len(g5) == 32 and len(set(g5)) == 31
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, 3], dtype="int64"),
+            "text": [d1, d2, d3],
+            "lang": ["en"] * 3,
+            "source": ["plant"] * 3,
+            "n_chars": pd.array([len(d1), len(d2), len(d3)], dtype="int64"),
+        }
+    )
+    planted = _planted_dir(tmp_path, sf_dir, {"documents": docs})
+    name = "b31_repetition_filters"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = {
+        r.doc_id: (r.dup_word_frac, r.dup_5gram_frac)
+        for r in registry.QUERIES[name](spark, planted).collect()
+    }
+    assert got[1][0] == 0.0313            # 0.03125 rounded half AWAY from zero
+    assert got[2][1] == 0.0313
+    assert got[3] == (0.0, 0.0)
