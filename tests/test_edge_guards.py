@@ -1867,3 +1867,104 @@ def test_b31_repetition_exact_rounding_half_boundary(spark, sf_dir, tmp_path):
     assert got[1][0] == 0.0313            # 0.03125 rounded half AWAY from zero
     assert got[2][1] == 0.0313
     assert got[3] == (0.0, 0.0)
+
+
+def test_sampler_hash_cut_exact_boundaries(spark, sf_dir, tmp_path):
+    """==-boundary plant for the hash-cut sampler family (round 12):
+    every decision is `md5-bucket < K`, so the boundary is the bucket
+    VALUE itself — ids are MINED (md5 of the decimal string, first 8
+    hex chars, % n; re-derived in-test like the geo plant) so the
+    planted corpus contains buckets exactly 1/2 (the 2-of-16 sample's
+    in/out edge) and 79/80/89/90 (the 80/10/10 split's three cuts).
+    The fixed-quota samplers get groups of exactly k and k+1 members
+    (k = 5 for b124, 50 for b34_stratified): the == k group keeps
+    everyone, and WHICH member the k+1 group drops pins the md5
+    ordering end-to-end."""
+    import hashlib as _h
+
+    def bucket(i, n):
+        return int(_h.md5(str(i).encode()).hexdigest()[:8], 16) % n
+
+    # mine one id per needed boundary bucket value
+    need16 = {1: None, 2: None}
+    need100 = {79: None, 80: None, 89: None, 90: None}
+    i = 1000
+    while any(v is None for v in need16.values()) or any(
+        v is None for v in need100.values()
+    ):
+        b16, b100 = bucket(i, 16), bucket(i, 100)
+        if b16 in need16 and need16[b16] is None:
+            need16[b16] = i
+        elif b100 in need100 and need100[b100] is None:
+            need100[b100] = i
+        i += 1
+    boundary_ids = list(need16.values()) + list(need100.values())
+    g5 = list(range(10_000, 10_005))
+    g6 = list(range(20_000, 20_006))
+    g50 = list(range(30_000, 30_050))
+    g51 = list(range(40_000, 40_051))
+    rows = (
+        [(d, "bd") for d in boundary_ids]
+        + [(d, "g5") for d in g5]
+        + [(d, "g6") for d in g6]
+        + [(d, "g50") for d in g50]
+        + [(d, "g51") for d in g51]
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "text": ["x y z"] * len(rows),
+            "lang": [r[1] for r in rows],
+            "source": ["plant"] * len(rows),
+            "n_chars": pd.array([5] * len(rows), dtype="int64"),
+        }
+    )
+    planted = _planted_dir(tmp_path, sf_dir, {"documents": docs})
+    for name in (
+        "b34_hash_sample",
+        "b34_stratified_sample",
+        "b53_train_val_test",
+        "b124_group_sample_k",
+    ):
+        compare(
+            spark, planted, name, registry.QUERIES[name], registry.ORACLES[name]
+        )
+
+    all_ids = [r[0] for r in rows]
+    sampled = {
+        r.doc_id
+        for r in registry.QUERIES["b34_hash_sample"](spark, planted).collect()
+    }
+    assert sampled == {d for d in all_ids if bucket(d, 16) < 2}
+    assert need16[1] in sampled and need16[2] not in sampled  # the < 2 edge
+
+    splits = {
+        (r.split, r.lang): r.n_docs
+        for r in registry.QUERIES["b53_train_val_test"](spark, planted).collect()
+    }
+    def py_split(d):
+        b = bucket(d, 100)
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+    from collections import Counter
+    want = Counter((py_split(d), lang) for d, lang in rows)
+    assert splits == dict(want)
+    assert py_split(need100[79]) == "train" and py_split(need100[80]) == "val"
+    assert py_split(need100[89]) == "val" and py_split(need100[90]) == "test"
+
+    kept = {
+        r.doc_id
+        for r in registry.QUERIES["b124_group_sample_k"](spark, planted).collect()
+        if r.lang in ("g5", "g6")
+    }
+    assert set(g5) <= kept                          # == k group keeps all
+    order6 = sorted(g6, key=lambda d: (_h.md5(str(d).encode()).hexdigest(), d))
+    assert kept & set(g6) == set(order6[:5])        # md5-order drop pinned
+
+    strat = {
+        r.doc_id
+        for r in registry.QUERIES["b34_stratified_sample"](spark, planted).collect()
+        if r.lang in ("g50", "g51")
+    }
+    assert set(g50) <= strat                        # == quota keeps all
+    order51 = sorted(g51, key=lambda d: (_h.md5(str(d).encode()).hexdigest(), d))
+    assert strat & set(g51) == set(order51[:50])
