@@ -1968,3 +1968,48 @@ def test_sampler_hash_cut_exact_boundaries(spark, sf_dir, tmp_path):
     assert set(g50) <= strat                        # == quota keeps all
     order51 = sorted(g51, key=lambda d: (_h.md5(str(d).encode()).hexdigest(), d))
     assert strat & set(g51) == set(order51[:50])
+
+
+def test_b29_edit_distance_exact_cut_boundaries(spark, sf_dir, tmp_path):
+    """==-boundary plant for the blocked edit-distance dedup (round
+    12), one lang per scenario so pairs can't cross-match:
+
+    e1: exactly 10 substitutions inside the 64-char window -> IN
+        (the lev <= 10 cut is inclusive);
+    e2: 11 substitutions -> OUT;
+    e3: identical 64-char prefix, one doc exactly 8 chars longer ->
+        IN with edit_dist 0 (the |Δn_chars| <= 8 guard at equality,
+        AND proof the distance is computed on the 64-char truncation);
+    e4: 9 chars longer -> OUT despite an identical prefix."""
+    P = "P" * 16
+    base64 = P + "abcdefghij" + "Q" * 38
+    assert len(base64) == 64
+    specs = [
+        (1, "e1", base64),
+        (2, "e1", P + "ABCDEFGHIJ" + "Q" * 38),          # lev == 10
+        (3, "e2", base64),
+        (4, "e2", P + "ABCDEFGHIJK" + "Q" * 37),         # lev == 11
+        (5, "e3", base64 + "tail"),
+        (6, "e3", base64 + "tail" + "x" * 8),            # Δ == 8, same 64-prefix
+        (7, "e4", base64 + "tail"),
+        (8, "e4", base64 + "tail" + "x" * 9),            # Δ == 9
+    ]
+    assert sum(a != b for a, b in zip(specs[0][2], specs[1][2])) == 10
+    assert sum(a != b for a, b in zip(specs[2][2][:64], specs[3][2][:64])) == 11
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([s[0] for s in specs], dtype="int64"),
+            "text": [s[2] for s in specs],
+            "lang": [s[1] for s in specs],
+            "source": ["plant"] * len(specs),
+            "n_chars": pd.array([len(s[2]) for s in specs], dtype="int64"),
+        }
+    )
+    planted = _planted_dir(tmp_path, sf_dir, {"documents": docs})
+    name = "b29_edit_distance"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in registry.QUERIES[name](spark, planted).collect()
+    }
+    assert got == {(1, 2): 10, (5, 6): 0}, got
