@@ -95,97 +95,81 @@ def capabilities(
 #: Explicit verification-priority order.  The driver's correctness
 #: harness checks the FIRST 50 entries of ``__spark_entry__.queries()``
 #: (dict insertion order) per round.
-#: ROUND 12 window (VERDICT r11 items 1–3, landed in the round's FIRST
-#: commit so the staleness gate flips red → green atomically):
-#: first the seven r06 deferrals the gate names (b11_pivot,
-#: b14_topk_global, b19_map_funcs, b23_stream_static_join,
-#: b31_lang_stats, b31_term_freq, b34_hash_sample), then the three
-#: queries whose code is planned to change this round (modified
-#: queries re-enter the window the round they change: b113's bucket
-#: expression goes exact-bigint per ADVICE r11, b31_langid upgrades to
-#: an exact oracle per VERDICT r11 item 4, b64 shares machinery with
-#: the b182 right-outer addition per item 5; the three remaining
-#: stateful stream-stream joins after the state-partition
-#: right-sizing), then 36 of the 50-entry
-#: r07 cohort (next-oldest driver rows).  FOURTEEN r07 entries defer
-#: to r13 at age 5 — eleven tpch (ten at round open + tpch_q17, whose
-#: slot went to the b182 addition; same-file sibling tpch_q6
-#: in-window) and three corpus.py rows (b155/b158/b161, slots to the
-#: re-entering stream-stream joins; siblings b145/b150/b157
-#: in-window) — legal under MAX_DRIVER_ROW_AGE=5 (see
-#: tests/test_registry_order.py for the capacity arithmetic).
+#: ROUND 13 window (VERDICT r12 item 1, landed in the round's FIRST
+#: commit so the staleness gate flips red → green atomically — the
+#: window is exactly `python tests/plan_rotation.py`'s emitted plan
+#: plus this round's modified-query re-entries):
+#: first the fifteen age-5 must-lead entries the planner names (the
+#: eleven r07 tpch deferrals tpch_q7/q8/q10–q18 plus the three r07
+#: corpus.py deferrals b155/b158/b161 and b171, which gave its r12
+#: slot to the b116 mid-round repair), then the two queries whose
+#: code/oracle changes this round (modified queries re-enter the
+#: window the round they change: b101's entropy oracle and b155/b158/
+#: b171's ln-rounding oracles go exact-integer per VERDICT r12 item 2
+#: — three of those four are already in the must-lead set — and
+#: b165's absorbing-chain solve gets a fixed-iteration oracle per
+#: item 5), then 33 of the r08 cohort greedy-oldest-first.  The three
+#: r08 entries after the fill cut (b53_train_val_test,
+#: b55_lateral_topk, b56_embedding_quantize) defer to r14 at age 5 —
+#: legal under MAX_DRIVER_ROW_AGE=5 (tests/test_registry_order.py);
+#: b53 holds the final slot until this round's b183 addition
+#: registers and takes it (the tpch_q17/b182 precedent).
 PRIORITY: list[str] = [
-    # -- the r06 cohort remainder: the staleness gate's named set
-    #    (VERDICT r11 item 1 — this outranks everything) --
-    "b11_pivot",
-    "b14_topk_global",
-    "b19_map_funcs",
-    "b23_stream_static_join",
-    "b31_lang_stats",
-    "b31_term_freq",
-    "b34_hash_sample",
-    # -- queries whose code changes this round (re-enter on change) --
-    "b113_pareto_coverage",
-    "b31_langid",
-    "b64_stream_stream_left_outer",
-    # the state-partition right-sizing (STREAM_STATE_PARTITIONS,
-    # joins.py) touches every stateful stream-stream join's execution,
-    # so the remaining three re-enter too; their slots come from three
-    # r07 corpus.py deferrals (b155/b158/b161 — same-file siblings
-    # b145/b150/b157 stay in-window), legal at age 5.
-    "b23_stream_stream_join",
-    "b177_stream_semi_join",
-    "b180_stream_stream_full_outer",
-    # -- the r07 cohort, next-oldest confirmations (VERDICT r11 item 3) --
-    "b152_triangle_count",
+    # -- planner must-lead (15): red when CORRECTNESS_r13 lands
+    #    unless re-checked (VERDICT r12 item 1 — outranks everything) --
+    "b155_perplexity_filter",
+    "b158_pmi_assoc",
+    "b161_source_novelty",
+    "b171_kaplan_meier",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    # -- queries whose code/oracle changes this round (re-enter on
+    #    change; b155/b158/b171 already lead above) --
+    "b101_group_entropy",
     "b165_markov_attribution",
-    # b116_bounce_rate re-enters MID-ROUND: its oracle split sessions
-    # on >= INTERVAL 30 MINUTE while Spark's session_window merges an
-    # event landing exactly at prev + gap — the batch-side sibling of
-    # the a33793e inclusive-gap find, wrong for eleven rounds and
-    # invisible because no corpus gap ever landed on :00.000000 (probed
-    # and ==-planted in tests/test_edge_guards.py).  Its slot comes
-    # from b171_kaplan_meier (same-file analytics.py sibling, code
-    # untouched, age 5 at r12 — the tpch_q17 deferral precedent), which
-    # MUST join the r13 must-lead set (SCALE.md round-12 handoff).
-    "b116_bounce_rate",
-    "b145_zorder_layout",
-    "b150_bm25_rank",
-    "b157_inverted_index",
-    "b149_semdedup",
-    "b159_containment_dedup",
-    "b166_spatial_cell_join",
-    "b167_geo_knn",
-    "b168_geofence_rollup",
-    "b169_tile_pyramid",
-    "b170_trajectory_segments",
-    "b173_dbscan_complexes",
-    "b143_cms_rollup",
-    "b147_mad_outliers",
-    "b153_freq_items_rollup",
-    "b163_grouped_trend",
-    "b164_ab_test",
-    "b146_binaryfile_ingest",
-    "b142_concat_chunk",
-    "b140_kll_quantile_rollup",
-    "b141_theta_retention_sketch",
-    "b144_leakage_safe_split",
-    "b151_dsir_weights",
-    "b134_pq_encode",
-    "b154_jl_projection",
-    "b162_maxsim_late_interaction",
-    "b172_knn_label_vote",
-    "b139_substring_dedup",
-    "b156_bpe_train",
-    "b160_bpe_apply",
-    "tpch_q6",
-    # tpch_q17 gave its slot to this round's b182 addition (the
-    # r10/r11 precedent: the addition is driver-checked the round it
-    # registers); its same-file sibling tpch_q6 stays in-window and
-    # tpch_q17 joins the eleven-entry r07 tpch deferral to r13.
-    "wildweb_pipeline",
-    "b138_stream_pipeline_e2e",
-    "b148_stream_error_channel",
+    # -- the r08 cohort, greedy oldest-first (planner fill order) --
+    "a18_submit_sink",
+    "b11_grouping_id",
+    "b174_polygon_geofence",
+    "b175_ivfpq_observed",
+    "b175_ivfpq_search",
+    "b176_bpe_decode",
+    "b20_variant_funcs",
+    "b28_incremental_dedup",
+    "b29_cc_bigstar",
+    "b30_ann_ivf",
+    "b30_ann_ivf_observed",
+    "b30_ann_lsh",
+    "b30_ann_lsh_observed",
+    "b30_cosine_topk",
+    "b31_pii_scan",
+    "b31_repetition_filters",
+    "b33_http_ingest",
+    "b37_contamination",
+    "b38_merge_upsert",
+    "b39_doc_chunk",
+    "b40_centroid_assign",
+    "b41_scd2_history",
+    "b42_bigram_lm",
+    "b43_tfidf_rank",
+    "b45_quality_deciles",
+    "b46_dataset_card",
+    "b47_funnel",
+    "b48_retention",
+    "b49_quality_checks",
+    "b50_grouped_median",
+    "b51_resample_ffill",
+    "b52_sequence_match",
+    "b53_train_val_test",
 ]
 
 #: Hard cap on per-round additions (VERDICT r6 items 2/7): the driver
@@ -198,16 +182,12 @@ ADDITIONS_PER_ROUND_CAP = 10
 
 #: Candidates for the NEXT round's window: additions made this round
 #: (VERDICT r5 item 7: everything new enters PRIORITY_NEXT in the same
-#: commit that registers it).  Round 10's single addition (b180) got a
-#: green r10 driver row, so it rotates out.
-PRIORITY_NEXT: list[str] = [
-    # round-12: stream-stream RIGHT OUTER interval join (VERDICT r11
-    # item 5) — the last hole in the declared streaming join matrix,
-    # exact-oracled from birth (b64's construction mirrored; purchase
-    # closure rule probed on ±1 ms boundary corpora before the oracle
-    # was written), boundary plants in tests/test_streaming.py
-    "b182_stream_stream_right_outer",
-]
+#: commit that registers it).  Round 12's single addition (b182) got a
+#: green r12 driver row, so it rotates out.  This round's planned
+#: addition (b183_pretrain_pipeline_e2e, VERDICT r12 item 4) enters
+#: here in the commit that registers it, taking b53_train_val_test's
+#: final PRIORITY slot (the tpch_q17/b182 precedent).
+PRIORITY_NEXT: list[str] = []
 
 
 def ordered_queries() -> dict[str, QueryFn]:

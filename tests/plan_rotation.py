@@ -8,6 +8,15 @@ twice in round 9 and drove the round-11 standing-red gate).
                                                # PRIORITY violates the plan's
                                                # must-lead set (pre-commit aid)
 
+--verify is meaningful ONLY at round open (ADVICE r12): it compares the
+NEXT round's must-lead set against the CURRENT window, so it is
+*definitionally* failing from the moment a new CORRECTNESS artifact
+lands until the round-open rotation commit — that exit 1 is the
+forcing function firing, not a bug.  Do NOT wire it into CI or
+pre-commit; the always-on staleness gate is
+tests/test_registry_order.py::test_driver_row_staleness_bound, which
+keys off the committed artifacts and stays green mid-round.
+
 Rules encoded (the same ones tests/test_registry_order.py gates):
  - every query whose last driver row would exceed MAX_DRIVER_ROW_AGE
    when the NEXT artifact lands MUST be in the next window (must-lead);
@@ -70,6 +79,19 @@ def plan() -> tuple[list[str], list[str], int]:
 
 def main() -> int:
     must, fill, nxt = plan()
+    if len(must) > DRIVER_WINDOW:
+        # ADVICE r12: don't silently emit an infeasible plan — the
+        # must-lead set alone exceeds the window, so no rotation can
+        # satisfy the staleness bound (the capacity gate's pigeonhole
+        # argument has been violated by over-registration).
+        print(
+            f"# INFEASIBLE: {len(must)} must-lead entries exceed the "
+            f"{DRIVER_WINDOW}-slot window — no rotation satisfies "
+            f"MAX_DRIVER_ROW_AGE={MAX_DRIVER_ROW_AGE}; consolidate "
+            "twinned entries or raise the bound (judge sign-off)",
+            file=sys.stderr,
+        )
+        return 2
     print(f"# rotation plan for round {nxt} "
           f"(window {DRIVER_WINDOW}, max age {MAX_DRIVER_ROW_AGE})")
     print(f"# MUST-LEAD ({len(must)}): red when CORRECTNESS_r{nxt} ages them out,")

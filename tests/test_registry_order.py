@@ -45,27 +45,27 @@ def test_priority_oracle_coverage():
         if n not in registry.ORACLES
     }
     assert rows_only == {
-        # round-12 window (7 r06-stale entries + 3 modified-this-round
-        # + 40 of the r07 cohort): the declared rows-only entries, each
+        # round-13 window (15 planner must-lead + 2 modified-this-round
+        # + 33 of the r08 cohort): the declared rows-only entries, each
         # with its own pytest invariants.
         # iterative Markov chain absorption — convergence pins
+        # (VERDICT r12 item 5 upgrades this to an oracle mid-round;
+        # remove from this set in that commit)
         "b165_markov_attribution",
-        # binaryFile connector — path/modtime metadata, byte-exact pins
-        "b146_binaryfile_ingest",
-        # KLL sketch quantiles — ±ε rank-error pins
-        "b140_kll_quantile_rollup",
-        # theta sketch set ops — ±ε estimate pins
-        "b141_theta_retention_sketch",
-        # PQ codebook encode — numpy-replay bit-exact pins
-        "b134_pq_encode",
-        # iterative BPE merge training — equivalence-pinned driver loop
-        "b156_bpe_train",
-        # BPE segmentation apply — roundtrip identity pins (decode IS
-        # exact-oracled as b176)
-        "b160_bpe_apply",
-        # streaming e2e pipeline / error channel — availableNow replay
-        "b138_stream_pipeline_e2e",
-        "b148_stream_error_channel",
+        # submit sink — chunk layout partition-dependent; DataSource
+        # sink restart-idempotence pins (b94/b135)
+        "a18_submit_sink",
+        # HTTP ingest connector — not SQL-expressible, pytest-pinned
+        "b33_http_ingest",
+        # ANN LSH / IVF (+observed-recall twins) — approximate by
+        # construction, recall-pinned
+        "b30_ann_lsh",
+        "b30_ann_lsh_observed",
+        "b30_ann_ivf",
+        "b30_ann_ivf_observed",
+        # IVF-PQ search (+observed twin) — numpy-replay bit-exact pins
+        "b175_ivfpq_search",
+        "b175_ivfpq_observed",
     }
 
 
