@@ -1598,7 +1598,7 @@ def b165_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "b171_kaplan_meier",
     oracle="""
-    WITH u AS (
+    WITH RECURSIVE u AS (
       SELECT user_id, min(ts) AS origin,
              min(CASE WHEN event_type = 'purchase' THEN ts END) AS conv
       FROM events GROUP BY 1),
@@ -1623,18 +1623,21 @@ def b165_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                  AS BIGINT) AS n_risk
       FROM days),
-    steps AS (
+    seq AS (
       SELECT t_day, d, n_risk,
-             CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
-                  WHEN d < n_risk THEN CAST(round(1000000 * ln(
-                       CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
-                     AS BIGINT)
-             END AS step_micro
-      FROM risk)
+             row_number() OVER (ORDER BY t_day) AS rn
+      FROM risk),
+    walk AS (
+      SELECT rn, t_day, d, n_risk,
+             (1000000000000 * (n_risk - d)) // n_risk AS s
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT seq.rn, seq.t_day, seq.d, seq.n_risk,
+             (walk.s * (seq.n_risk - seq.d)) // seq.n_risk
+      FROM seq JOIN walk ON seq.rn = walk.rn + 1)
     SELECT CAST(t_day AS BIGINT) AS t_day, d AS n_events, n_risk,
-           CAST(sum(step_micro) OVER (ORDER BY t_day) AS BIGINT)
-             AS log_surv_micro
-    FROM steps
+           CAST(s AS BIGINT) AS surv_q12
+    FROM walk
     """,
 )
 def b171_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1642,19 +1645,33 @@ def b171_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's clock starts at their first event; conversion = first
     purchase; non-converters are right-censored at the corpus horizon.
     Per day t: n_risk (still unconverted and uncensored), n_events
-    (conversions), and the cumulative log-survival ln S(t) =
-    Σ_{i≤t} ln((nᵢ−dᵢ)/nᵢ) in integer micro-nats — each step is the
-    ln of an exact integer ratio rounded ONCE, so the cumulative sum
-    is exact and order-independent within the day table.  A day where
-    everyone remaining converts (d = n) emits NULL (S hits exactly 0 —
-    log-scale sentinel left to the consumer).
+    (conversions), and the survival curve S(t) = Π_{i≤t} (nᵢ−dᵢ)/nᵢ
+    as the EXACT fixed-point integer surv_q12: s₋₁ = 10¹²,
+    s(t) = ⌊s(t−1)·(n_t−d_t) / n_t⌋ — a pure-integer recurrence whose
+    every step is bit-identical in both engines (Spark: one linear
+    `aggregate` fold over the sorted day array; oracle: a recursive
+    CTE walk).  A day where everyone remaining converts (d = n) drives
+    s to exactly 0 and it stays there — no NULL sentinel needed.
+
+    VERDICT r12 item 2: this previously emitted cumulative
+    round(10⁶·ln((n−d)/n)) micro-nats, one libm ulp from flipping on
+    an unlucky corpus (SCALE.md round-12 addendum 4); ln S(t) — and
+    the classic Greenwood variance — are downstream display scalars of
+    the emitted exact (d, n, s) triple.  The floor in each step loses
+    < 10⁻¹² relative per day — invisible at the q12 grain for any
+    observation window shorter than ~10⁶ days — and is applied
+    IDENTICALLY on both sides, so it is a definition, not an error.
 
     Scale: per-user reduction (one groupBy), then ALL survival math
     runs on the day table — bounded by the observation window (≤ a few
     thousand days for any real corpus), which is the documented
     single-partition-window bound class (b45's value-domain rule); the
-    at-risk count is a cumulative window over those days, not a
-    per-user scan."""
+    at-risk count is a cumulative window over those days and the
+    survival fold is one linear pass over the collected day array, not
+    a per-user scan.  The fold's intermediate s·(n−d) is ≤ 10¹²·n_users
+    — BIGINT-safe to ~9·10⁶ at-risk users; at the 10⁹-user design
+    point drop the grain to q9 or lift the accumulator to
+    DECIMAL(38,0)."""
     ev = table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.min("ts").alias("origin"),
@@ -1686,17 +1703,28 @@ def b171_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                      AS BIGINT) AS n_risk
           FROM days),
-        steps AS (
-          SELECT t_day, d, n_risk,
-                 CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
-                      WHEN d < n_risk THEN CAST(round(1000000D * ln(
-                           CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
-                         AS BIGINT)
-                 END AS step_micro
+        arr AS (
+          -- the day table is observation-window-bounded (b45's
+          -- value-domain rule), so collecting it to ONE sorted array
+          -- and folding linearly is the scale-safe shape: one pass,
+          -- exact integer state, no O(days²) self-join
+          SELECT sort_array(collect_list(struct(t_day, d, n_risk))) AS a
           FROM risk)
-        SELECT CAST(t_day AS BIGINT) AS t_day, d AS n_events, n_risk,
-               CAST(sum(step_micro) OVER (PARTITION BY 'all'
-                 ORDER BY t_day) AS BIGINT) AS log_surv_micro
-        FROM steps
+        SELECT inline(aggregate(
+          a,
+          named_struct(
+            's', CAST(1000000000000 AS BIGINT),
+            'out', CAST(array() AS ARRAY<STRUCT<
+              t_day: BIGINT, n_events: BIGINT,
+              n_risk: BIGINT, surv_q12: BIGINT>>)),
+          (acc, x) -> named_struct(
+            's', (acc.s * (x.n_risk - x.d)) div x.n_risk,
+            'out', array_append(acc.out, named_struct(
+              't_day', CAST(x.t_day AS BIGINT),
+              'n_events', x.d,
+              'n_risk', x.n_risk,
+              'surv_q12', (acc.s * (x.n_risk - x.d)) div x.n_risk))),
+          acc -> acc.out))
+        FROM arr
         """
     )

@@ -607,11 +607,13 @@ def b150_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Perplexity gate: flag a document when its mean per-bigram negative
-#: log-likelihood exceeds this many micro-nats (≈ the corpus median, so
-#: the demo flag is non-trivial on both sides; CCNet picks the cut from
-#: held-out percentiles the same way).
-PPL_THRESH_MICRO = 3_390_000
+#: LM-probability gate: flag a document when its MEAN per-bigram model
+#: probability falls below this fixed-point q9 value (≈ the corpus
+#: median mean-probability, so the demo flag is non-trivial on both
+#: sides at all three test scales — 87/74/3209 of 500/500/5000 docs
+#: flagged at sf0.001/0.01/0.1; CCNet picks its cut from held-out
+#: percentiles the same way).
+MEAN_P_TAU_Q9 = 33_500_000
 
 
 @query(
@@ -628,40 +630,49 @@ PPL_THRESH_MICRO = 3_390_000
     pre AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS pc FROM lm GROUP BY 1),
     lp AS (
       SELECT lm.w1, lm.w2,
-             CAST(round(-1000000 * ln(
-               (lm.cnt + 1.0)
-               / (pre.pc + (SELECT count(DISTINCT w2) FROM bg))
-             )) AS BIGINT) AS nll_micro
+             CAST(CAST(1000000000 AS HUGEINT) * (lm.cnt + 1)
+                  // (pre.pc + (SELECT count(DISTINCT w2) FROM bg))
+               AS BIGINT) AS p_q9
       FROM lm JOIN pre USING (w1)),
     doc AS (
       SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-             CAST(sum(lp.nll_micro) AS BIGINT) AS nll_micro_total
+             CAST(sum(lp.p_q9) AS BIGINT) AS psum_q9
       FROM bg JOIN lp USING (w1, w2) GROUP BY 1)
     SELECT d.doc_id, d.lang,
            coalesce(doc.n_bigrams, 0) AS n_bigrams,
-           coalesce(doc.nll_micro_total, 0) AS nll_micro_total,
-           coalesce(doc.nll_micro_total
-                    > {PPL_THRESH_MICRO} * doc.n_bigrams, FALSE)
+           coalesce(doc.psum_q9, 0) AS psum_q9,
+           coalesce(doc.psum_q9
+                    < {MEAN_P_TAU_Q9} * doc.n_bigrams, FALSE)
              AS high_perplexity
     FROM documents d LEFT JOIN doc USING (doc_id)
     """,
 )
 def b155_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LM-perplexity quality filter (the CCNet gate — Wenzek et al.
-    2020: score each document under a reference language model, cut on
-    perplexity): an add-1-smoothed bigram LM is fit on the corpus
-    (b42's counts), every bigram TYPE gets its negative log-likelihood
-    rounded to integer micro-nats ONCE in the vocabulary²-sized LM
-    table, and each document's total NLL is then a pure integer sum —
-    order-independent and exactly replayable.  The flag compares
-    total_micro > THRESH·n_bigrams by integer cross-multiplication, so
-    no division ever happens; mean-NLL/perplexity is a downstream
-    scalar.
+    """LM quality filter (the CCNet gate — Wenzek et al. 2020: score
+    each document under a reference language model, cut the tail): an
+    add-1-smoothed bigram LM is fit on the corpus (b42's counts),
+    every bigram TYPE gets its EXACT fixed-point model probability
+    p_q9 = ⌊10⁹·(cnt+1)/(pc+V)⌋ in the vocabulary²-sized LM table, and
+    each document's probability mass psum_q9 is then a pure integer
+    sum — order-independent and exactly replayable.  The flag compares
+    mean probability below τ by integer cross-multiplication
+    (psum_q9 < τ·n_bigrams), so no division ever happens; the
+    geometric-mean view (true perplexity, a ln) is a downstream
+    display scalar.
+
+    VERDICT r12 item 2: this previously summed round(−10⁶·ln p) terms
+    whose libm rounding sat one ulp from flipping on an unlucky corpus
+    (SCALE.md round-12 addendum 4); the arithmetic-mean-probability
+    gate carries the same low-quality-tail signal — documents of
+    improbable bigrams score low under both means — on pure integer
+    arithmetic, bit-identical in both engines.
 
     Scale: two corpus passes, both narrow (bigram explode → LM groupBy
     map-side combining to vocab²; then per-doc bigram counts joined to
     the BROADCAST LM table).  Vocabulary size attaches as an
-    uncorrelated scalar subquery.  Documents with no bigrams pass
+    uncorrelated scalar subquery.  The q9 numerator 10⁹·(cnt+1) runs
+    through DECIMAL(38,0) (HUGEINT in the oracle) — exact past the
+    2⁶³ line at web-corpus counts.  Documents with no bigrams pass
     through the left join unflagged — the gate never silently drops
     rows it could not score (A19's error-channel principle)."""
     d = table(spark, sf_dir, "documents")
@@ -685,12 +696,13 @@ def b155_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FROM ppl_bg_v GROUP BY 1, 2),
         pre AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS pc FROM lm GROUP BY 1)
         SELECT lm.w1, lm.w2,
-               -- 1.0D double literals: bare decimals parse as DECIMAL
-               -- in Spark SQL and diverge from the oracle (round-6)
-               CAST(round(-1000000D * ln(
-                 (lm.cnt + 1.0D)
-                 / (pre.pc + (SELECT count(DISTINCT w2) FROM ppl_bg_v))
-               )) AS BIGINT) AS nll_micro
+               -- DECIMAL(38,0) keeps 10^9·(cnt+1) exact past 2^63;
+               -- div floors identically to the oracle's HUGEINT //
+               CAST(CAST(1000000000 AS DECIMAL(38,0)) * (lm.cnt + 1)
+                    div CAST(pre.pc +
+                      (SELECT count(DISTINCT w2) FROM ppl_bg_v)
+                      AS DECIMAL(38,0))
+                 AS BIGINT) AS p_q9
         FROM lm JOIN pre USING (w1)
         """
     )
@@ -699,18 +711,16 @@ def b155_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.sum("nll_micro").cast("bigint").alias("nll_micro_total"),
+            F.sum("p_q9").cast("bigint").alias("psum_q9"),
         )
     )
     return d.select("doc_id", "lang").join(doc, "doc_id", "left").select(
         "doc_id",
         "lang",
         F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
-        F.coalesce("nll_micro_total", F.lit(0))
-        .cast("bigint")
-        .alias("nll_micro_total"),
+        F.coalesce("psum_q9", F.lit(0)).cast("bigint").alias("psum_q9"),
         F.coalesce(
-            F.col("nll_micro_total") > PPL_THRESH_MICRO * F.col("n_bigrams"),
+            F.col("psum_q9") < MEAN_P_TAU_Q9 * F.col("n_bigrams"),
             F.lit(False),
         ).alias("high_perplexity"),
     )
@@ -789,28 +799,42 @@ def b157_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 AS (SELECT w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM cnt GROUP BY 1),
     scored AS (
       SELECT cnt.w1, cnt.w2, cnt.cnt, c1.c1, c2.c2,
-             CAST(round(1000000 * ln(
-               CAST((SELECT sum(cnt) FROM cnt) * cnt.cnt AS DOUBLE)
-               / CAST(c1.c1 * c2.c2 AS DOUBLE))) AS BIGINT) AS pmi_micro
+             CAST(CAST(1000000 AS HUGEINT)
+                  * CAST((SELECT sum(cnt) FROM cnt) AS HUGEINT)
+                  * CAST(cnt.cnt AS HUGEINT)
+                  // (CAST(c1.c1 AS HUGEINT) * CAST(c2.c2 AS HUGEINT))
+               AS BIGINT) AS assoc_q6
       FROM cnt JOIN c1 USING (w1) JOIN c2 USING (w2)
       WHERE cnt.cnt >= 5)
-    SELECT w1, w2, cnt, c1, c2, pmi_micro
-    FROM scored ORDER BY pmi_micro DESC, w1, w2 LIMIT 50
+    SELECT w1, w2, cnt, c1, c2, assoc_q6
+    FROM scored ORDER BY assoc_q6 DESC, w1, w2 LIMIT 50
     """,
 )
 def b158_pmi_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information collocation mining — the corpus
-    analyst's association scorer (Church & Hanks 1990): pmi(w₁,w₂) =
-    ln(N·c₁₂ / (c₁·c₂)) over adjacent-bigram counts, top-50 pairs with
-    support ≥ 5.  The ln argument is a ratio of two EXACT BIGINT
-    products cast to double (both < 2⁵³, so the conversion is
-    lossless and identical in both engines); the result rounds to
-    integer micro-nats — the usual 1-ulp-immune grain.
+    analyst's association scorer (Church & Hanks 1990) — ranked on the
+    EXACT integer association ratio: assoc_q6 = ⌊10⁶·N·c₁₂/(c₁·c₂)⌋
+    over adjacent-bigram counts, top-50 pairs with support ≥ 5.  ln is
+    strictly monotone, so ranking by the ratio IS ranking by
+    pmi = ln(N·c₁₂/(c₁·c₂)); the nats-grade PMI value is a downstream
+    display scalar (ln of the emitted exact ratio) and never touches a
+    hash-compared column.
+
+    VERDICT r12 item 2: the previous round(10⁶·ln(...)) micro-nat
+    column sat one libm ulp from flipping on an unlucky corpus
+    (SCALE.md round-12 addendum 4); the floor-scaled integer ratio is
+    bit-identical in both engines.  Floor collisions between ratios
+    closer than 10⁻⁶ are deterministic and tie-break on (w₁, w₂)
+    identically on both sides.
 
     Scale: bigram counts map-side combine to vocabulary²; the marginal
     tables c₁/c₂ are vocabulary-sized broadcasts; N attaches as an
     uncorrelated scalar subquery; the top-50 plans as
-    TakeOrderedAndProject — no global window anywhere."""
+    TakeOrderedAndProject — no global window anywhere.  The scaled
+    numerator 10⁶·N·c₁₂ runs through DECIMAL(38,0) (HUGEINT in the
+    oracle) — exact far past the 2⁶³ line; the emitted quotient is
+    ≤ 10⁶·N/5 by the support floor, BIGINT-safe to N ~ 4·10¹⁰
+    bigrams."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.size(toks)
@@ -829,13 +853,18 @@ def b158_pmi_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         c2 AS (SELECT w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM cnt GROUP BY 1),
         scored AS (
           SELECT cnt.w1, cnt.w2, cnt.cnt, c1.c1, c2.c2,
-                 CAST(round(1000000D * ln(
-                   CAST((SELECT sum(cnt) FROM cnt) * cnt.cnt AS DOUBLE)
-                   / CAST(c1.c1 * c2.c2 AS DOUBLE))) AS BIGINT) AS pmi_micro
+                 -- DECIMAL(38,0) keeps 10^6·N·c12 exact past 2^63;
+                 -- div floors identically to the oracle's HUGEINT //
+                 CAST(CAST(1000000 AS DECIMAL(38,0))
+                      * CAST((SELECT sum(cnt) FROM cnt) AS DECIMAL(38,0))
+                      * CAST(cnt.cnt AS DECIMAL(38,0))
+                      div (CAST(c1.c1 AS DECIMAL(38,0))
+                           * CAST(c2.c2 AS DECIMAL(38,0)))
+                   AS BIGINT) AS assoc_q6
           FROM cnt JOIN c1 USING (w1) JOIN c2 USING (w2)
           WHERE cnt.cnt >= 5)
-        SELECT w1, w2, cnt, c1, c2, pmi_micro
-        FROM scored ORDER BY pmi_micro DESC, w1, w2 LIMIT 50
+        SELECT w1, w2, cnt, c1, c2, assoc_q6
+        FROM scored ORDER BY assoc_q6 DESC, w1, w2 LIMIT 50
         """
     )
 

@@ -40,47 +40,60 @@ D38 = "decimal(38,0)"
     oracle="""
     WITH counts AS (
       SELECT source, lang, count(*) AS c
-      FROM documents GROUP BY 1, 2),
-    terms AS (
-      SELECT source, c,
-             CAST(round(1000000.0 * c * ln(c)) AS BIGINT) AS term_micro
-      FROM counts)
+      FROM documents GROUP BY 1, 2)
     SELECT source,
            CAST(sum(c) AS BIGINT) AS n_docs,
            CAST(count(*) AS BIGINT) AS n_langs,
-           CAST(round(1000000.0 * sum(c) * ln(sum(c))) AS BIGINT)
-             - CAST(sum(term_micro) AS BIGINT) AS n_h_micro
-    FROM terms GROUP BY source
+           CAST(sum(c * c) AS BIGINT) AS sum_c_sq,
+           CAST(CAST(1000000 AS HUGEINT) * CAST(sum(c * c) AS HUGEINT)
+                // (CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS HUGEINT))
+             AS BIGINT) AS concentration_ppm
+    FROM counts GROUP BY source
     """,
 )
 def b101_group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shannon entropy of the language distribution per source, as the
-    scaled integer N·H in micro-nats: N·H = N·ln N − Σ c·ln c.  Emitting
-    N·H instead of H keeps the output integer-exact — the division by N
-    (and a log2 change of base) is a downstream scalar.
+    """Diversity of the language distribution per source, as the exact
+    Simpson concentration (collision probability) Σp² in integer ppm:
+    concentration_ppm = ⌊10⁶·Σc² / N²⌋, plus the raw integer sufficient
+    statistics (N, n_langs, Σc²).  The Rényi-2 entropy H₂ = −ln(Σp²) —
+    and any nats/bits change of base — is a downstream display scalar;
+    no transcendental touches the emitted (hash-compared) columns.
 
-    Per-term logs are rounded to micro-nats BEFORE summation so the
-    cross-term addition is integer (order-independent); only the single
-    N·ln N term per group is a float, rounded once.
+    VERDICT r12 item 2: this query previously emitted Shannon N·H in
+    rounded micro-nats, whose round(10⁶·c·ln c) terms sat one libm ulp
+    away from flipping on an unlucky corpus (SCALE.md round-12
+    addendum 4 measured the margin; two ==-boundary oracle bugs in two
+    rounds said remove the class, not monitor it).  Simpson/Rényi-2
+    carries the same diversity signal on pure integer arithmetic —
+    floor division is bit-identical in both engines.
 
     Scale: two cascaded hash aggregations — (source, lang) then source —
     each with map-side partial combine; the second input is at most
-    |sources|×|langs| rows regardless of corpus size.  No windows, no
-    sorts, nothing proportional to document count past the first
-    partial aggregate."""
+    |sources|×|langs| rows regardless of corpus size.  The ppm division
+    runs through DECIMAL(38,0) so N² is exact past the 2⁶³ line
+    (n_docs per source up to ~10¹⁰ at the 100 TB design point).  No
+    windows, no sorts, nothing proportional to document count past the
+    first partial aggregate."""
     d = table(spark, sf_dir, "documents")
     counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
-    term = F.round(1e6 * F.col("c") * F.log(F.col("c"))).cast("bigint")
     return (
-        counts.select("source", "c", term.alias("term_micro"))
-        .groupBy("source")
+        counts.groupBy("source")
         .agg(
             F.sum("c").cast("bigint").alias("n_docs"),
             F.count(F.lit(1)).cast("bigint").alias("n_langs"),
-            (
-                F.round(1e6 * F.sum("c") * F.log(F.sum("c"))).cast("bigint")
-                - F.sum("term_micro").cast("bigint")
-            ).alias("n_h_micro"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c_sq"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "sum_c_sq",
+            F.expr(
+                f"CAST(1000000 AS {D38}) * CAST(sum_c_sq AS {D38})"
+                f" div (CAST(n_docs AS {D38}) * CAST(n_docs AS {D38}))"
+            )
+            .cast("bigint")
+            .alias("concentration_ppm"),
         )
     )
 

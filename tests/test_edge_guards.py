@@ -1146,11 +1146,17 @@ def test_b171_km_day_boundaries_and_terminal_day(spark, sf_dir, tmp_path):
        leaves at t_day 1 TOGETHER with u1's conversion (the same-day
        death+censor mix: d = 1, leaving = 2);
     u5/u6 convert at the horizon instant itself → the terminal day has
-       d == n_risk == 2, the documented S(t) == 0 sentinel (step NULL).
+       d == n_risk == 2, driving the exact fixed-point survival to
+       EXACTLY 0 (no sentinel — the r13 integer-recurrence rewrite).
 
     Day table re-derived by hand: t 0 → (d 2, risk 6), 1 → (1, 4),
-    10 → (2, 2); strict-compared against the oracle (the two engines'
-    day-diff functions must agree at the midnight boundary)."""
+    10 → (2, 2); the survival recurrence replayed by hand:
+    s(0) = 10¹²·4//6 = 666_666_666_666, s(1) = s(0)·3//4 =
+    499_999_999_999 (an odd-quotient floor — the recurrence's own
+    ==-boundary), s(10) = 0; strict-compared against the
+    recursive-CTE oracle (the two engines' day-diff functions must
+    agree at the midnight boundary and their integer walks must match
+    step-for-step)."""
     import datetime as dt
 
     us = dt.timedelta(microseconds=1)
@@ -1172,10 +1178,14 @@ def test_b171_km_day_boundaries_and_terminal_day(spark, sf_dir, tmp_path):
     name = "b171_kaplan_meier"
     compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
     got = {
-        r.t_day: (r.n_events, r.n_risk)
+        r.t_day: (r.n_events, r.n_risk, r.surv_q12)
         for r in registry.QUERIES[name](spark, planted).collect()
     }
-    assert got == {0: (2, 6), 1: (1, 4), 10: (2, 2)}, got
+    assert got == {
+        0: (2, 6, 666_666_666_666),
+        1: (1, 4, 499_999_999_999),
+        10: (2, 2, 0),
+    }, got
 
 
 def test_packing_exact_capacity_boundaries(spark, sf_dir, tmp_path):
@@ -2013,3 +2023,115 @@ def test_b29_edit_distance_exact_cut_boundaries(spark, sf_dir, tmp_path):
         for r in registry.QUERIES[name](spark, planted).collect()
     }
     assert got == {(1, 2): 10, (5, 6): 0}, got
+
+
+def _docs(texts_sources):
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(range(1, len(texts_sources) + 1), dtype="int64"),
+            "text": [t for t, _ in texts_sources],
+            "lang": ["en"] * len(texts_sources),
+            "source": [s for _, s in texts_sources],
+            "n_chars": pd.array(
+                [len(t) for t, _ in texts_sources], dtype="int64"
+            ),
+        }
+    )
+
+
+def test_b101_simpson_floor_and_degenerate_boundaries(spark, sf_dir, tmp_path):
+    """==-boundary plant for the r13 exact-integer Simpson rewrite
+    (VERDICT r12 item 2): the floor division's own boundaries —
+
+    s_exact: two languages 1+1 → 10⁶·2/4 divides EXACTLY (remainder 0,
+             the floor's == case) → 500_000;
+    s_floor: 2+1 → ⌊10⁶·5/9⌋ = 555_555 r5 (a truncating quotient —
+             both engines must floor, not round);
+    s_mono:  a single language → concentration at the 10⁶ ceiling
+             exactly (Σc² == N²)."""
+    rows = (
+        [("en one", "s_exact"), ("fr one", "s_exact")]
+        + [("en a", "s_floor"), ("en b", "s_floor"), ("fr c", "s_floor")]
+        + [("en x", "s_mono"), ("en y", "s_mono"), ("en z", "s_mono")]
+    )
+    # lang column drives the grouping, not the text — rewrite langs
+    docs = _docs(rows)
+    docs["lang"] = ["en", "fr", "en", "en", "fr", "en", "en", "en"]
+    planted = _planted_dir(tmp_path, sf_dir, {"documents": docs})
+    name = "b101_group_entropy"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = {
+        r.source: (r.n_docs, r.n_langs, r.sum_c_sq, r.concentration_ppm)
+        for r in registry.QUERIES[name](spark, planted).collect()
+    }
+    assert got == {
+        "s_exact": (2, 2, 2, 500_000),
+        "s_floor": (3, 2, 5, 555_555),
+        "s_mono": (3, 1, 9, 1_000_000),
+    }, got
+
+
+def test_b158_support_cut_and_ratio_tie_break(spark, sf_dir, tmp_path):
+    """==-boundary plant for the r13 exact-ratio PMI rewrite (VERDICT
+    r12 item 2): single-bigram documents pin the whole count table —
+
+    (p,q)/(r,s)/(u,v) each appear exactly 5 times with disjoint
+    marginals c₁ = c₂ = 5, so all three hit the support cut's == case
+    (cnt >= 5) AND collide at the identical exact ratio
+    assoc_q6 = ⌊10⁶·19·5/25⌋ = 3_800_000 — the deterministic (w1, w2)
+    tie-break must order them identically in both engines;
+    (x,y) appears 4 times — one below the support ==, excluded."""
+    rows = (
+        [("p q", "s1")] * 5
+        + [("r s", "s1")] * 5
+        + [("u v", "s1")] * 5
+        + [("x y", "s1")] * 4
+    )
+    planted = _planted_dir(tmp_path, sf_dir, {"documents": _docs(rows)})
+    name = "b158_pmi_assoc"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    got = [
+        (r.w1, r.w2, r.cnt, r.c1, r.c2, r.assoc_q6)
+        for r in registry.QUERIES[name](spark, planted).collect()
+    ]
+    assert got == [
+        ("p", "q", 5, 5, 5, 3_800_000),
+        ("r", "s", 5, 5, 5, 3_800_000),
+        ("u", "v", 5, 5, 5, 3_800_000),
+    ], got
+
+
+def test_b155_mean_probability_gate_exact_threshold(spark, sf_dir, tmp_path):
+    """==-boundary plant for the r13 mean-probability gate (VERDICT r12
+    item 2): the corpus is built so the fitted LM's fixed-point
+    probabilities land exactly ON and just under the τ = 33_500_000 q9
+    cut.  Single-bigram documents make each doc's mean one LM cell:
+
+    66 docs "a b" → cnt(a,b) = 66; 65 docs "a c" → cnt(a,c) = 65;
+    1867 filler docs "z fNNNN" (distinct second words) set the
+    vocabulary so pc(a) + V = 131 + 1869 = 2000 exactly.  Then
+    p(a,b) = ⌊10⁹·67/2000⌋ = 33_500_000 == τ → NOT flagged (the gate
+    is strictly <), while p(a,c) = ⌊10⁹·66/2000⌋ = 33_000_000 → 
+    flagged; a single-token doc exercises the no-bigram left-join path
+    (n_bigrams 0, psum 0, unflagged)."""
+    rows = (
+        [("a b", "s1")] * 66
+        + [("a c", "s1")] * 65
+        + [(f"z f{i:04d}", "s1") for i in range(1867)]
+        + [("solo", "s1")]
+    )
+    planted = _planted_dir(tmp_path, sf_dir, {"documents": _docs(rows)})
+    name = "b155_perplexity_filter"
+    compare(spark, planted, name, registry.QUERIES[name], registry.ORACLES[name])
+    by_text = {}
+    texts = [t for t, _ in rows]
+    for r in registry.QUERIES[name](spark, planted).collect():
+        by_text.setdefault(texts[r.doc_id - 1].split()[0], set()).add(
+            (r.n_bigrams, r.psum_q9, r.high_perplexity)
+        )
+    assert by_text["a"] == {
+        (1, 33_500_000, False),  # == τ exactly: strict < keeps it
+        (1, 33_000_000, True),
+    }
+    assert by_text["solo"] == {(0, 0, False)}
+    assert all(flag for _, _, flag in by_text["z"])

@@ -16,13 +16,21 @@ registry.load_all()
 
 
 def test_entropy_bounds(spark, sf_dir):
-    """0 ≤ N·H ≤ N·ln(n_langs)·1e6 (+1 µnat slack per rounded term)."""
+    """Simpson concentration bounds: uniform over n_langs is the floor
+    (Σc² ≥ N²/n_langs), a single language is the ceiling (Σc² ≤ N²);
+    the ppm column is the exact floor of the ratio."""
     rows = registry.QUERIES["b101_group_entropy"](spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert r.n_h_micro >= -r.n_langs  # rounding slack only
-        upper = r.n_docs * math.log(max(r.n_langs, 1)) * 1e6
-        assert r.n_h_micro <= upper + r.n_langs + 1
+        assert r.n_langs * r.sum_c_sq >= r.n_docs * r.n_docs
+        assert r.sum_c_sq <= r.n_docs * r.n_docs
+        assert r.concentration_ppm == (
+            1_000_000 * r.sum_c_sq // (r.n_docs * r.n_docs)
+        )
+        # Rényi-2 entropy (display-only downstream) stays in
+        # [0, ln n_langs] up to the ppm floor's resolution
+        h2 = -math.log(max(r.concentration_ppm, 1) / 1e6)
+        assert -1e-6 <= h2 <= math.log(max(r.n_langs, 1)) + 1e-3
 
 
 def test_markov_rows_normalize(spark, sf_dir):
