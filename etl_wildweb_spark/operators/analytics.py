@@ -1453,9 +1453,119 @@ def b152_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("b165_markov_attribution")  # rows-only: the absorbing-chain solve
-# is iterative linear algebra; numpy-replay + share invariants in
-# tests/test_mining_invariants.py
+#: Fixed absorption horizon for b165: the k-step conversion mass is
+#: DEFINED as K steps of the exact integer recurrence (journeys longer
+#: than K−2 touches contribute only their prefix mass — deterministic
+#: and identical in both engines).  48 covers the longest observed
+#: journey at every test scale (max 38 channel touches at sf0.1, so 40
+#: chain edges) with headroom; on a corpus that exceeds it, both
+#: engines truncate identically.
+MARKOV_ITERS = 48
+
+
+def _markov_oracle(iters: int = MARKOV_ITERS) -> str:
+    """Unrolled-CTE oracle for b165 (the b84_pagerank method, VERDICT
+    r12 item 5): rebuild the per-user chains and transition counts in
+    SQL, then walk `iters` exact-integer power steps for the base
+    chain AND every single-channel-removed variant in one relational
+    fan-out (variant = a cross-join dimension), with per-edge floor
+    division identical to the engine's Python-int replica."""
+    steps = "".join(
+        f"""
+    v{k + 1} AS MATERIALIZED (
+      SELECT removed, state, CAST(sum(mass) AS HUGEINT) AS mass FROM (
+        SELECT e.removed, e.dst AS state,
+               (v.mass * e.n) // r.ow AS mass
+        FROM v{k} v
+        JOIN redge e ON e.removed = v.removed AND e.src = v.state
+        JOIN rsum r ON r.removed = v.removed AND r.src = v.state
+        UNION ALL
+        SELECT removed, state, mass FROM v{k}
+        WHERE state IN ('__conv__', '__null__')
+      ) GROUP BY 1, 2),"""
+        for k in range(iters)
+    )
+    return f"""
+    WITH conv AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS cts
+      FROM events GROUP BY 1),
+    chan AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id
+      FROM events e JOIN conv c USING (user_id)
+      WHERE e.event_type != 'purchase'
+        AND (c.cts IS NULL OR e.ts < c.cts)),
+    seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id, event_type) AS rn
+      FROM chan),
+    lens AS (SELECT user_id, max(rn) AS len FROM seq GROUP BY 1),
+    ends AS (
+      SELECT c.user_id,
+             CASE WHEN c.cts IS NOT NULL THEN '__conv__'
+                  ELSE '__null__' END AS fin,
+             coalesce(l.len, 0) AS len
+      FROM conv c LEFT JOIN lens l USING (user_id)),
+    aug AS (
+      SELECT user_id, 0 AS rn, '__start__' AS state FROM ends
+      UNION ALL SELECT user_id, rn, event_type FROM seq
+      UNION ALL SELECT user_id, len + 1, fin FROM ends),
+    trans AS MATERIALIZED (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT user_id, state AS src,
+               lead(state) OVER (PARTITION BY user_id ORDER BY rn) AS dst
+        FROM aug) WHERE dst IS NOT NULL GROUP BY 1, 2),
+    chl AS MATERIALIZED (
+      SELECT src AS ch FROM trans
+      WHERE src NOT IN ('__start__', '__conv__', '__null__')
+      UNION
+      SELECT dst FROM trans
+      WHERE dst NOT IN ('__start__', '__conv__', '__null__')),
+    var AS (SELECT ch AS removed FROM chl
+            UNION ALL SELECT '__none__'),
+    redge AS MATERIALIZED (
+      SELECT v.removed, t.src,
+             CASE WHEN t.dst = v.removed THEN '__null__'
+                  ELSE t.dst END AS dst,
+             CAST(sum(t.n) AS HUGEINT) AS n
+      FROM var v JOIN trans t ON t.src <> v.removed
+      GROUP BY 1, 2, 3),
+    rsum AS MATERIALIZED (SELECT removed, src, CAST(sum(n) AS HUGEINT) AS ow
+             FROM redge GROUP BY 1, 2),
+    v0 AS (SELECT removed, '__start__' AS state,
+                  CAST(1000000000000 AS HUGEINT) AS mass FROM var),
+    {steps}
+    convp AS MATERIALIZED (
+      SELECT removed,
+             coalesce(max(CASE WHEN state = '__conv__' THEN mass END),
+                      0) AS cq
+      FROM v{iters} GROUP BY 1),
+    base AS MATERIALIZED (SELECT cq AS bq FROM convp WHERE removed = '__none__'),
+    eff AS MATERIALIZED (
+      SELECT c.ch AS channel,
+             CASE WHEN (SELECT bq FROM base) > 0
+                  THEN CAST(greatest(CAST(0 AS HUGEINT),
+                       (1000000 * ((SELECT bq FROM base)
+                                   - coalesce(p.cq, 0)))
+                       // (SELECT bq FROM base)) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS removal_effect_ppm
+      FROM chl c LEFT JOIN convp p ON p.removed = c.ch),
+    tot AS (SELECT sum(removal_effect_ppm) AS t FROM eff),
+    npaths AS (SELECT src AS channel, CAST(sum(n) AS BIGINT) AS np
+               FROM trans WHERE dst = '__conv__' GROUP BY 1)
+    SELECT e.channel,
+           coalesce(np.np, 0) AS n_converting_paths,
+           e.removal_effect_ppm,
+           CASE WHEN (SELECT t FROM tot) > 0
+                THEN CAST((1000000 * e.removal_effect_ppm)
+                          // (SELECT t FROM tot) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS attribution_share_ppm
+    FROM eff e LEFT JOIN npaths np USING (channel)
+    """
+
+
+@query("b165_markov_attribution", oracle=_markov_oracle())
 def b165_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov removal-effect attribution (Anderl et al. 2016 — the
     data-driven alternative to b80's rule-based last-touch/linear):
@@ -1464,15 +1574,25 @@ def b165_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     effect is 1 − P(conv | c's transitions redirected to null), and
     attribution shares are the normalized effects.
 
+    EXACT since r13 (VERDICT r12 item 5, the b84_pagerank method): the
+    absorbing-chain probabilities are DEFINED as MARKOV_ITERS = 48 steps
+    of the pure-integer recurrence v′(j) = Σᵢ ⌊v(i)·n(i,j)/rowsum(i)⌋
+    (+ absorber carry-over) from 10¹² fixed-point mass at __start__,
+    with removal = redirect-incoming-to-null + drop-outgoing-row on
+    the raw COUNT matrix.  The driver-side solve runs on arbitrary-
+    precision Python ints; the oracle unrolls the identical recurrence
+    as CTEs over a removed-channel fan-out and must match to the last
+    ppm — no float, no convergence tolerance, hash-checkable.  Effects
+    and shares are integer floor divisions of the k-step masses.
+
     Division of labor at scale: the CORPUS-SIZED work — ordering each
     user's events and counting (prev → next) transitions — is one
     window + one groupBy over the event stream; the absorbing-chain
-    probabilities then live on a |channels|²-sized matrix, solved
-    driver-side by damped power iteration (bounded: channel
-    cardinality, like b84's node-sized PageRank state — an O(1)
-    driver hop by the engine's collect rules).  Output: per-channel
-    conversion-path counts, removal effect, and share, in ppm."""
-    import numpy as np
+    walk then lives on a |channels|²-sized integer matrix, iterated
+    driver-side (bounded: channel cardinality, like b84's node-sized
+    PageRank state — an O(1) driver hop by the engine's collect
+    rules).  Output: per-channel conversion-path counts, removal
+    effect, and share, in ppm."""
 
     ev = table(spark, sf_dir, "events")
     # Journey = the user's ordered CHANNEL events strictly before their
@@ -1526,67 +1646,66 @@ def b165_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     rows = trans.collect()  # |channels+3|² bounded — O(1) driver hop
-    states = sorted(
-        {r.src for r in rows}
-        | {r.dst for r in rows}
-        # always present even when the data lacks one (e.g. every user
-        # converts in a small window → no observed __null__ edge)
-        | {"__start__", "__conv__", "__null__"}
-    )
-    idx = {s: i for i, s in enumerate(states)}
-    n = len(states)
-    counts = np.zeros((n, n))
-    for r in rows:
-        counts[idx[r.src], idx[r.dst]] = r.n
     absorbing = {"__conv__", "__null__"}
+    special = absorbing | {"__start__"}
+    channels = sorted(
+        s
+        for s in {r.src for r in rows} | {r.dst for r in rows}
+        if s not in special
+    )
 
-    def p_conv(removed: str | None) -> float:
-        P = counts.copy()
-        with np.errstate(invalid="ignore"):
-            P = np.divide(P, P.sum(axis=1, keepdims=True),
-                          out=np.zeros_like(P), where=P.sum(axis=1, keepdims=True) > 0)
-        if removed is not None:
-            # removal semantics (Anderl et al.): every visit to the
-            # removed channel becomes a null conversion — its INCOMING
-            # probability mass moves to __null__ (never renormalized
-            # onto surviving channels, which would understate the
-            # effect), and its outgoing row is unreachable
-            P[:, idx["__null__"]] += P[:, idx[removed]]
-            P[:, idx[removed]] = 0.0
-            P[idx[removed], :] = 0.0
-        for s in absorbing:
-            P[idx[s], :] = 0.0
-            P[idx[s], idx[s]] = 1.0
-        # dead ends (no observed outgoing edge) absorb to null
-        dead = P.sum(axis=1) == 0
-        P[dead, idx["__null__"]] = 1.0
-        v = np.zeros(n)
-        v[idx["__start__"]] = 1.0
-        for _ in range(200):  # fixed rounds: deterministic
-            v = v @ P
-        return float(v[idx["__conv__"]])
+    def conv_mass(removed: str | None) -> int:
+        """K-step conversion mass in exact q12, Python arbitrary-
+        precision ints — the oracle's CTE walk replayed verbatim.
+        Removal semantics (Anderl et al.) on the COUNT matrix: every
+        edge INTO the removed channel is redirected to __null__ (never
+        renormalized onto surviving channels, which would understate
+        the effect) and its outgoing row is dropped (unreachable
+        anyway — no redirected edge can deliver mass to it)."""
+        edges: dict[tuple[str, str], int] = {}
+        rowsum: dict[str, int] = {}
+        for r in rows:
+            if r.src == removed:
+                continue
+            dst = "__null__" if r.dst == removed else r.dst
+            edges[(r.src, dst)] = edges.get((r.src, dst), 0) + r.n
+            rowsum[r.src] = rowsum.get(r.src, 0) + r.n
+        v = {"__start__": 10**12}
+        for _ in range(MARKOV_ITERS):
+            nxt: dict[str, int] = {}
+            for (s, d), n_sd in edges.items():
+                m = v.get(s, 0)
+                if m:
+                    nxt[d] = nxt.get(d, 0) + (m * n_sd) // rowsum[s]
+            for a in absorbing:
+                if v.get(a, 0):
+                    nxt[a] = nxt.get(a, 0) + v[a]
+            v = nxt
+        return v.get("__conv__", 0)
 
-    base = p_conv(None)
-    channels = [
-        s for s in states if s not in absorbing and s != "__start__"
-    ]
+    base = conv_mass(None)
     # base == 0 (a corpus with no conversions) must yield zero effect
     # for every channel — `1 - 0` would hand each channel an equal
     # nonzero share despite nothing to attribute (ADVICE r6).
     effects = {
-        c: max(0.0, 1.0 - p_conv(c) / base) if base > 0 else 0.0
+        c: max(0, (1_000_000 * (base - conv_mass(c))) // base)
+        if base > 0
+        else 0
         for c in channels
     }
-    tot = sum(effects.values()) or 1.0
-    conv_paths = {r.src: r.n for r in rows if r.dst == "__conv__"}
+    tot = sum(effects.values())
+    conv_paths: dict[str, int] = {}
+    for r in rows:
+        if r.dst == "__conv__":
+            conv_paths[r.src] = conv_paths.get(r.src, 0) + r.n
     out = [
         (
             c,
             int(conv_paths.get(c, 0)),
-            int(round(1_000_000 * effects[c])),
-            int(round(1_000_000 * effects[c] / tot)),
+            effects[c],
+            (1_000_000 * effects[c]) // tot if tot > 0 else 0,
         )
-        for c in sorted(channels)
+        for c in channels
     ]
     return spark.createDataFrame(
         out,

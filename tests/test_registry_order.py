@@ -48,10 +48,9 @@ def test_priority_oracle_coverage():
         # round-13 window (15 planner must-lead + 2 modified-this-round
         # + 33 of the r08 cohort): the declared rows-only entries, each
         # with its own pytest invariants.
-        # iterative Markov chain absorption — convergence pins
-        # (VERDICT r12 item 5 upgrades this to an oracle mid-round;
-        # remove from this set in that commit)
-        "b165_markov_attribution",
+        # b165_markov_attribution left this set in r13: the absorbing
+        # chain is now the exact K-step integer recurrence with an
+        # unrolled-CTE oracle (VERDICT r12 item 5, the b84 method).
         # submit sink — chunk layout partition-dependent; DataSource
         # sink restart-idempotence pins (b94/b135)
         "a18_submit_sink",
