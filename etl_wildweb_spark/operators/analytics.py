@@ -1103,76 +1103,45 @@ def b121_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b129_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive-hierarchy closure WITHOUT a recursive CTE (Spark has
-    none): each user hangs in a reporting tree via parent(u) =
-    (u−1) div 3 (root 0), and the operator resolves every node's depth
-    by POINTER DOUBLING — each round joins the jump table to itself so
-    every node's known ancestor leaps twice as far:
-    jump[u] ← jump[jump[u]], d ← d + d[jump], with the root a
-    fixpoint.  The doubling join is a LEFT join with a computed-parent
-    fallback: when a node's current ancestor is itself an observed
-    node, we leap through its jump entry (distance doubles); when the
-    chain passes through an id with no events (sparse id domains), we
-    advance that pointer one parent step by the pure formula instead —
-    correct for ANY id domain, not just dense 0..N.  On dense ids
-    every round leaps, giving ⌈log₂(depth)⌉ rounds — the same
-    principle as b29_cc_bigstar, applied to directed hierarchy
-    traversal (org charts, BOM explosions, category trees); in the
-    worst sparse case (no intermediate id observed) rounds degrade
-    gracefully toward O(depth) while staying exact.  The oracle walks
-    the identical tree with DuckDB's WITH RECURSIVE, which is
-    id-domain-agnostic by construction.
+    """Recursive-hierarchy closure: each user hangs in a reporting tree
+    via parent(u) = (u−1) div 3 (root 0) and the operator emits every
+    node's depth.  The oracle walks the tree with DuckDB's WITH
+    RECURSIVE; through round 12 the engine side mirrored it with a
+    pointer-doubling jump-table loop (≈⌈log₂(depth)⌉ joined rounds).
 
-    Scale: the jump table is node-sized (never edges × depth); each
-    round is one self equi-join + no window; localCheckpoint per round
-    caps lineage exactly as in connected_components.  A 20-deep dense
-    hierarchy needs 5 rounds; a million-deep pathological chain, 20."""
+    ROUND-13 OPTIMIZATION (guide §8 — use what the optimizer cannot
+    know): the parent EDGE IS A FORMULA, not data, so depth needs no
+    graph traversal at all.  parent(u) = (u−1) div 3 means the ids at
+    depth d are exactly ((3^d−3)/2, (3^(d+1)−3)/2] — a fixed integer
+    threshold ladder with ≤ 40 rungs covering all of bigint (3^41 >
+    2^63).  Depth therefore evaluates as ONE whole-stage-codegen CASE
+    expression per distinct id: zero joins, zero iterative rounds,
+    zero driver round-trips, one exchange (the distinct) in the whole
+    query — vs ~⌈log₂(depth)⌉ join+checkpoint+collect rounds before
+    (measured 0.87 s → ~0.1 s at sf0.1; OPTIMIZATION_r13.md).  The
+    thresholds are exact integers, so there is no float-log boundary
+    risk, and negative/zero ids keep their depth-0 fixpoint semantics
+    (the oracle's walk never starts for them).  Equivalence with a
+    pure-Python parent-chain walk is pinned over the full boundary
+    lattice in tests/test_new_ops_invariants.py.
+
+    The generalizable point is the same one the b29 CC family makes in
+    reverse: iterative contraction is for edges THAT ARE DATA; when
+    the edge function is computable, ship the function to the data.
+    At 100 TB this is a narrow map over distinct ids — embarrassingly
+    parallel, no per-round synchronization barrier to straggle on."""
     from pyspark.sql import functions as F
 
     e = table(spark, sf_dir, "events")
-    nodes = e.select("user_id").distinct()
-    jump = nodes.select(F.col("user_id").alias("u")).select(
-        "u",
-        F.when(F.col("u") > 0, F.expr("(u - 1) div 3"))
-        .otherwise(F.col("u"))
-        .alias("anc"),
-        F.when(F.col("u") > 0, F.lit(1)).otherwise(F.lit(0)).alias("d"),
-    )
-    jump = jump.localCheckpoint(eager=True)
-    prev_sum = None
-    for _ in range(64):  # dense ids break out in ~log₂(depth) rounds
-        look = jump.select(
-            F.col("u").alias("a_u"),
-            F.col("anc").alias("a_anc"),
-            F.col("d").alias("a_d"),
-        )
-        # one computed parent step — the sparse-id fallback when anc
-        # has no jump entry (ADVICE r3: an inner join here silently
-        # dropped users whose chain passes through unobserved ids)
-        one_step = F.when(
-            F.col("anc") > 0, F.expr("(anc - 1) div 3")
-        ).otherwise(F.col("anc"))
-        one_step_d = F.when(F.col("anc") > 0, F.lit(1)).otherwise(F.lit(0))
-        nxt = (
-            jump.join(look, jump.anc == look.a_u, "left")
-            .select(
-                "u",
-                F.coalesce(F.col("a_anc"), one_step).alias("anc"),
-                (F.col("d") + F.coalesce(F.col("a_d"), one_step_d)).alias(
-                    "d"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        # fixpoint when every pointer rests on the root (anc == 0 ∧
-        # its own step adds 0) — one tiny aggregate per round
-        cur_sum = nxt.agg(F.sum("d").alias("s")).collect()[0].s
-        jump = nxt
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return jump.select("u", "d").selectExpr(
-        "u AS user_id", "CAST(d AS INT) AS depth"
+    nodes = e.select(F.col("user_id").alias("u")).distinct()
+    # max id at depth d is (3^(d+1) − 3) / 2; d = 40 covers bigint
+    ladder = "CASE WHEN u <= 0 THEN 0 " + "".join(
+        f"WHEN u <= {(3 ** (d + 1) - 3) // 2}L THEN {d} "
+        for d in range(1, 40)
+    ) + "ELSE 40 END"
+    return nodes.select(
+        F.col("u").alias("user_id"),
+        F.expr(ladder).cast("int").alias("depth"),
     )
 
 
@@ -1192,160 +1161,83 @@ def b129_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b131_dag_path_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """General graph reachability WITH path counting (VERDICT r3 #6,
+    """General DAG reachability WITH path counting (VERDICT r3 #6,
     extending b129's depth-only closure): each user id hangs in a DAG
     with TWO parent edges — u → u div 2 and u → (u−1) div 3 (root 0,
-    parallel edges deduped) — so unlike b129's tree there are many
-    distinct paths to the root, and the operator computes the exact
-    number of them per observed user.  Two bounded phases, no
-    recursive CTE needed on the Spark side:
+    parallel edges deduped) — and the operator computes the exact
+    number of distinct root paths per observed user.  The oracle is
+    DuckDB's WITH RECURSIVE over the identical edge rule.
 
-    1. CLOSURE — frontier expansion over the parent maps until no new
-       ids appear.  Both maps strictly decrease, u div 2 at least
-       halves, so the frontier dies in ≤ ⌈log₂(max id)⌉ rounds — the
-       bound is the GRAPH DIAMETER (≤ 63 for bigint ids), never the
-       row count.
-    2. LEVEL-SYNCHRONOUS DP — pc(0) = 1 (the empty path);
-       pc(u) = Σ pc(p) over u's distinct parents, resolved bottom-up:
-       each round joins the unresolved ids' parent edges to the
-       resolved table and finalizes exactly the ids whose parents are
-       all resolved.  Rounds = DAG depth, again ≤ log₂(max id); each
-       round is one node-sized equi-join + groupBy, localCheckpoint
-       caps lineage (same discipline as connected_components).
+    ROUND-13 OPTIMIZATION (guide §8): through round 12 the engine ran
+    a two-phase distributed fixpoint (frontier closure + level-
+    synchronous DP — ~2·log₂(max id) rounds of joins, checkpoints and
+    scalar collects).  But the parent EDGES ARE FORMULAS, not data:
+    pc(u) is a pure function of u alone — pc(0)=1, pc(u) = Σ pc(p)
+    over p ∈ distinct{u div 2, (u−1) div 3} — so the whole DAG walk
+    evaluates per row with an explicit-stack memoized recursion (depth
+    ≤ ⌈log₂ u⌉ ≤ 63; parents strictly decrease, so it terminates and
+    never leaves [0, u]).  One Arrow-batched mapInPandas pass over the
+    distinct ids replaces every one of the ~34 iterative rounds:
+    3.4 s → ~0.35 s at sf0.1, plan goes from dozens of exchanges
+    across ~70 jobs to exactly one exchange (the distinct) and one
+    job (OPTIMIZATION_r13.md; plans/r13/b131_dag_path_count_*.txt).
+    The memo is built once per task (guide §4.5) and shared across
+    that task's ids, so shared ancestor chains are walked once —
+    per-task work is O(ids · depth) dict hits worst case, the same
+    closure-sized state the DP materialized, minus every shuffle.
 
-    The oracle is DuckDB's WITH RECURSIVE over the identical edge
-    rule — id-domain-agnostic, so sparse ids are covered by
-    construction (the closure phase materializes unobserved
-    intermediates instead of joining back to observed nodes only).
-
-    Scale: state is closure-sized (≤ nodes × diameter new ids, in
-    practice ~2× nodes), path counts stay bigint (counts grow with
-    DAG width, not row count), and the per-round `.collect()`s are
-    single-scalar convergence checks — annotated, never data."""
+    The split of labor in this family is deliberate: b29's CC engines
+    iterate because their edges ARE data; here the edge function is
+    computable, and shipping the function to the data deletes the
+    traversal entirely.  Python-int accumulation is arbitrary-
+    precision, so the DP never wraps; the final cast to bigint is the
+    same contract the distributed sum had under ANSI.  Negative ids
+    emit no row (their walk never reaches 0 — matching the recursive
+    oracle, which only descends through cur > 0); equivalence with
+    the old fixpoint's semantics is pinned on dense, sparse and
+    boundary id sets in tests/test_new_ops_invariants.py."""
     e = table(spark, sf_dir, "events")
     nodes = e.select(F.col("user_id").alias("u")).distinct()
-
-    parents_of = lambda df: (  # noqa: E731 — local plan combinator
-        df.filter(F.col("u") > 0)
-        .select(
-            F.explode(
-                F.array_distinct(
-                    F.array(
-                        F.expr("u div 2"), F.expr("(u - 1) div 3")
-                    )
-                )
-            ).alias("u")
-        )
-        .distinct()
+    return nodes.mapInPandas(
+        _dag_path_count_batches, schema="user_id bigint, n_paths bigint"
     )
 
-    # Right-size the loop state's partitioning (the connected_components
-    # rule): closure state is node-sized — orders of magnitude below the
-    # corpus — and a checkpoint FREEZES its partitioning, so without
-    # this every one of the ~2·log₂(max id) rounds schedules
-    # corpus-width tasks over a few thousand rows.
-    n_nodes = nodes.count()
-    width = max(
-        1,
-        min(spark.sparkContext.defaultParallelism, n_nodes // 100_000 + 1),
-    )
-    closure = nodes.repartition(width, "u").localCheckpoint(eager=True)
-    frontier = closure
-    for _ in range(70):  # ≥ log₂(max bigint): diameter bound, not data
-        # LAZY checkpoint + FULL count = one job per round (the
-        # connected_components rule: an unrestricted count touches
-        # every partition, materializing the checkpoint in the job
-        # that uses it — eager + limit(1).count() is two jobs and the
-        # short-circuit can leave partitions unmaterialized).
-        new = (
-            parents_of(frontier)
-            .join(closure, "u", "left_anti")
-            .repartition(width, "u")
-            .localCheckpoint(eager=False)
-        )
-        # scalar convergence check (driver-side count of a node-sized
-        # frontier — bounded, annotated)
-        if new.count() == 0:
-            break
-        closure = (
-            closure.unionByName(new)
-            .repartition(width, "u")
-            .localCheckpoint(eager=True)
-        )
-        frontier = new
 
-    edges = (
-        closure.filter(F.col("u") > 0)
-        .select(
-            "u",
-            F.explode(
-                F.array_distinct(
-                    F.array(F.expr("u div 2"), F.expr("(u - 1) div 3"))
-                )
-            ).alias("p"),
-        )
-        .repartition(width, "u")
-        .localCheckpoint(eager=True)
-    )
-    pc = closure.filter(F.col("u") == 0).select(
-        "u", F.lit(1).cast("bigint").alias("n_paths")
-    ).repartition(width, "u").localCheckpoint(eager=True)
-    unresolved = (
-        closure.filter(F.col("u") > 0)
-        .repartition(width, "u")
-        .localCheckpoint(eager=True)
-    )
-    # one up-front scalar count, then tracked arithmetically per round
-    # (n_unresolved -= n_ready) — removes the per-round limit(1).count()
-    # job; the DP invariant (every round resolves the full next level,
-    # depth ≤ log₂(max id)) guarantees n_ready > 0 while any id is
-    # unresolved, asserted below against silent stalls.
-    n_unresolved = unresolved.count()
-    for _ in range(70):
-        if n_unresolved == 0:
-            break
-        j = (
-            unresolved.join(edges, "u")
-            .join(
-                pc.select(F.col("u").alias("p"), F.col("n_paths").alias("p_n")),
-                "p",
-                "left",
-            )
-            .groupBy("u")
-            .agg(
-                F.sum("p_n").alias("n_paths"),
-                F.sum(F.when(F.col("p_n").isNull(), 1).otherwise(0)).alias(
-                    "n_missing"
+def _dag_path_count_batches(batches):
+    """mapInPandas worker for b131: memoized per-id DAG path counts.
+    Module-level (pickled by reference, shipped via addPyFile); the
+    memo lives for the whole task — one construction per task, every
+    batch and every shared ancestor chain amortizes it (guide §4.5)."""
+    import pandas as pd
+
+    memo = {0: 1}
+
+    def n_paths(u: int) -> int:
+        stack = [u]
+        while stack:
+            x = stack[-1]
+            if x in memo:
+                stack.pop()
+                continue
+            ps = {x // 2, (x - 1) // 3}  # x > 0 ⇒ both parents in [0, x)
+            missing = [p for p in ps if p not in memo]
+            if missing:
+                stack.extend(missing)
+            else:
+                memo[x] = sum(memo[p] for p in ps)
+                stack.pop()
+        return memo[u]
+
+    for pdf in batches:
+        ids = [int(u) for u in pdf["u"] if u is not None and int(u) >= 0]
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array(ids, dtype="int64"),
+                "n_paths": pd.array(
+                    [n_paths(u) for u in ids], dtype="int64"
                 ),
-            )
+            }
         )
-        # lazy checkpoint + full count: one job materializes the round
-        ready = (
-            j.filter(F.col("n_missing") == 0)
-            .select("u", "n_paths")
-            .repartition(width, "u")
-            .localCheckpoint(eager=False)
-        )
-        n_ready = ready.count()
-        if n_ready <= 0:
-            # data-dependent convergence invariant — must survive
-            # `python -O` (a stripped assert would silently spin to
-            # the round cap and return partial counts; ADVICE r7)
-            raise RuntimeError("DAG DP stalled with unresolved ids")
-        pc = (
-            pc.unionByName(ready)
-            .repartition(width, "u")
-            .localCheckpoint(eager=True)
-        )
-        unresolved = (
-            unresolved.join(ready, "u", "left_anti")
-            .repartition(width, "u")
-            .localCheckpoint(eager=True)
-        )
-        n_unresolved -= n_ready
-    return nodes.join(pc, "u").selectExpr(
-        "u AS user_id", "CAST(n_paths AS BIGINT) AS n_paths"
-    )
 
 
 # ------------------------------------------------- triangle counting

@@ -1072,37 +1072,82 @@ def b154_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     reintroduce float repr, so it is deliberately not applied here.
     Distance preservation is pinned in tests/test_llmops.py.
 
-    Engine shape: the sign matrix is 16×64 CONSTANT arrays inlined
-    into the projection expressions (zip_with · aggregate per output
-    dim), so the whole operator is one narrow per-row projection —
-    ZERO shuffles, zero joins, whole-stage codegen end to end.  The
-    oracle instead derives the same signs via md5 in SQL and replays
-    the dot products through an explode-join — proving the literal
+    Engine shape — ROUND-13 OPTIMIZATION (guide §4.2): one narrow
+    zero-shuffle pass, as before, but the per-row work moved from 16
+    aggregate(zip_with(...)) Catalyst folds to ONE int64 numpy matmul
+    per Arrow batch.  Higher-order-function lambdas are
+    CodegenFallback — every one of the 16×64 multiply-adds per row
+    ran interpreted, which is exactly the engine's own
+    simhash/repetition finding (SCALE.md: 15–25× for hash-once +
+    numpy over HOF folds); measured here 2.25 s → ~0.4 s at sf0.1
+    with a bit-identical result.  Exactness is preserved because
+    every step is integer after quantization: the ppm quantizer
+    replays Spark's round(double) = BigDecimal HALF_UP (away from
+    zero, computed as floor(y+0.5)/ceil(y−0.5) — exact for these
+    ≤44-bit-significand products, boundary-planted in
+    tests/test_llmops.py), and the ±1 projection is an int64 matmul
+    — order-free, overflow-free (|y| ≤ 64·2³⁰ ≪ 2⁶³).  The oracle
+    still derives the same signs via md5 in SQL and replays the dot
+    products through an explode-join — proving the numpy constant
     matrix IS the md5 derivation, not a copied constant."""
     e = table(spark, sf_dir, "embeddings")
-    xp = F.transform(
-        "embedding",
-        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
-    )
-    # lift_parallelism: 16 x 64 multiply-adds per row is CPU-bound and
-    # narrow; on a 2-split local scan it serialized on 2 cores (3.1x at
-    # the 16x probe, ~1x after)
+    # lift_parallelism: the projection is CPU-bound and narrow; on a
+    # 2-split local scan it serialized on 2 cores (3.1x at the 16x
+    # probe, ~1x after)
     base = lift_parallelism(e, "vec_id").select(
-        "vec_id", "label", xp.alias("xp")
+        "vec_id", "label", "embedding"
     )
-    proj_cols = [
-        F.aggregate(
-            F.zip_with(
-                "xp",
-                F.lit(_jl_signs(j)),
-                lambda a, s: a * s.cast("bigint"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        ).alias(f"y{j:02d}")
-        for j in range(JL_OUT_DIMS)
-    ]
-    return base.select("vec_id", "label", *proj_cols)
+    schema = "vec_id long, label int, " + ", ".join(
+        f"y{j:02d} long" for j in range(JL_OUT_DIMS)
+    )
+    return base.mapInPandas(_jl_project_batches, schema=schema)
+
+
+def np_round_half_up(y):
+    """Exact numpy replay of Spark's round(double) — BigDecimal
+    ROUND_HALF_UP, i.e. half away from zero — for |y| < 2⁵²: y−floor(y)
+    (resp. y−ceil(y)) is exactly representable there, so the half
+    comparison is performed on the true fractional part rather than
+    through a rounding-contaminated y+0.5.  (floor(y+0.5) misrounds
+    when y sits within one sum-ulp below k+0.5; this form cannot.)"""
+    import numpy as np
+
+    kf = np.floor(y)
+    pos = kf + (y - kf >= 0.5)
+    kc = np.ceil(y)
+    neg = kc - (y - kc <= -0.5)
+    return np.where(y >= 0, pos, neg)
+
+
+def _jl_project_batches(batches):
+    """mapInPandas worker for b154: ppm-quantize (exact HALF_UP replay
+    of Spark's round(double)) then project through the 16×64
+    Rademacher matrix as one int64 matmul.  Module-level so cloudpickle
+    ships it by reference; the sign matrix is built once per task
+    (guide §4.5)."""
+    import numpy as np
+    import pandas as pd
+
+    signs = np.asarray(
+        [_jl_signs(j) for j in range(JL_OUT_DIMS)], dtype=np.int64
+    )  # (16, 64)
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            cols = {"vec_id": [], "label": []}
+            cols.update({f"y{j:02d}": [] for j in range(JL_OUT_DIMS)})
+            yield pd.DataFrame(cols)
+            continue
+        x = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )  # float32 values upcast exactly, (n, 64)
+        y = x * 1_000_000.0  # ≤44-bit significands — exact in f64
+        q = np_round_half_up(y).astype(np.int64)
+        proj = q @ signs.T  # (n, 16) exact int64
+        out = {"vec_id": pdf["vec_id"].values, "label": pdf["label"].values}
+        for j in range(JL_OUT_DIMS):
+            out[f"y{j:02d}"] = proj[:, j]
+        yield pd.DataFrame(out)
 
 
 # ------------------------------------- late interaction (MaxSim)
@@ -1149,46 +1194,127 @@ def b162_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first late-interaction operator in the registry, next to
     single-vector b30 and token-level b150.
 
-    Engine shape: identical to b30_cosine_topk — the query set
-    broadcasts, the corpus never shuffles for scoring, and the
-    per-query top-k carries Partial+Final WindowGroupLimit so each map
-    task forwards ≤ k rows.  The 16 sub-cosines per pair are one
-    codegen'd expression tree; at real multi-vector scale the inner
-    max runs per (query-token, doc) over an IVF-pruned candidate set —
-    same plan with a cell equi-join in front (b30_ann_ivf's shape)."""
-    from ..functions.vector import cosine
-
+    Engine shape — ROUND-13 OPTIMIZATION (guide §4.2): the corpus
+    still never shuffles for scoring and the per-query top-k still
+    carries Partial+Final WindowGroupLimit, but the 16 sub-cosines per
+    pair moved from a Catalyst expression tree (HOF folds +
+    per-evaluation F.slice array allocations — CodegenFallback,
+    interpreted) into ONE Arrow-batched numpy pass that scores all
+    {MAXSIM_QUERIES} queries per corpus batch (measured 1.9 s →
+    ~0.45 s at sf0.1, hash-identical).  The query set is a bounded
+    driver hop (the b137/b175 pattern — {MAXSIM_QUERIES} rows, same
+    class as b30's broadcast).  Exactness: every float op replays the
+    JVM expression in the same order — sequential left-to-right
+    accumulation for dots/norms (vectorized ACROSS rows, ordered
+    within), the same clamp and NaN/zero-norm→NULL guards
+    (functions/vector.py::cosine semantics: np.fmax skips NaN exactly
+    as F.greatest skips NULL), and np_round_half_up replaying
+    round(double) — so the emitted micro scores are bit-identical and
+    the DuckDB oracle hash is unchanged.  At real multi-vector scale
+    the inner max runs per (query-token, doc) over an IVF-pruned
+    candidate set — same plan with a cell equi-join in front."""
     e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < MAXSIM_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    qrows = sorted(
+        e.filter(F.col("vec_id") < MAXSIM_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
     )
-    c = lift_parallelism(e, "vec_id").select(
-        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("ce")
-    )
-
-    def sub(col: str, i: int):
-        return F.slice(F.col(col), 16 * i + 1, 16)
-
-    per_i = None
-    for i in range(MAXSIM_SUB):
-        best = F.greatest(
-            *[cosine(sub("qe", i), sub("ce", j)) for j in range(MAXSIM_SUB)]
-        )
-        per_i = best if per_i is None else per_i + best
+    c = lift_parallelism(e, "vec_id").select("vec_id", "embedding")
+    scored = c.mapInPandas(
+        _maxsim_score_batches(
+            [r.vec_id for r in qrows], [list(r.embedding) for r in qrows]
+        ),
+        schema="query_id long, doc_id long, maxsim_micro long",
+    ).filter(F.col("doc_id") != F.col("query_id"))
     w = W.partitionBy("query_id").orderBy(F.desc("maxsim_micro"), "doc_id")
     return (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(F.lit(1_000_000) * per_i).cast("bigint").alias(
-                "maxsim_micro"
-            ),
-        )
-        .withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= MAXSIM_TOP_K)
     )
+
+
+def _maxsim_score_batches(query_ids, query_vecs):
+    """mapInPandas factory for b162: per corpus batch, score every
+    query against every row with the MaxSim sum Σᵢ maxⱼ cos(qᵢ, cⱼ)
+    over 4×16-dim sub-vectors.  Bit-exact replay of the former JVM
+    expression tree: dots and norms accumulate sequentially
+    left-to-right within each 16-dim slice (vectorized across rows
+    only), cosine applies the same zero-den/NaN→NULL guard and ±1
+    clamp as functions/vector.py::cosine (NULL carried as NaN;
+    np.fmax skips NaN exactly as F.greatest skips NULL, and a
+    NaN best_i poisons the sum exactly as NULL addition does), and
+    np_round_half_up replays round(double).  Closure state (query
+    matrix, sub-norms) is built once per task (guide §4.5)."""
+    import numpy as np
+    import pandas as pd
+
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qm = np.asarray(query_vecs, dtype=np.float64)  # (nq, 64), exact upcast
+
+    def _seq_dot(a, b):
+        # sequential fold: acc = (…(0 + a₀b₀) + a₁b₁…) — JVM order
+        acc = np.zeros(a.shape[:-1])
+        for k in range(a.shape[-1]):
+            acc = acc + a[..., k] * b[..., k]
+        return acc
+
+    qsub = qm.reshape(len(qids), MAXSIM_SUB, 16)
+    qnorm = np.sqrt(_seq_dot(qsub, qsub))  # (nq, 4)
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {"query_id": [], "doc_id": [], "maxsim_micro": []}
+                )
+                continue
+            cm = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )  # (n, 64)
+            csub = cm.reshape(n, MAXSIM_SUB, 16)
+            cnorm = np.sqrt(_seq_dot(csub, csub))  # (n, 4)
+            per = None
+            for i in range(MAXSIM_SUB):
+                best = None
+                for j in range(MAXSIM_SUB):
+                    d = _seq_dot(
+                        np.broadcast_to(qsub[:, None, i, :], (len(qids), n, 16)),
+                        np.broadcast_to(csub[None, :, j, :], (len(qids), n, 16)),
+                    )
+                    den = qnorm[:, None, i] * cnorm[None, :, j]
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        r = d / den
+                        cosv = np.where(
+                            (den != 0.0) & ~np.isnan(r),
+                            np.maximum(-1.0, np.minimum(1.0, r)),
+                            np.nan,  # NULL stand-in
+                        )
+                    best = cosv if best is None else np.fmax(best, cosv)
+                per = best if per is None else per + best
+            y = 1_000_000.0 * per  # (nq, n)
+            micro = np_round_half_up(y)
+            nq = len(qids)
+            flat = micro.reshape(-1)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "doc_id": np.tile(
+                        pdf["vec_id"].values.astype(np.int64), nq
+                    ),
+                    "maxsim_micro": (
+                        flat.astype(np.int64)
+                        if not np.isnan(flat).any()
+                        else pd.array(
+                            [None if np.isnan(v) else int(v) for v in flat],
+                            dtype="Int64",
+                        )
+                    ),
+                }
+            )
+
+    return gen
 
 
 # --------------------------------------------- kNN label prediction

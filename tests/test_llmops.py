@@ -1447,3 +1447,56 @@ def test_shipped_corpora_have_no_zero_embeddings(sf_dir):
                                [TRUE])"""
     ).fetchone()[0]
     assert n_inf == 0, f"{n_inf} non-finite-component embeddings in {sf_dir}"
+
+
+def test_b154_quantizer_half_boundary_plant(spark, tmp_path):
+    """r13: b154's ppm quantizer moved from Spark round(double) to a
+    numpy floor(y+0.5)/ceil(y-0.5) replay inside the Arrow projection
+    pass.  Plant float32 components whose *1e6 product is an EXACT
+    decimal half (k/128 -> k*7812.5) on both signs, plus near-half
+    neighbors, and pin the projection against a pure-Python HALF_UP
+    (away-from-zero) reference through the same sign matrix."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from etl_wildweb_spark.operators.similarity import (
+        JL_IN_DIMS,
+        JL_OUT_DIMS,
+        _jl_signs,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = []
+    for i in range(8):
+        v = rng.standard_normal(JL_IN_DIMS).astype(np.float32)
+        # plant exact-half products: k/128 * 1e6 = k*7812.5 (odd k)
+        v[0] = np.float32((2 * i + 1) / 128.0)
+        v[1] = np.float32(-(2 * i + 3) / 128.0)
+        v[2] = np.float32(1.0 / 128.0) + np.float32(1e-7)
+        vecs.append((i, [float(x) for x in v], 0))
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        r.vec_id: [r[f"y{j:02d}"] for j in range(JL_OUT_DIMS)]
+        for r in registry.QUERIES["b154_jl_projection"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    def q(x: float) -> int:
+        # float32 -> exact f64 -> exact decimal -> HALF_UP away from 0
+        return int(
+            Decimal(x * 1_000_000).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    want = {}
+    for vid, emb, _ in vecs:
+        xs = [q(float(np.float32(x))) for x in emb]
+        want[vid] = [
+            sum(s * x for s, x in zip(_jl_signs(j), xs))
+            for j in range(JL_OUT_DIMS)
+        ]
+    assert got == want

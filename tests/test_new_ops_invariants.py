@@ -275,3 +275,69 @@ def test_hierarchy_closure_sparse_id_domain(spark, tmp_path):
         ).collect()
     }
     assert got == {u: depth(u) for u in observed}
+
+
+def test_hierarchy_closure_ladder_boundary_lattice(spark, tmp_path):
+    """r13: b129's depth now evaluates as an integer CASE threshold
+    ladder (max id at depth d is (3^(d+1)-3)/2).  Plant every rung's
+    == boundary and its +-1 neighbors through depth 12, plus 0 and a
+    negative id, against the pure-Python parent-chain walk -- an
+    off-by-one in the ladder construction fails here first."""
+    from etl_wildweb_spark.registry import QUERIES, load_all
+
+    load_all()
+    ids = {0, -7}
+    for d in range(1, 13):
+        m = (3 ** (d + 1) - 3) // 2
+        ids.update((m - 1, m, m + 1))
+    ids = sorted(ids)
+    spark.createDataFrame(
+        [(u,) for u in ids], "user_id long"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    def depth(u: int) -> int:
+        d = 0
+        while u > 0:
+            u = (u - 1) // 3
+            d += 1
+        return d
+
+    got = {
+        r.user_id: r.depth
+        for r in QUERIES["b129_hierarchy_closure"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {u: depth(u) for u in ids}
+
+
+def test_dag_path_count_memo_matches_reference(spark, tmp_path):
+    """r13: b131's path counts now come from a per-row memoized walk
+    (the edges are formulas, not data).  Pin dense, sparse and
+    boundary ids -- including 0 (one empty path), 1 and 2 (parents
+    collapse to the deduped {0}), and a negative id (emits NO row,
+    matching the recursive oracle whose walk never reaches 0) --
+    against an independent Python recursion."""
+    from functools import lru_cache
+
+    from etl_wildweb_spark.registry import QUERIES, load_all
+
+    load_all()
+    ids = [0, 1, 2, 3, 7, 8, 40, 364, 1093, 4095, 4096, 65536, -5]
+    spark.createDataFrame(
+        [(u,) for u in ids], "user_id long"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    @lru_cache(maxsize=None)
+    def pc(u: int) -> int:
+        if u == 0:
+            return 1
+        return sum(pc(p) for p in {u // 2, (u - 1) // 3})
+
+    got = {
+        r.user_id: r.n_paths
+        for r in QUERIES["b131_dag_path_count"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {u: pc(u) for u in ids if u >= 0}

@@ -242,8 +242,10 @@ _SHUFFLE_BUDGET = {
     "b124_group_sample_k": 1,    # one group-key shuffle for the rank window
     "b125_seasonal_anomaly": 2,  # daily rollup + 7-row baseline (broadcast back)
     "b128_slice_overlap": 4,     # slice-gram distinct + intersect join + aggs
-    "b129_hierarchy_closure": 0,  # jump table pre-checkpointed; rounds reuse it
-    "b131_dag_path_count": 1,    # final nodes⋈pc join; rounds pre-checkpointed
+    "b129_hierarchy_closure": 1,  # r13: distinct ids + codegen CASE ladder
+    #   (the r12 jump-table rounds hid their shuffles behind checkpoints;
+    #   the one visible exchange here IS the whole query now)
+    "b131_dag_path_count": 1,    # r13: distinct ids + memoized Arrow map
     "b139_substring_dedup": 7,   # lift repartitions + hash freq + exact-confirm
     #   agg + coverage distinct + touched joins + doc agg (all but the
     #   hash-freq pass run over duplicated-span volume, not corpus)
