@@ -36,6 +36,100 @@ def _coord(key: F.Column, salt: str) -> F.Column:
     return hash_bucket(F.concat(key.cast("string"), F.lit(salt)), GEO_SPAN_MICRO)
 
 
+#: Half-ring probe offsets (ROUND-13 OPTIMIZATION, guide §2.3: shuffle
+#: fewer bytes — here, fewer rows).  The classic 3×3 probe visits every
+#: qualifying pair TWICE (a probes b's cell and b probes a's), then
+#: filters half away AFTER the join has shuffled and matched them.  The
+#: 8-cell ring splits into four antipodal pairs; keeping exactly one
+#: offset of each pair — plus (0,0) with an id-order tiebreak for
+#: same-cell pairs — finds every unordered pair EXACTLY once: for
+#: adjacent cells A ≠ B, exactly one of (B−A), (A−B) is in this set.
+#: Probe fan-out drops 9→5 per point and the distance predicate runs
+#: once per unordered pair instead of twice; consumers that need both
+#: directions mirror the (tiny) verified pair set with one narrow
+#: explode instead of re-joining.
+_HALF_RING = ((0, 0), (1, -1), (1, 0), (1, 1), (0, 1))
+
+
+def _radius_pairs(cells: DataFrame) -> DataFrame:
+    """All unordered point pairs within GEO_RADIUS_MICRO, each exactly
+    once, as (id_a, id_b, dist2_microdeg2).  Orientation is NOT
+    normalized — id_a > id_b happens for cross-cell pairs; callers
+    orient (b166) or mirror (b167/b173) as their contract needs.
+    ``cells`` must carry (event_id, lat, lon, cx, cy)."""
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _HALF_RING
+        ]
+    )
+    probes = (
+        cells.select(
+            F.col("event_id").alias("id_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            "cx",
+            "cy",
+            F.explode(offs).alias("o"),
+        )
+        .select(
+            "id_a",
+            "lat_a",
+            "lon_a",
+            (F.col("cx") + F.col("o.dx")).alias("px"),
+            (F.col("cy") + F.col("o.dy")).alias("py"),
+            ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("same_cell"),
+        )
+    )
+    build = cells.select(
+        F.col("event_id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cx").alias("px"),
+        F.col("cy").alias("py"),
+    )
+    dist2 = (F.col("lat_a") - F.col("lat_b")) * (
+        F.col("lat_a") - F.col("lat_b")
+    ) + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+    return (
+        probes.join(build, ["px", "py"])
+        # same-cell pairs deduped by id order; cross-cell pairs are
+        # unique by the half-ring construction (ids differ by cell
+        # uniqueness, so no id_a == id_b case survives either branch)
+        .filter(~F.col("same_cell") | (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            dist2.cast("bigint").alias("dist2_microdeg2"),
+        )
+        .filter(
+            F.col("dist2_microdeg2")
+            <= F.lit(GEO_RADIUS_MICRO).cast("bigint") * GEO_RADIUS_MICRO
+        )
+    )
+
+
+def _mirror_pairs(pairs: DataFrame) -> DataFrame:
+    """Both orientations of an unordered pair set — one narrow explode
+    over the already-verified (small) pairs, not a second join."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_a"),
+                    F.col("id_b").alias("id_b"),
+                    F.col("dist2_microdeg2").alias("dist2_microdeg2"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_a"),
+                    F.col("id_a").alias("id_b"),
+                    F.col("dist2_microdeg2").alias("dist2_microdeg2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+
+
 _SQL_COORD = SQL_BUCKET.replace("{key}", "CAST(event_id AS VARCHAR) || '{salt}'")
 
 
@@ -74,15 +168,23 @@ def b166_spatial_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     each point probes its 3×3 neighborhood through a plain equi-join
     on (cell_x, cell_y) and candidates verify the exact integer
     predicate dx² + dy² ≤ r².  Each qualifying pair is found EXACTLY
-    once (probe side explodes to 9 cells, build side stays in its own
-    cell, id_a < id_b orients the pair) — no distinct needed.
+    once (probe side explodes over the half ring, build side stays in
+    its own cell) — no distinct needed.
 
-    Scale: candidates ≈ 9·density per cell, never O(n²); the join is
+    ROUND-13 OPTIMIZATION (guide §2.3: shuffle fewer rows): the probe
+    side now explodes over the 5-offset HALF ring (_HALF_RING) instead
+    of the full 3×3, finding each unordered pair exactly once instead
+    of twice-then-filter — 44% fewer probe rows through the join
+    exchange and half the distance evaluations, identical rows out
+    (the pair is oriented id_a < id_b at emit; dist² is symmetric
+    integer math).
+
+    Scale: candidates ≈ 5·density per cell, never O(n²); the join is
     hash-partitioned by cell key, so hot regions (urban incident
     clusters) are the only skew concern — the salting / AQE-skew
     machinery from b59/b73 applies unchanged because it is just an
     equi-join.  At 100 TB the cell table is written bucketed by cell
-    key and the probe explode is a narrow ×9."""
+    key and the probe explode is a narrow ×5."""
     ev = table(spark, sf_dir, "events")
     pts = ev.select(
         "event_id",
@@ -96,50 +198,11 @@ def b166_spatial_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"lat div {GEO_RADIUS_MICRO}").alias("cx"),
         F.expr(f"lon div {GEO_RADIUS_MICRO}").alias("cy"),
     )
-    d = F.array(F.lit(-1), F.lit(0), F.lit(1))
-    probes = (
-        cells.select(
-            F.col("event_id").alias("id_a"),
-            F.col("lat").alias("lat_a"),
-            F.col("lon").alias("lon_a"),
-            "cx",
-            "cy",
-            F.explode(d).alias("dx"),
-        )
-        .select(
-            "id_a",
-            "lat_a",
-            "lon_a",
-            (F.col("cx") + F.col("dx")).alias("px"),
-            "cy",
-            F.explode(d).alias("dy"),
-        )
-        .select(
-            "id_a", "lat_a", "lon_a", "px", (F.col("cy") + F.col("dy")).alias("py")
-        )
-    )
-    build = cells.select(
-        F.col("event_id").alias("id_b"),
-        F.col("lat").alias("lat_b"),
-        F.col("lon").alias("lon_b"),
-        F.col("cx").alias("px"),
-        F.col("cy").alias("py"),
-    )
-    dist2 = (F.col("lat_a") - F.col("lat_b")) * (
-        F.col("lat_a") - F.col("lat_b")
-    ) + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
-    return (
-        probes.join(build, ["px", "py"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            dist2.cast("bigint").alias("dist2_microdeg2"),
-        )
-        .filter(
-            F.col("dist2_microdeg2")
-            <= F.lit(GEO_RADIUS_MICRO).cast("bigint") * GEO_RADIUS_MICRO
-        )
+    pairs = _radius_pairs(cells)
+    return pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "dist2_microdeg2",
     )
 
 
@@ -188,7 +251,16 @@ def b167_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.  Points with fewer than k in-radius neighbors emit fewer
     rows (the truncation is part of the spec — beyond-radius neighbors
     are a different query; expand the ring for unbounded k-NN).
-    Distance ties break on neighbor id — integer-deterministic."""
+    Distance ties break on neighbor id — integer-deterministic.
+
+    ROUND-13 OPTIMIZATION (guide §2.3): candidates come from the
+    shared half-ring pair generator (_radius_pairs — 5 probe offsets,
+    each unordered pair joined and distance-verified once) and the
+    per-point directionality the rank window needs is restored by
+    mirroring the verified pair set with one narrow explode
+    (_mirror_pairs) — the mirror runs over in-radius pairs only,
+    orders of magnitude fewer rows than the candidate space the old
+    9-offset probe pushed through the join twice."""
     ev = table(spark, sf_dir, "events")
     pts = ev.select(
         "event_id",
@@ -202,49 +274,11 @@ def b167_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"lat div {GEO_RADIUS_MICRO}").alias("cx"),
         F.expr(f"lon div {GEO_RADIUS_MICRO}").alias("cy"),
     )
-    d = F.array(F.lit(-1), F.lit(0), F.lit(1))
-    probes = (
-        cells.select(
-            F.col("event_id").alias("id_a"),
-            F.col("lat").alias("lat_a"),
-            F.col("lon").alias("lon_a"),
-            "cx",
-            "cy",
-            F.explode(d).alias("dx"),
-        )
-        .select(
-            "id_a",
-            "lat_a",
-            "lon_a",
-            (F.col("cx") + F.col("dx")).alias("px"),
-            "cy",
-            F.explode(d).alias("dy"),
-        )
-        .select(
-            "id_a", "lat_a", "lon_a", "px", (F.col("cy") + F.col("dy")).alias("py")
-        )
-    )
-    build = cells.select(
-        F.col("event_id").alias("id_b"),
-        F.col("lat").alias("lat_b"),
-        F.col("lon").alias("lon_b"),
-        F.col("cx").alias("px"),
-        F.col("cy").alias("py"),
-    )
-    dist2 = (F.col("lat_a") - F.col("lat_b")) * (
-        F.col("lat_a") - F.col("lat_b")
-    ) + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
     from pyspark.sql import Window as W
 
     w = W.partitionBy("id_a").orderBy("dist2_microdeg2", "id_b")
     return (
-        probes.join(build, ["px", "py"])
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b", dist2.cast("bigint").alias("dist2_microdeg2"))
-        .filter(
-            F.col("dist2_microdeg2")
-            <= F.lit(GEO_RADIUS_MICRO).cast("bigint") * GEO_RADIUS_MICRO
-        )
+        _mirror_pairs(_radius_pairs(cells))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= GEO_KNN_K)
     )
@@ -538,44 +572,13 @@ def b173_dbscan_complexes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"lat div {GEO_RADIUS_MICRO}").alias("cx"),
         F.expr(f"lon div {GEO_RADIUS_MICRO}").alias("cy"),
     )
-    d = F.array(F.lit(-1), F.lit(0), F.lit(1))
-    probes = (
-        cells.select(
-            F.col("event_id").alias("id_a"),
-            F.col("lat").alias("lat_a"),
-            F.col("lon").alias("lon_a"),
-            "cx",
-            "cy",
-            F.explode(d).alias("dx"),
-        )
-        .select(
-            "id_a",
-            "lat_a",
-            "lon_a",
-            (F.col("cx") + F.col("dx")).alias("px"),
-            "cy",
-            F.explode(d).alias("dy"),
-        )
-        .select(
-            "id_a", "lat_a", "lon_a", "px", (F.col("cy") + F.col("dy")).alias("py")
-        )
-    )
-    build = cells.select(
-        F.col("event_id").alias("id_b"),
-        F.col("lat").alias("lat_b"),
-        F.col("lon").alias("lon_b"),
-        F.col("cx").alias("px"),
-        F.col("cy").alias("py"),
-    )
-    dist2 = (F.col("lat_a") - F.col("lat_b")) * (
-        F.col("lat_a") - F.col("lat_b")
-    ) + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+    # ROUND-13 OPTIMIZATION (guide §2.3): ε-edges from the shared
+    # half-ring generator — each unordered pair joined and verified
+    # once, then mirrored by a narrow explode into the both-direction
+    # edge list the core/CC/border stages consume (the old 9-offset
+    # probe pushed every pair through the join twice).
     nbr = (
-        probes.join(build, ["px", "py"])
-        .filter(F.col("id_a") != F.col("id_b"))
-        .filter(
-            dist2 <= F.lit(GEO_RADIUS_MICRO).cast("bigint") * GEO_RADIUS_MICRO
-        )
+        _mirror_pairs(_radius_pairs(cells))
         .select("id_a", "id_b")
         # the edge list feeds THREE consumers (core filter, CC, border
         # attach) and the upstream cell join is the expensive stage —
