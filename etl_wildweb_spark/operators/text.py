@@ -1206,6 +1206,57 @@ def _bpe_train_distributed(words) -> list[tuple[int, str, str, int]]:
     return merges
 
 
+def _bpe_train_artifacts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, int]], list[str] | None]:
+    """One-corpus-pass BPE training plus the vocabulary that pass
+    already paid for.  Returns (merges, vocab): merges in rank order
+    as (rank, left, right, pair_freq); vocab is the distinct word
+    list when the driver path ran, None on the distributed path
+    (where the dictionary never visits the driver).
+
+    ROUND-13 OPTIMIZATION (guide §1.2 step 1 — don't compute things
+    twice; §2.4 — remove shuffles): the word dictionary is fetched in
+    ONE job — ``limit(MAX + 1).collect()`` both decides the
+    driver-vs-distributed path and, on the driver path, delivers the
+    entire dictionary — replacing the eager-checkpoint + count +
+    collect triple (two scheduling round-trips saved per training
+    call; three registered queries train).  Returning the vocab lets
+    b160/b176 skip their corpus-wide DISTINCT: the training groupBy
+    already reduced the corpus to its vocabulary, so re-deriving it
+    was a second full corpus pass + shuffle.  The rare distributed
+    path re-runs the word-count groupBy once for its checkpoint —
+    the right trade, since that path exists for dictionaries whose
+    collect would not fit at all."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        # symbols: characters space-joined, with the </w> end marker
+        .select(
+            F.concat(
+                F.array_join(F.split(F.col("w"), ""), " "), F.lit(" </w>")
+            ).alias("sym"),
+            "freq",
+        )
+    )
+    head = words.limit(BPE_TRAIN_DRIVER_MAX + 1).collect()
+    if len(head) <= BPE_TRAIN_DRIVER_MAX:
+        dic = {r.sym: r.freq for r in head}
+        # sym = chars-space-joined + " </w>" is injective in w (words
+        # cannot contain ' '): dropping the separators and the one
+        # trailing marker recovers w exactly, even for words that
+        # themselves end in "</w>"
+        vocab = [s.replace(" ", "")[: -len("</w>")] for s in dic]
+        return _bpe_train_driver(dic), vocab
+    return (
+        _bpe_train_distributed(words.localCheckpoint(eager=True)),
+        None,
+    )
+
+
 @query("b156_bpe_train")  # iterative argmax loop → not SQL-expressible;
 # exact-equality pin vs a pure-Python reference BPE in tests/test_llmops.py
 def b156_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1220,35 +1271,15 @@ def b156_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched exactly once (word-count groupBy, map-side combinable to
     vocabulary size); the merge loop then runs on the vocab-sized
     dictionary.  Under BPE_TRAIN_DRIVER_MAX entries the dictionary
-    collects to the driver and the loop is the sequential reference
+    collects to the driver IN THE SAME JOB that computes it
+    (_bpe_train_artifacts) and the loop is the sequential reference
     algorithm itself (a bounded driver hop — this is also how real
     tokenizer trainers run, and it removes 2·BPE_MERGES scheduling
     round-trips measured at ~0.2 s each); above it the identical loop
     runs distributed per round (_bpe_train_distributed, equivalence
     pinned).  Tie-break: (freq DESC, left ASC, right ASC) both
     paths."""
-    d = table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-        # symbols: characters space-joined, with the </w> end marker
-        .select(
-            F.concat(
-                F.array_join(F.split(F.col("w"), ""), " "), F.lit(" </w>")
-            ).alias("sym"),
-            "freq",
-        )
-        .localCheckpoint(eager=True)
-    )
-    n_vocab = words.count()
-    if n_vocab <= BPE_TRAIN_DRIVER_MAX:
-        merges = _bpe_train_driver(
-            {r.sym: r.freq for r in words.collect()}
-        )
-    else:
-        merges = _bpe_train_distributed(words)
+    merges, _ = _bpe_train_artifacts(spark, sf_dir)
     return spark.createDataFrame(
         merges, "merge_rank INT, left STRING, right STRING, pair_freq BIGINT"
     )
@@ -1371,8 +1402,19 @@ def b160_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the learned table
     (tests/test_llmops.py::test_bpe_apply_udf_path_matches_codegen),
     so the threshold is a pure execution-strategy knob — the plan
-    stays corpus-narrow either way."""
-    merges = _learned_merges(spark, sf_dir)
+    stays corpus-narrow either way.
+
+    ROUND-13 OPTIMIZATION (guide §2.4): the distinct vocabulary now
+    comes from the TRAINING pass (_bpe_train_artifacts — its
+    word-count groupBy already reduced the corpus to the vocabulary
+    and collected it on the driver path), so the corpus-wide
+    ``distinct()`` this query used to run — a second full corpus
+    explode + shuffle — is gone; the vocab re-enters as a
+    createDataFrame the size of the vocabulary.  The corpus is now
+    exploded exactly twice per query (train + instance stream)
+    instead of three times."""
+    merges4, vocab = _bpe_train_artifacts(spark, sf_dir)
+    merges = [(le, r) for _, le, r, _ in merges4]
     d = table(spark, sf_dir, "documents")
     words = lift_parallelism(d, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
@@ -1387,14 +1429,15 @@ def b160_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # when small and falls back to a hash join for multi-million-word
     # vocabularies; either way the corpus side is one narrow join +
     # one map-side-combined per-doc aggregate.
-    vocab_enc = (
-        words.select("w")
-        .distinct()
-        .select(
-            "w",
-            F.size(F.split(sym, " ")).cast("bigint").alias("n_chars_sym"),
-            F.size(F.split(encoded, " ")).cast("bigint").alias("n_tokens"),
-        )
+    vocab_src = (
+        spark.createDataFrame([(w,) for w in vocab], "w string")
+        if vocab is not None
+        else words.select("w").distinct()
+    )
+    vocab_enc = vocab_src.select(
+        "w",
+        F.size(F.split(sym, " ")).cast("bigint").alias("n_chars_sym"),
+        F.size(F.split(encoded, " ")).cast("bigint").alias("n_tokens"),
     )
     enc = words.join(vocab_enc, "w")
     return enc.groupBy("doc_id").agg(
@@ -1404,15 +1447,6 @@ def b160_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * sum(n_tokens)) div sum(n_chars_sym) AS BIGINT)"
         ).alias("compression_ppm"),
     )
-
-
-def _learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
-    """The corpus-trained merge table in rank order — the one shared
-    input of the apply/decode queries (b160/b176)."""
-    return [
-        (r.left, r.right)
-        for r in b156_bpe_train(spark, sf_dir).orderBy("merge_rank").collect()
-    ]
 
 
 def _bpe_encoder(merges: list[tuple[str, str]]) -> F.Column:
@@ -1469,10 +1503,15 @@ def b176_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the position-tagged instance stream; reassembly is one per-doc
     sort_array(collect_list(struct(pos, word))) — bounded by document
     length, the same per-doc state every detokenizer needs.  The
-    corpus is read once; the only shuffles are the vocab distinct,
-    the join back (AQE-broadcast for real vocabs), and the per-doc
-    aggregate."""
-    merges = _learned_merges(spark, sf_dir)
+    corpus is read once; the only shuffles are the join back
+    (AQE-broadcast for real vocabs) and the per-doc aggregate.
+
+    ROUND-13 OPTIMIZATION (guide §2.4, the b160 move): the distinct
+    vocabulary comes from the training pass's already-collected
+    dictionary (_bpe_train_artifacts) instead of a second corpus-wide
+    explode + distinct shuffle."""
+    merges4, vocab_list = _bpe_train_artifacts(spark, sf_dir)
+    merges = [(le, r) for _, le, r, _ in merges4]
     d = table(spark, sf_dir, "documents")
     words = (
         lift_parallelism(d, "doc_id")
@@ -1482,7 +1521,12 @@ def b176_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("w") != "")
     )
-    vocab = words.select("w").distinct().select(
+    vocab_src = (
+        spark.createDataFrame([(w,) for w in vocab_list], "w string")
+        if vocab_list is not None
+        else words.select("w").distinct()
+    )
+    vocab = vocab_src.select(
         "w", bpe_decode_expr(_bpe_encoder(merges)).alias("dw")
     )
     assembled = (
