@@ -750,6 +750,13 @@ def b84_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").cast("bigint").alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        # ROUND-13 OPTIMIZATION (guide §5 — materialize shared
+        # subtrees): the nation-graph edges (≤ nations² rows) feed
+        # outw plus every unrolled iteration — without the checkpoint
+        # the initial plan replays the fact-scale 4-table join per
+        # reference (56 parquet scans in
+        # plans/r13/b84_pagerank_before.txt, 8 after — the surviving scans are the 25-row nation table per unrolled iteration)
+        .localCheckpoint(eager=True)
     )
     nodes = n.select(F.col("n_nationkey").cast("bigint").alias("node"))
     ranks = pagerank_int(edges, nodes, iters=3)
@@ -1306,11 +1313,20 @@ def b152_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     a = g.select("event_type", "m", F.col("user_id").alias("u"))
     b = g.select("event_type", "m", F.col("user_id").alias("v"))
+    # ROUND-13 OPTIMIZATION (guide §3.3/§5 — materialize shared
+    # subtrees): edges feeds deg (twice, via the union) and the
+    # orientation join, and arcs feeds the wedge join THREE times
+    # (e1/e2/e3) — without checkpoints the initial plan replays the
+    # corpus-scale cell self-join per reference (180 parquet scans in
+    # plans/r13/b152_triangle_count_before.txt, 0 after — the final plan roots at the two checkpoints).  Both frames
+    # are dup-graph-sized, so the materialization is trivial next to
+    # what it saves (interleaved A/B at sf0.1: med 3.6–4.0 s → 2.0–2.3 s).
     edges = (
         a.join(b, ["event_type", "m"])
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -1331,6 +1347,7 @@ def b152_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("u"))
             .alias("dst"),
         )
+        .localCheckpoint(eager=True)
     )
     e1 = arcs.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = arcs.select(F.col("src").alias("b"), F.col("dst").alias("c"))
