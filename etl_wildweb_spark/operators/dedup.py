@@ -782,16 +782,6 @@ def connected_components_bigstar(
         raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
     )
     spark = e.sparkSession
-    n_edges = e.count()
-    default_width = spark.sparkContext.defaultParallelism
-    width = max(1, min(default_width, n_edges // 100_000 + 1))
-    nodes = (
-        raw.select(F.col("u").alias("node"))
-        .union(raw.select(F.col("v").alias("node")))
-        .distinct()
-        .repartition(width, "node")
-        .localCheckpoint(eager=True)
-    )
 
     def _sig(df: DataFrame) -> tuple:
         # Order-insensitive edge-multiset signature: count + XOR of row
@@ -801,7 +791,27 @@ def connected_components_bigstar(
         ).collect()[0]
         return tuple(row)
 
+    # ROUND-13 OPTIMIZATION (guide §5, driver-side job count): the
+    # initial signature's count() IS the edge count — one aggregate
+    # job supplies both the convergence baseline and the loop width
+    # (previously a separate count job).
     sig = _sig(e)
+    n_edges = sig[0]
+    default_width = spark.sparkContext.defaultParallelism
+    width = max(1, min(default_width, n_edges // 100_000 + 1))
+    # nodes is consumed exactly ONCE, by the final left join — a lazy
+    # frame over the checkpointed `raw`, so it rides the final job
+    # instead of paying its own eager-checkpoint job up front (the
+    # eager rule is for frames REUSED across loop rounds; this one
+    # isn't).  ROUND-13 OPTIMIZATION, measured with the sig fusion and
+    # the distinct reorder below: b173-shaped pipeline 6.0→5.3 s med
+    # interleaved A/B, identical rows.
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .repartition(width, "node")
+    )
     for _ in range(max_iter):
         bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # m(u) = min over neighbors and self — a partial-agg min, never
@@ -822,12 +832,17 @@ def connected_components_bigstar(
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mins2.select("u", F.col("m").alias("v")))
-            .distinct()
         )
         # Lazy checkpoint: the signature aggregate reads every partition
         # (full agg, no short-circuit), materializing the checkpoint in
         # the same job it uses — one job per round, not two.
-        e = small.repartition(width, "u").localCheckpoint(eager=False)
+        # distinct AFTER the width repartition (ROUND-13 OPTIMIZATION,
+        # guide §2.4): hash-partitioning by u already clusters every
+        # (u, v) duplicate into one partition, so the dedup aggregate
+        # reuses that exchange instead of adding its own (u, v)-keyed
+        # shuffle — one less Exchange per round, same rows, and the
+        # checkpoint still freezes hash(u)-by-width partitioning.
+        e = small.repartition(width, "u").distinct().localCheckpoint(eager=False)
         nsig = _sig(e)
         if nsig == sig:
             break
