@@ -999,11 +999,17 @@ def b147_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals are uniform: MAD = range/4 there, so the classic k=3 flags
     nothing by construction; 3/2 flags the real ~25% tail.)
 
-    Scale: two histogram aggregations (each collapses rows to the
-    per-group VALUE DOMAIN before its window — the b50/b63 shape),
-    each group's median/MAD broadcast back as a 5-row table; the final
-    pass is one broadcast join + integer predicate + group count.  No
-    window ever runs over row counts."""
+    Scale: ONE row-level histogram aggregation collapses the corpus to
+    the per-group VALUE DOMAIN (the b50/b63 shape); the deviation
+    histogram, the MAD, and the outlier count are all DERIVED from
+    that histogram by re-keying it on |cents − med| and summing counts
+    — the raw rows are never touched again (round 13: the original
+    recomputed the row-level deviation frame twice, scanning orders
+    three times; every downstream quantity is a function of the value
+    histogram, so two of the scans and both row-level re-aggregations
+    collapse into value-domain arithmetic — identical integers by
+    construction).  Group medians/MADs broadcast back as 5-row tables;
+    no window ever runs over row counts."""
     o = table(spark, sf_dir, "orders")
     cents = o.select(
         F.col("o_orderpriority").alias("prio"),
@@ -1012,8 +1018,9 @@ def b147_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window as W
 
-    def histogram_median(vals: DataFrame, col: str) -> DataFrame:
-        h = vals.groupBy("prio", col).agg(F.count(F.lit(1)).alias("c"))
+    def histogram_median(h: DataFrame, col: str) -> DataFrame:
+        """Median from a (prio, value, c) histogram: the ⌈n/2⌉-th value
+        by cumulative count — exact integers end to end."""
         cum_w = (
             W.partitionBy("prio")
             .orderBy(col)
@@ -1032,17 +1039,30 @@ def b147_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(col).alias(f"med_{col}"), F.min("n").alias("n"))
         )
 
-    med = histogram_median(cents, "cents").select(
+    # the ONLY row-level pass: value-domain histogram per priority.
+    # Feeds the median, the derived deviation histogram, and (through
+    # it) the MAD + outlier count — multi-consumer, so materialize once
+    # (value-domain-sized: bounded by distinct cents values, not rows).
+    h1 = (
+        cents.groupBy("prio", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    med = histogram_median(h1, "cents").select(
         "prio", F.col("med_cents").alias("med"), "n"
     )
-    dev = cents.join(F.broadcast(med), "prio").select(
-        "prio", F.abs(F.col("cents") - F.col("med")).alias("dev")
+    # deviation histogram by re-keying h1 — no second scan of orders
+    h2 = (
+        h1.join(F.broadcast(med), "prio")
+        .groupBy("prio", F.abs(F.col("cents") - F.col("med")).alias("dev"))
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    mad = histogram_median(dev, "dev").select(
+    mad = histogram_median(h2, "dev").select(
         "prio", F.col("med_dev").alias("mad")
     )
     return (
-        dev.join(F.broadcast(med), "prio")
+        h2.join(F.broadcast(med), "prio")
         .join(F.broadcast(mad), "prio")
         .groupBy("prio")
         .agg(
@@ -1050,7 +1070,7 @@ def b147_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("med").cast("bigint").alias("med_cents"),
             F.min("mad").cast("bigint").alias("mad_cents"),
             F.sum(
-                F.when(2 * F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+                F.when(2 * F.col("dev") > 3 * F.col("mad"), F.col("c")).otherwise(0)
             )
             .cast("bigint")
             .alias("n_outliers"),
