@@ -689,21 +689,33 @@ def b155_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(bigrams).alias("b"))
         .select("doc_id", F.col("b.0").alias("w1"), F.col("b.1").alias("w2"))
     )
-    bg.createOrReplaceTempView("ppl_bg_v")
+    # ROUND-13 OPTIMIZATION (guide §2.4): Spark inlines SQL CTEs, so
+    # the previous single-statement form recomputed the corpus bigram
+    # explode FOUR times (lm counts, the pre marginal, the vocabulary
+    # scalar subquery, and the per-doc join below).  The LM table is
+    # vocabulary²-sized — materialize it once and derive the marginal
+    # and the vocabulary from IT; V = count(DISTINCT w2) over the LM
+    # types equals the same count over bigram occurrences by
+    # definition.  Corpus explodes: 4 → 2 (LM build + per-doc join).
+    lm = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    lm.createOrReplaceTempView("ppl_lm_v")
     lp = spark.sql(
         """
-        WITH lm AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
-                    FROM ppl_bg_v GROUP BY 1, 2),
-        pre AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS pc FROM lm GROUP BY 1)
+        WITH pre AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS pc
+                     FROM ppl_lm_v GROUP BY 1)
         SELECT lm.w1, lm.w2,
                -- DECIMAL(38,0) keeps 10^9·(cnt+1) exact past 2^63;
                -- div floors identically to the oracle's HUGEINT //
                CAST(CAST(1000000000 AS DECIMAL(38,0)) * (lm.cnt + 1)
                     div CAST(pre.pc +
-                      (SELECT count(DISTINCT w2) FROM ppl_bg_v)
+                      (SELECT count(DISTINCT w2) FROM ppl_lm_v)
                       AS DECIMAL(38,0))
                  AS BIGINT) AS p_q9
-        FROM lm JOIN pre USING (w1)
+        FROM ppl_lm_v lm JOIN pre USING (w1)
         """
     )
     doc = (
@@ -844,11 +856,20 @@ def b158_pmi_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = lift_parallelism(d, "doc_id").select(
         F.explode(bigrams).alias("b")
     ).select(F.col("b.0").alias("w1"), F.col("b.1").alias("w2"))
-    bg.createOrReplaceTempView("pmi_bg_v")
+    # ROUND-13 OPTIMIZATION (guide §2.4): the single-statement form
+    # inlined the cnt CTE into every consumer (c1, c2, the N scalar
+    # subquery, scored), re-exploding the corpus four times.  cnt is
+    # vocabulary²-sized — materialize it once; every downstream table
+    # derives from it, so the corpus is exploded exactly ONCE.
+    cnt = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    cnt.createOrReplaceTempView("pmi_cnt_v")
     return spark.sql(
         """
-        WITH cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
-                     FROM pmi_bg_v GROUP BY 1, 2),
+        WITH cnt AS (SELECT * FROM pmi_cnt_v),
         c1 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1 FROM cnt GROUP BY 1),
         c2 AS (SELECT w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM cnt GROUP BY 1),
         scored AS (
