@@ -1145,11 +1145,16 @@ def b128_slice_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is MinHash per slice (b29's signatures aggregated per slice), a
     constant-size sketch per slice — documented path, same pipeline."""
     d = table(spark, sf_dir, "documents")
+    # ROUND-13 OPTIMIZATION (guide §2.4): three consumers (sizes, both
+    # self-join sides) each re-ran the corpus shingle explode +
+    # distinct; the distinct (lang, gh) frame is slice-vocabulary-sized
+    # — materialize it once and the corpus is exploded exactly ONCE.
     sh = (
         with_shingles(lift_parallelism(d, "doc_id"))
         .select("lang", F.explode("s").alias("g"))
         .select("lang", F.xxhash64("g").alias("gh"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")

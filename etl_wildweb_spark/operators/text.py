@@ -825,8 +825,14 @@ def b69_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("n_docs")
     )
     kept = lines.join(freq, "line").filter(F.col("n_docs") < _LINE_K)
-    per_doc_total = lines.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_lines")
+    # ROUND-13 OPTIMIZATION (guide §2.4): the per-doc line count is
+    # ceil(|tokens|/W) by construction — a narrow projection of the
+    # document table, not a third corpus-wide line explode + groupBy
+    # shuffle (the exploded count equals n_lines_of exactly: the
+    # sequence emits one row per line index, null text propagates to a
+    # null handled by the outer coalesce either way).
+    per_doc_total = d.select(
+        "doc_id", n_lines_of.cast("bigint").alias("n_lines")
     )
     per_doc_kept = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -841,8 +847,9 @@ def b69_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cleaned_text"),
     )
     return (
-        d.select("doc_id")
-        .join(per_doc_total, "doc_id", "left")
+        # per_doc_total is the full document table projected — no
+        # extra doc_id spine join needed
+        per_doc_total
         .join(per_doc_kept, "doc_id", "left")
         .select(
             "doc_id",
