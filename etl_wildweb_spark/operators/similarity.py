@@ -145,7 +145,14 @@ def ivf_centroids(vectors: DataFrame, dim: int) -> DataFrame:
     assigned = assign_cells(vectors, seeds, n_probe=1).select(
         "cell", "embedding"
     )
-    return _avg_vectors(assigned, "cell", "embedding", dim)
+    # ROUND-13 OPTIMIZATION (guide §5 caching rule): every caller
+    # consumes the centroid table at least twice (corpus assignment +
+    # query probes), and each reference would replay the corpus-wide
+    # seed-assignment window plus both refinement shuffles.  The table
+    # is N_CELLS rows — materialize it once.
+    return _avg_vectors(assigned, "cell", "embedding", dim).localCheckpoint(
+        eager=True
+    )
 
 
 def assign_cells(vectors: DataFrame, centroids: DataFrame, n_probe: int) -> DataFrame:
@@ -204,6 +211,11 @@ def b30_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     dim = 64
     planes = hyperplanes(spark, dim)
+    # NOT materialized (round-13 A/B): both probe and corpus sides
+    # read the signature table, but its replay is a broadcast fan-out
+    # in codegen — cheaper than an eager checkpoint (1.39 → 1.62 s
+    # min-of-3 at sf0.1 with the checkpoint; guide §1 keeps the
+    # measurement, not the theory).
     sigs = lsh_signatures(e, planes)
     # multiprobe: the bucket itself + every 1-bit flip
     probes = F.array(
