@@ -434,19 +434,61 @@ def b08_asof_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b09_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9: TPC-H Q1 — hash aggregation with partial (map-side) combine,
-    which Spark applies automatically; only 4 groups cross the shuffle."""
+    which Spark applies automatically; only 4 groups cross the shuffle.
+
+    ROUND-13 OPTIMIZATION (guide §2.3 narrower types / §1.2 per-task
+    work): the per-row decimal(18,6) casts and decimal×decimal products
+    ran the whole aggregate through the non-compact BigDecimal path —
+    measured 1.47 s vs 0.40 s for the same plan on primitive longs at
+    sf0.1.  price/discount/tax are exact 2-decimal values, so every
+    money sum is an exact sum of LONG-scaled integers computed in
+    whole-stage codegen: round(x·100)::bigint recovers the exact cents
+    (the b147 pattern), disc_price = cents·(100−disc_b) is the exact
+    value ×10⁴, charge ×10⁶ — each a primitive long product per row
+    (≤10¹¹); only the SUM accumulates in decimal(38,0), exact at any
+    corpus scale (an all-long variant measured 0.62 s but its charge
+    sum overflows 2⁶³ past ~10⁸ rows; the decimal-sum-of-long-products
+    form measured 0.86 s and is the scale-safe trade).  The 4-row
+    post-aggregation fixup reproduces dsum/davg bit-for-bit: HALF_UP
+    at 2 digits on a positive exact k-dp rational s/10ᵏ is
+    floor((s+5·10ᵏ⁻³)/10ᵏ⁻²) in integers, and the final /100.0 (one
+    correctly-rounded IEEE division of an integer < 2⁵³) equals
+    casting the exact 2-dp decimal to double; davg's double division
+    sees the identical dividend double for the same reason.  Oracle
+    unchanged; equality pinned by the oracle compare at both SFs."""
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
-    disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
-    charge = disc_price * (1 + dec("l_tax"))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_b = F.round(F.col("l_discount") * 100).cast("bigint")
+    tax_b = F.round(F.col("l_tax") * 100).cast("bigint")
+    big = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — sum-side widening
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"),
-        dsum("l_extendedprice").alias("sum_base_price"),
-        dsum(disc_price).alias("sum_disc_price"),
-        dsum(charge).alias("sum_charge"),
-        davg("l_quantity").alias("avg_qty"),
-        davg("l_extendedprice").alias("avg_price"),
-        davg("l_discount").alias("avg_disc"),
+        F.sum(big(cents)).alias("s_base_c2"),                  # ×10²
+        F.sum(big(cents * (100 - disc_b))).alias("s_disc_c4"),  # ×10⁴
+        F.sum(big(cents * (100 - disc_b) * (100 + tax_b))).alias("s_chg_c6"),  # ×10⁶
+        F.sum(disc_b).alias("s_disc_b2"),                      # ×10²
         F.count(F.lit(1)).alias("count_order"),
+    )
+    n = F.col("count_order")
+    # the 4-row fixup: bigint is ample for the divided-down sums at
+    # bench scales (and to ~10¹⁸ cents overall); `div` floors exactly
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        (F.expr("CAST(s_base_c2 AS BIGINT)") / 100.0).alias("sum_base_price"),
+        (F.expr("CAST((s_disc_c4 + 50) div 100 AS BIGINT)") / 100.0).alias(
+            "sum_disc_price"
+        ),
+        (F.expr("CAST((s_chg_c6 + 5000) div 10000 AS BIGINT)") / 100.0).alias(
+            "sum_charge"
+        ),
+        F.round(F.col("sum_qty") / n, 4).alias("avg_qty"),
+        F.round(
+            F.expr("CAST(s_base_c2 AS BIGINT)") / 100.0 / n, 4
+        ).alias("avg_price"),
+        F.round((F.col("s_disc_b2") / 100.0) / n, 4).alias("avg_disc"),
+        "count_order",
     )
 
 
