@@ -18,7 +18,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg, dec, dround, dsum, sql_davg, sql_dround, sql_dsum
+from ..functions.exact import (
+    davg,
+    dec,
+    dround,
+    dsum,
+    sql_cents2,
+    sql_davg,
+    sql_dround,
+    sql_dsum,
+    sql_dsum_c4,
+)
 from ..io import table
 from ..registry import query
 
@@ -62,7 +72,15 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            dsum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias("revenue"),
+            # ROUND-13: long-cents products + decimal(38,0) sum — the
+            # bit-identical fast path of dsum (functions/exact.py
+            # sql_dsum_c4; the b09 rewrite's shared helper)
+            F.expr(
+                sql_dsum_c4(
+                    f"{sql_cents2('l_extendedprice')}"
+                    f" * (100 - {sql_cents2('l_discount')})"
+                )
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

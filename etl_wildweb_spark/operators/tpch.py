@@ -49,11 +49,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import DEC, dec, dsum, sql_dsum
+from ..functions.exact import DEC, dec, dsum, sql_cents2, sql_dsum, sql_dsum_c4
 from ..io import table
 from ..registry import query
 
 REV = "l_extendedprice * (1 - l_discount)"
+
+#: ROUND-13: REV pre-scaled ×10⁴ as exact long-cents products — the
+#: input shape of sql_dsum_c4, dsum's bit-identical fast path (see
+#: functions/exact.py; applied to the BENCHED revenue aggregations —
+#: q5/q6/q9 and the flagship; the sub-second non-headline queries keep
+#: plain dsum).
+REV_C4 = (
+    f"{sql_cents2('l_extendedprice')} * (100 - {sql_cents2('l_discount')})"
+)
 
 
 def _rev(li: DataFrame) -> F.Column:
@@ -131,7 +140,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(_rev(li)).alias("revenue"))
+        .agg(F.expr(sql_dsum_c4(REV_C4)).alias("revenue"))
     )
 
 
@@ -159,7 +168,13 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount").between(0.03, 0.07))
         & (F.col("l_quantity") < 24)
     ).agg(
-        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        # ROUND-13: price·discount is exact ×10⁴ in long cents — the
+        # sql_dsum_c4 fast path (bit-identical; see functions/exact.py)
+        F.expr(
+            sql_dsum_c4(
+                f"{sql_cents2('l_extendedprice')} * {sql_cents2('l_discount')}"
+            )
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -681,7 +696,17 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
-    amount = _rev(li) - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    # ROUND-13: amount's exact value has ≤4 decimals (2-dp price ×
+    # 2-dp discount; 0.6 × 2-dp retail × integer qty is exact 3-dp),
+    # and the double computes it within ~10⁻⁹ — far inside dsum's
+    # 5·10⁻⁷ decimal(18,6) recovery band — so the ×10⁴ long-cents
+    # product path is bit-identical (sql_dsum_c4; 0.6·retail·qty ×10⁴
+    # = 60·retail_cents·qty).  Negative amounts exercise the helper's
+    # sign-aware HALF_UP branch.
+    amount_c4 = (
+        f"{REV_C4} - 60 * {sql_cents2('p_retailprice')}"
+        f" * CAST(round(l_quantity) AS BIGINT)"
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -690,10 +715,10 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
-            amount.alias("amount"),
+            F.expr(amount_c4).alias("amount_c4"),
         )
         .groupBy("nation", "o_year")
-        .agg(dsum("amount").alias("sum_profit"))
+        .agg(F.expr(sql_dsum_c4("amount_c4")).alias("sum_profit"))
     )
 
 
