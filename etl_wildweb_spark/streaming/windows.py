@@ -19,6 +19,7 @@ at-scale dedup (state evicted after the horizon).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -48,6 +49,25 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     elif ts_type == "timestamp_ntz":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
+
+
+def ephemeral_checkpoint_dir() -> str:
+    """Checkpoint dir for the bounded MEMORY-SINK harness (round 13,
+    guide §6 I/O layout): the sink is an in-driver table, so its
+    checkpoint is exactly as ephemeral as the query — durability buys
+    nothing, while the state store's per-partition delta commits are
+    fsync-bound on a disk-backed /tmp.  Use a RAM-backed tmpfs when
+    the platform has one (measured sf0.1 local[32], min-of-3:
+    b180 5.19→3.38 s, b177 2.98→2.28 s, b182 3.55→3.21 s — identical
+    output, it is the same state machine on a faster medium).  The
+    dir is removed after the query terminates (the old /tmp dirs
+    simply leaked).  Production sinks keep durable checkpoint storage
+    — this helper is only reached by the dev/test harness; override
+    the base with SPARK_GRAFT_CKPT_DIR (e.g. for a tmpfs-less host)."""
+    base = os.environ.get("SPARK_GRAFT_CKPT_DIR")
+    if base is None and os.path.isdir("/dev/shm"):
+        base = "/dev/shm"
+    return tempfile.mkdtemp(prefix="ck_", dir=base)
 
 
 def run_to_memory(
@@ -117,13 +137,14 @@ def run_to_memory(
         # set→start window (the engine's harnesses run streaming queries
         # single-threaded per session).
         spark.conf.set(conf_key, "false")
+    ck_dir = ephemeral_checkpoint_dir()
     try:
         name = f"mem_{uuid.uuid4().hex[:12]}"
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+            .option("checkpointLocation", ck_dir)
             .trigger(availableNow=True)
             .start()
         )
@@ -139,6 +160,9 @@ def run_to_memory(
             f"streaming query {name} still running after {timeout_sec}s; "
             "refusing to return a partial memory-sink table"
         )
+    # the memory sink's rows live in the driver, not the checkpoint —
+    # the terminated query's state dir is dead weight (on tmpfs, RAM)
+    shutil.rmtree(ck_dir, ignore_errors=True)
     return spark.table(name)
 
 
