@@ -781,6 +781,12 @@ def b157_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "token")
     ).select("doc_id", "token", (F.col("p0") + 1).cast("bigint").alias("p"))
+    # NOT materialized (round-13 A/B): posting feeds both the df
+    # rollup and the join probe, but the df branch's replay is COLUMN
+    # PRUNED to (token, doc_id) — an eager checkpoint would
+    # materialize the heavy positions strings for a branch that never
+    # reads them (0.95 → 1.33 s min-of-3 with the checkpoint; guide §1
+    # keeps the measurement).
     posting = pos.groupBy("token", "doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf"),
         F.min("p").cast("bigint").alias("first_pos"),
@@ -945,14 +951,26 @@ def b161_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda a, bc: F.concat_ws(" ", a, bc),
     )
-    g = (
+    # ROUND-13 OPTIMIZATION (guide §2.4): the previous
+    # distinct → groupBy(min) → join-back plan consumed the distinct
+    # (source, gram) frame twice (2 corpus explodes) and shuffled the
+    # gram strings three times (distinct, firsts, join).  One
+    # gram-keyed collect_set pass carries the same information: the
+    # set IS the distinct source list (n_grams_distinct = set
+    # membership), and array_min(set) IS the first source (binary
+    # string min, identical to min()).  One explode, ONE row-scale
+    # shuffle (map-side combined), bounded sets (≤ |sources| per gram).
+    sets = (
         lift_parallelism(d, "doc_id")
         .select("source", F.explode(grams).alias("gram"))
-        .distinct()
+        .groupBy("gram")
+        .agg(F.collect_set("source").alias("ss"))
     )
-    firsts = g.groupBy("gram").agg(F.min("source").alias("first_source"))
     per = (
-        g.join(firsts, "gram")
+        sets.select(
+            F.array_min("ss").alias("first_source"),
+            F.explode("ss").alias("source"),
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams_distinct"),
