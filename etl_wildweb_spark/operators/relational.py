@@ -136,7 +136,11 @@ def b03_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice").alias("sum_totalprice"),
+            # ROUND-13: long-cents fast path (×100 lifts the 2-dp
+            # column to the helper's ×10⁴ grain; see functions/exact.py)
+            F.expr(
+                sql_dsum_c4(f"{sql_cents2('o_totalprice')} * 100")
+            ).alias("sum_totalprice"),
         )
     )
 
@@ -164,7 +168,10 @@ def b04_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.sum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_price"),
+            # ROUND-13: long-cents fast path (see b03 / functions/exact.py)
+            F.expr(
+                sql_dsum_c4(f"{sql_cents2('l_extendedprice')} * 100")
+            ).alias("sum_price"),
         )
     )
 
