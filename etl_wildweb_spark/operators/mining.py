@@ -163,27 +163,37 @@ def b103_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every unordered pair of parts co-occurring in an order, count the
     orders containing both; keep pairs with support ≥ 2.
 
-    Scale: the classic per-basket pair expansion — distinct items per
-    order (one orderkey shuffle), then a SELF equi-join on l_orderkey,
-    so pair generation is per-basket local: a basket of k items emits
-    k(k-1)/2 pairs inside one task, never a global cross product
-    (TPC-H orders hold ≤7 lines).  The count aggregation shuffles pair
+    Scale: the classic per-basket pair expansion, in ONE basket-keyed
+    pass (ROUND-13, guide §2.4): collect_set per order deduplicates
+    the basket in the same map-side-combined shuffle that clusters it
+    (the previous distinct → self-join plan recomputed the distinct
+    frame for both join sides and re-exchanged each on l_orderkey —
+    three row-scale shuffles and two scans for the same pairs); a
+    basket of k items then emits its k(k−1)/2 ordered pairs inside the
+    row (arrays bounded by basket size — TPC-H orders hold ≤7 lines),
+    never a global cross product.  The count aggregation shuffles pair
     keys, whose cardinality the support threshold then collapses.  For
     skewed mega-baskets the guard is a per-basket item cap upstream —
-    the join itself stays equi-keyed."""
+    the expansion stays per-basket local either way."""
     li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    basket = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice("parts", i + 2, F.size("parts")),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
         )
+    )
+    return (
+        basket.select(F.explode(pairs).alias("p"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("p.part_a").alias("part_a"),
+            F.col("p.part_b").alias("part_b"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)

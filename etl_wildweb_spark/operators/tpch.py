@@ -465,23 +465,37 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 large-volume customer — HAVING-filtered IN subquery
     (threshold 250 fits this SF's ≤7-line orders; canonical 300 at
-    50/line × 7 lines barely triggers).  Catalyst plans the IN as a
-    left-semi join against the re-aggregation; sum(l_quantity) is
-    integer-valued → exact in double."""
-    table(spark, sf_dir, "customer").createOrReplaceTempView("tpch18_customer")
-    table(spark, sf_dir, "orders").createOrReplaceTempView("tpch18_orders")
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("tpch18_lineitem")
-    return spark.sql(
-        """
-        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-               sum(l_quantity) AS total_qty
-        FROM tpch18_customer, tpch18_orders, tpch18_lineitem
-        WHERE o_orderkey IN (
-            SELECT l_orderkey FROM tpch18_lineitem
-            GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
-          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
-        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-        """
+    50/line × 7 lines barely triggers).  sum(l_quantity) is
+    integer-valued → exact in double.
+
+    ROUND-13 OPTIMIZATION (guide §2.4): the oracle keeps the canonical
+    IN-subquery form, but every output group is ORDER-level (all five
+    group keys are functions of o_orderkey), so the outer re-aggregation
+    over lineitem recomputes exactly the subquery's per-order sum.
+    Aggregate lineitem ONCE, filter > 250, and join the (selective)
+    order-quantity table to orders and customer — one lineitem scan
+    and one row-scale shuffle instead of two of each (plan: the
+    left-semi + re-aggregation pair collapses; the post-filter table
+    broadcasts)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    oq = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        oq.join(o, oq.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            F.col("l_orderkey").alias("o_orderkey"),
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
     )
 
 
