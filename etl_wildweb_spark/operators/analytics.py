@@ -53,50 +53,56 @@ def b47_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts.  Emits per-stage reach plus the exact summed conversion
     gap in integer microseconds (averages are a downstream division).
 
-    Scale: each stage is filter → per-user min — partial aggregates
-    that shuffle once on user_id, then user-keyed equi-joins that all
-    reuse the SAME hash partitioning (Catalyst chains them without
-    re-exchanging); stage outputs shrink monotonically, and the final
-    stage summaries are single-row aggregates.  No windows, no global
-    sorts, no per-user event-list materialization."""
+    Scale (ROUND-13, guide §2.4 — the previous stage-chained form
+    re-scanned events per stage and per summary join, NINE scans and
+    five user-keyed joins in the physical plan): ONE shuffle on
+    user_id builds each user's time-sorted stage-event list (bounded
+    by events-per-user, the same bound every per-user window here
+    relies on); the ordered stage times t1 < t2 < t3 then fall out of
+    three in-row array filters (F.get is null-safe, so a user missing
+    a stage reads null and drops out of later stages exactly like the
+    join chain), and ALL THREE stage summaries aggregate that frame
+    once and unpivot via stack().  One scan, two exchanges, no joins."""
     e = table(spark, sf_dir, "events")
-
-    def stage(ev: str, prev: DataFrame | None, prev_t: str, t: str) -> DataFrame:
-        s = e.filter(F.col("event_type") == ev)
-        if prev is not None:
-            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
-        return s.groupBy("user_id").agg(F.min("ts").alias(t))
-
-    s1 = stage("view", None, "", "t1")
-    s2 = stage("click", s1, "t1", "t2")
-    s3 = stage("purchase", s2, "t2", "t3")
-
-    def summary(num: int, ev: str, df: DataFrame, gap) -> DataFrame:
-        return df.agg(
-            F.lit(num).alias("stage"),
-            F.lit(ev).alias("event_type"),
-            F.count(F.lit(1)).alias("n_users"),
-            F.coalesce(F.sum(gap), F.lit(0)).cast("bigint").alias("sum_gap_us"),
-        )
-
-    return (
-        summary(1, "view", s1, F.lit(0))
-        .unionAll(
-            summary(
-                2,
-                "click",
-                s2.join(s1, "user_id"),
-                F.unix_micros("t2") - F.unix_micros("t1"),
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_type")))
+    first_ts_of = lambda typ, after: F.get(  # noqa: E731
+        F.filter(
+            "evs",
+            lambda x: (x["event_type"] == typ)
+            & (F.lit(True) if after is None else x["ts"] > after),
+        ),
+        0,
+    )["ts"]
+    per_user = (
+        e.filter(F.col("event_type").isin(*FUNNEL_STAGES))
+        .groupBy("user_id")
+        .agg(arr.alias("evs"))
+        .withColumn("t1", first_ts_of("view", None))
+        .withColumn("t2", first_ts_of("click", F.col("t1")))
+        .withColumn("t3", first_ts_of("purchase", F.col("t2")))
+    )
+    gap = lambda a, b: F.coalesce(  # noqa: E731
+        F.sum(
+            F.when(
+                F.col(b).isNotNull(),
+                F.unix_micros(F.col(b)) - F.unix_micros(F.col(a)),
             )
-        )
-        .unionAll(
-            summary(
-                3,
-                "purchase",
-                s3.join(s2, "user_id"),
-                F.unix_micros("t3") - F.unix_micros("t2"),
-            )
-        )
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    row = per_user.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+        gap("t1", "t2").alias("g2"),
+        gap("t2", "t3").alias("g3"),
+    )
+    return row.selectExpr(
+        """stack(3,
+             1, 'view',     n1, CAST(0 AS BIGINT),
+             2, 'click',    n2, g2,
+             3, 'purchase', n3, g3)
+           AS (stage, event_type, n_users, sum_gap_us)"""
     )
 
 
