@@ -97,9 +97,20 @@ def sql_dsum_c4(prod_c4: str, ndigits: int = 2) -> str:
     # SQL and drags the quotient back into decimal (the b150 round-6
     # literal lesson); 100.0D forces the double division the
     # bit-identity argument needs.
-    s = f"CAST(sum(CAST({prod_c4} AS DECIMAL(38,0))) AS BIGINT)"
+    #
+    # ADVICE r13: the rounding division runs on the DECIMAL sum and only
+    # the already-divided quotient becomes BIGINT — casting the raw sum
+    # to BIGINT first would reinstate the 2⁶³ ceiling (~9.2·10¹⁸ at ×10⁴
+    # scale) the decimal accumulator exists to avoid (ANSI:
+    # ARITHMETIC_OVERFLOW at extreme corpus scale).  Spark's `div` is
+    # IntegralDivide — LONG-typed, truncating toward zero — for decimal
+    # operands too, so `(s ± 50) div 100` IS the quotient cast; the
+    # ndigits≥4 path casts the decimal straight to DOUBLE (the decimal→
+    # double and the old bigint→double conversions of the same integer
+    # are both correctly rounded, hence bit-identical where both exist).
+    s = f"sum(CAST({prod_c4} AS DECIMAL(38,0)))"
     if ndigits >= 4:
-        return f"({s} / 10000.0D)"
+        return f"(CAST({s} AS DOUBLE) / 10000.0D)"
     if ndigits == 2:
         return (
             f"(CASE WHEN {s} >= 0 THEN ({s} + 50) div 100 "

@@ -960,8 +960,16 @@ def b161_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # membership), and array_min(set) IS the first source (binary
     # string min, identical to min()).  One explode, ONE row-scale
     # shuffle (map-side combined), bounded sets (≤ |sources| per gram).
+    # ADVICE r13: collect_set silently DROPS null elements, while the
+    # r12 distinct+join plan (and the DuckDB oracle's GROUP BY source)
+    # kept a NULL-source group — a latent hash divergence if
+    # documents.source were ever null.  The corpus fixture guarantees
+    # non-null sources (TESTDATA.md); make that invariant explicit and
+    # pushdown-visible with a scan-level filter, so a null-source corpus
+    # changes the answer HERE, loudly in the plan, instead of silently
+    # inside an aggregate's null policy.
     sets = (
-        lift_parallelism(d, "doc_id")
+        lift_parallelism(d.filter(F.col("source").isNotNull()), "doc_id")
         .select("source", F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.collect_set("source").alias("ss"))

@@ -644,6 +644,84 @@ reach(node, lab) AS (
 """
 
 
+#: Edge-count threshold at or below which connected components resolve as
+#: ONE driver-side union-find over the collected edge list instead of the
+#: iterative distributed loop (round 14, guide §1.2 "fix the distributed
+#: algorithm" / §5 driver-side job count): every loop round on a
+#: sub-million-edge graph is pure per-round scheduler fixed cost (measured
+#: ~0.8-1.2 s/round on width-1 graphs at sf0.1), while 10⁶ (u, v) long
+#: pairs are ~30 MB collected and union-find resolves them in well under a
+#: second on the driver.  Mirrors the BPE driver/distributed twin
+#: (corpus.py): the distributed engines stay load-bearing above the
+#: threshold, and driver ≡ distributed equivalence is pinned on every
+#: adversarial graph shape in tests/test_components.py.
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _driver_cc(spark: SparkSession, edge_rows, id_type) -> DataFrame:
+    """Union-find over a collected edge list — the sub-threshold twin of
+    BOTH distributed CC engines, honoring the same contract: one row per
+    node that appears in any edge (self-loops carry membership), with
+    cluster_id = the component's minimum node id.
+
+    Union by MIN root makes the invariant structural: whenever two trees
+    merge, the smaller root wins, and the component's true minimum is a
+    root from the moment it appears — so at the end every root IS its
+    component min and no relabel pass is needed.  Iterative path-halving
+    find keeps the forest flat (no recursion limit at 10⁶ edges)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        u, v = row[0], row[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("node", id_type, True),
+            StructField("cluster_id", id_type, True),
+        ]
+    )
+    return spark.createDataFrame(
+        [(n, find(n)) for n in parent], schema
+    )
+
+
+def _driver_cc_or_none(edges_uv: DataFrame) -> DataFrame | None:
+    """Shared path decision for both CC engines: collect up to
+    DRIVER_CC_MAX_EDGES + 1 rows of the (already checkpointed) edge
+    list — ONE job that both decides driver-vs-distributed and delivers
+    the edges (the BPE `limit(MAX+1).collect()` pattern) — and resolve
+    on the driver when the graph fits.  Returns None above the
+    threshold (the collected prefix is discarded: bounded ~30 MB waste
+    paid only on graphs big enough that the distributed loop dominates
+    it by orders of magnitude)."""
+    ut = edges_uv.schema["u"].dataType
+    if ut != edges_uv.schema["v"].dataType:
+        return None  # mixed-type edge list: let the engine's own
+        # least()/min() coercion rules decide (never hit in practice)
+    head = edges_uv.limit(DRIVER_CC_MAX_EDGES + 1).collect()
+    if len(head) > DRIVER_CC_MAX_EDGES:
+        return None
+    return _driver_cc(edges_uv.sparkSession, head, ut)
+
+
 def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50
 ) -> DataFrame:
@@ -673,6 +751,13 @@ def connected_components(
     raw = edges.selectExpr(f"{src} AS u", f"{dst} AS v").localCheckpoint(
         eager=True
     )
+    # ROUND-14 (guide §1.2/§5): sub-threshold graphs skip the
+    # distributed loop entirely — one cheap collect over the
+    # checkpointed edge list feeds a driver union-find (the heavy
+    # upstream already ran exactly once, in the checkpoint job).
+    done = _driver_cc_or_none(raw)
+    if done is not None:
+        return done
     und = raw.unionAll(raw.selectExpr("v AS u", "u AS v"))
     # The dup graph is orders of magnitude smaller than the corpus that
     # produced it, so a corpus-sized partition count is pure scheduling
@@ -776,6 +861,11 @@ def connected_components_bigstar(
     raw = edges.selectExpr(f"{src} AS u", f"{dst} AS v").localCheckpoint(
         eager=True
     )
+    # ROUND-14 (guide §1.2/§5): sub-threshold graphs resolve on the
+    # driver — same decision and rationale as connected_components.
+    done = _driver_cc_or_none(raw)
+    if done is not None:
+        return done
     # Self-loops carry membership (the node exists) but no connectivity:
     # keep their nodes, drop the edges before iterating.
     e = (

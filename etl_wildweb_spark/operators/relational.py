@@ -495,22 +495,27 @@ def b09_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("count_order"),
     )
     n = F.col("count_order")
-    # the 4-row fixup: bigint is ample for the divided-down sums at
-    # bench scales (and to ~10¹⁸ cents overall); `div` floors exactly
+    # the 4-row fixup: the rounding `div`s run on the DECIMAL sums
+    # (IntegralDivide is LONG-typed and truncates exactly), and the
+    # undivided base sum casts decimal→DOUBLE directly — both avoid the
+    # 2⁶³ ceiling a premature BIGINT cast of the raw sum would
+    # reinstate (ADVICE r13, the sql_dsum_c4 ordering fix applied
+    # consistently); decimal→double and bigint→double conversions of
+    # the same integer are both correctly rounded, hence bit-identical
     return agg.select(
         "l_returnflag",
         "l_linestatus",
         "sum_qty",
-        (F.expr("CAST(s_base_c2 AS BIGINT)") / 100.0).alias("sum_base_price"),
-        (F.expr("CAST((s_disc_c4 + 50) div 100 AS BIGINT)") / 100.0).alias(
+        (F.expr("CAST(s_base_c2 AS DOUBLE)") / 100.0).alias("sum_base_price"),
+        (F.expr("(s_disc_c4 + 50) div 100") / 100.0).alias(
             "sum_disc_price"
         ),
-        (F.expr("CAST((s_chg_c6 + 5000) div 10000 AS BIGINT)") / 100.0).alias(
+        (F.expr("(s_chg_c6 + 5000) div 10000") / 100.0).alias(
             "sum_charge"
         ),
         F.round(F.col("sum_qty") / n, 4).alias("avg_qty"),
         F.round(
-            F.expr("CAST(s_base_c2 AS BIGINT)") / 100.0 / n, 4
+            F.expr("CAST(s_base_c2 AS DOUBLE)") / 100.0 / n, 4
         ).alias("avg_price"),
         F.round((F.col("s_disc_b2") / 100.0) / n, 4).alias("avg_disc"),
         "count_order",

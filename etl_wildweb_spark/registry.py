@@ -115,61 +115,67 @@ def capabilities(
 #: b53 holds the final slot until this round's b183 addition
 #: registers and takes it (the tpch_q17/b182 precedent).
 PRIORITY: list[str] = [
-    # -- planner must-lead (15): red when CORRECTNESS_r13 lands
-    #    unless re-checked (VERDICT r12 item 1 — outranks everything) --
-    "b155_perplexity_filter",
-    "b158_pmi_assoc",
-    "b161_source_novelty",
-    "b171_kaplan_meier",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    # -- queries whose code/oracle changes this round (re-enter on
-    #    change; b155/b158/b171 already lead above) --
-    "b101_group_entropy",
-    "b165_markov_attribution",
-    # -- the r08 cohort, greedy oldest-first (planner fill order) --
-    "a18_submit_sink",
-    "b11_grouping_id",
-    "b174_polygon_geofence",
-    "b175_ivfpq_observed",
-    "b175_ivfpq_search",
-    "b176_bpe_decode",
-    "b20_variant_funcs",
-    "b28_incremental_dedup",
+    # -- planner must-lead (14): red when CORRECTNESS_r14 lands
+    #    unless re-checked (the round-open rotation discipline,
+    #    VERDICT r12 item 1 / r13 item 8 — outranks everything) --
+    "b55_lateral_topk",
+    "b56_embedding_quantize",
+    "b57_table_fingerprint",
+    "b59_salted_join",
+    "b60_hll_mergeable_rollup",
+    "b62_cogroup_merge",
+    "b63_quantile_bands",
+    "b65_map_hof",
+    "tpch_q1",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q9",
+    # -- queries whose code changes this optimization round (modified
+    #    queries re-enter the window the round they change): the CC
+    #    family on the new sub-threshold driver union-find (VERDICT r13
+    #    item 2), the b137 partitioning fix (item 3), the stream-stream
+    #    join harness work (item 4), the b161 null-source hardening and
+    #    the sql_dsum_c4 overflow-order fix (ADVICE r13; tpch_q9 of the
+    #    dsum family already leads above) --
+    "b29_dup_clusters",
     "b29_cc_bigstar",
-    "b30_ann_ivf",
-    "b30_ann_ivf_observed",
-    "b30_ann_lsh",
-    "b30_ann_lsh_observed",
-    "b30_cosine_topk",
-    "b31_pii_scan",
-    "b31_repetition_filters",
-    "b33_http_ingest",
-    "b37_contamination",
-    "b38_merge_upsert",
-    "b39_doc_chunk",
-    "b40_centroid_assign",
-    "b41_scd2_history",
-    "b42_bigram_lm",
-    "b43_tfidf_rank",
-    "b45_quality_deciles",
-    "b46_dataset_card",
-    "b47_funnel",
-    "b48_retention",
-    "b49_quality_checks",
-    "b50_grouped_median",
-    "b51_resample_ffill",
-    "b52_sequence_match",
-    "b53_train_val_test",
+    "b29_dedup_canonical",
+    "b144_leakage_safe_split",
+    "b173_dbscan_complexes",
+    "b137_pq_adc_search",
+    "b177_stream_semi_join",
+    "b180_stream_stream_full_outer",
+    "b182_stream_stream_right_outer",
+    "b161_source_novelty",
+    "b09_agg_q1",
+    "flagship_revenue_by_nation",
+    "tpch_q5",
+    "tpch_q6",
+    "b03_join_inner",
+    "b04_join_broadcast",
+    # -- greedy oldest-first fill (planner order, cut to the window) --
+    "b100_compaction",
+    "b102_markov_transitions",
+    "b103_basket_pairs",
+    "b104_zscore_outliers",
+    "b105_event_paths",
+    "b106_time_weighted_sum",
+    "b107_sliding_distinct",
+    "b108_dynamic_overwrite",
+    "b109_heavy_hitters",
+    "b110_bloom_prefilter_join",
+    "b111_stream_topk",
+    "b112_cohort_ltv",
+    "b114_activity_heatmap",
+    "b115_schema_evolution",
+    "b117_scd3_current",
+    "b11_unpivot",
+    "b175_ivfpq_observed_sampled",
+    "b178_quality_classifier",
+    "b179_stream_late_audit",
+    "b18_width_bucket",
 ]
 
 #: Hard cap on per-round additions (VERDICT r6 items 2/7): the driver

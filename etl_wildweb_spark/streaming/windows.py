@@ -138,32 +138,37 @@ def run_to_memory(
         # single-threaded per session).
         spark.conf.set(conf_key, "false")
     ck_dir = ephemeral_checkpoint_dir()
+    # ADVICE r13: the checkpoint dir lives on tmpfs (RAM) by default, so
+    # EVERY exit path must reclaim it — the old success-only cleanup let
+    # timeout/start() failures accumulate tmpfs usage across runs.  The
+    # memory sink's rows live in the driver, not the checkpoint, so the
+    # terminated query's state dir is dead weight on any path.
     try:
-        name = f"mem_{uuid.uuid4().hex[:12]}"
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .option("checkpointLocation", ck_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
+        try:
+            name = f"mem_{uuid.uuid4().hex[:12]}"
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .option("checkpointLocation", ck_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            if not no_data_batches:
+                spark.conf.set(conf_key, prev)
+            if state_partitions is not None:
+                spark.conf.set(parts_key, prev_parts)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {name} still running after {timeout_sec}s; "
+                "refusing to return a partial memory-sink table"
+            )
+        return spark.table(name)
     finally:
-        if not no_data_batches:
-            spark.conf.set(conf_key, prev)
-        if state_partitions is not None:
-            spark.conf.set(parts_key, prev_parts)
-    finished = q.awaitTermination(timeout_sec)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            f"streaming query {name} still running after {timeout_sec}s; "
-            "refusing to return a partial memory-sink table"
-        )
-    # the memory sink's rows live in the driver, not the checkpoint —
-    # the terminated query's state dir is dead weight (on tmpfs, RAM)
-    shutil.rmtree(ck_dir, ignore_errors=True)
-    return spark.table(name)
+        shutil.rmtree(ck_dir, ignore_errors=True)
 
 
 # ------------------------------------------------- batch-shape windows
@@ -433,12 +438,13 @@ def b179_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
     name = f"mem_{uuid.uuid4().hex[:12]}"
+    ck_dir = ephemeral_checkpoint_dir()
     try:
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+            .option("checkpointLocation", ck_dir)
             .trigger(availableNow=True)
             .start()
         )
@@ -448,8 +454,11 @@ def b179_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         # every other _time_sliced_stream caller rmtree's its staging
         # dir; the audit must too (round-9 code-review find — each run
-        # staged 4 parquet copies of events into /tmp and left them)
+        # staged 4 parquet copies of events into /tmp and left them).
+        # The checkpoint dir gets the same treatment on every path
+        # (ADVICE r13 — it previously leaked a /tmp dir per run).
         shutil.rmtree(chunk_dir, ignore_errors=True)
+        shutil.rmtree(ck_dir, ignore_errors=True)
     rows = []
     for p in q.recentProgress:  # bounded: one entry per micro-batch
         if p["numInputRows"] == 0:

@@ -1,12 +1,17 @@
 """connected_components unit tests on adversarial graph shapes —
 the oracle suite only exercises the near-clique dup blobs, so chains,
 cycles, and label-ordering traps get direct coverage here.  Both CC
-engines (label propagation + large-star/small-star) run every case."""
+engines (label propagation + large-star/small-star) run every case, on
+BOTH execution paths: the round-14 sub-threshold driver union-find
+(the default at these sizes) and the distributed loops (forced by
+pinning the threshold to 0), plus explicit driver ≡ distributed
+equivalence per engine."""
 
 from __future__ import annotations
 
 import pytest
 
+from etl_wildweb_spark.operators import dedup
 from etl_wildweb_spark.operators.dedup import (
     connected_components,
     connected_components_bigstar,
@@ -65,3 +70,35 @@ def test_bigstar_matches_label_propagation(spark, case):
     finish in its max_iter=30 (i.e. actually converge in O(log n))."""
     pairs = _CASES[case]
     assert _cc(spark, pairs, connected_components_bigstar) == _cc(spark, pairs)
+
+
+@pytest.mark.parametrize("case", sorted(_CASES))
+@pytest.mark.parametrize(
+    "impl", [connected_components, connected_components_bigstar],
+    ids=["labelprop", "bigstar"],
+)
+def test_driver_path_matches_distributed(spark, monkeypatch, case, impl):
+    """Round-14 twin pin: the sub-threshold driver union-find and the
+    distributed loop must emit identical (node, cluster_id) rows for
+    both engines on every adversarial shape.  Threshold 0 forces the
+    distributed path (any non-empty edge list exceeds it)."""
+    pairs = _CASES[case]
+    driver = _cc(spark, pairs, impl)  # default threshold → driver path
+    monkeypatch.setattr(dedup, "DRIVER_CC_MAX_EDGES", 0)
+    dist = _cc(spark, pairs, impl)  # forced distributed loop
+    assert driver == dist
+
+
+def test_driver_path_schema_and_empty(spark):
+    """The driver path must keep the engines' output schema (node,
+    cluster_id with the edge id type) — including on an EMPTY edge
+    list, where it returns zero rows rather than erroring."""
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    for impl in (connected_components, connected_components_bigstar):
+        out = impl(empty)
+        assert [f.name for f in out.schema.fields] == ["node", "cluster_id"]
+        assert [f.dataType.simpleString() for f in out.schema.fields] == [
+            "bigint",
+            "bigint",
+        ]
+        assert out.count() == 0

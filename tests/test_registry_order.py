@@ -45,26 +45,22 @@ def test_priority_oracle_coverage():
         if n not in registry.ORACLES
     }
     assert rows_only == {
-        # round-13 window (15 planner must-lead + 2 modified-this-round
-        # + 33 of the r08 cohort): the declared rows-only entries, each
-        # with its own pytest invariants.
-        # b165_markov_attribution left this set in r13: the absorbing
-        # chain is now the exact K-step integer recurrence with an
-        # unrolled-CTE oracle (VERDICT r12 item 5, the b84 method).
-        # submit sink — chunk layout partition-dependent; DataSource
-        # sink restart-idempotence pins (b94/b135)
-        "a18_submit_sink",
-        # HTTP ingest connector — not SQL-expressible, pytest-pinned
-        "b33_http_ingest",
-        # ANN LSH / IVF (+observed-recall twins) — approximate by
-        # construction, recall-pinned
-        "b30_ann_lsh",
-        "b30_ann_lsh_observed",
-        "b30_ann_ivf",
-        "b30_ann_ivf_observed",
-        # IVF-PQ search (+observed twin) — numpy-replay bit-exact pins
-        "b175_ivfpq_search",
-        "b175_ivfpq_observed",
+        # round-14 window (14 planner must-lead + 16 modified-this-round
+        # + 20 greedy fill): the declared rows-only entries, each with
+        # its own pytest invariants.
+        # layout compaction — file-count/size assertions, pytest-pinned
+        "b100_compaction",
+        # PQ ADC search — approximate by construction; ADC-identity and
+        # recall pins in tests/test_llmops.py
+        "b137_pq_adc_search",
+        # IVF-PQ observed-recall sampled twin — numpy-replay pins
+        "b175_ivfpq_observed_sampled",
+        # engine-metric audit (per-micro-batch progress rows) —
+        # replayed exactly in tests/test_streaming.py
+        "b179_stream_late_audit",
+        # mergeable HLL sketch rollup — approximate by construction,
+        # relative-error pins
+        "b60_hll_mergeable_rollup",
     }
 
 

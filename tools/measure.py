@@ -1,9 +1,9 @@
 #!/usr/bin/env python
-"""Round-13 optimization measurement harness (guide §1).
+"""Round-14 optimization measurement harness (r13 original) (guide §1).
 
 Times individual registered queries through the noop sink (same
 methodology as bench.py: one warmup, median of 3) and/or captures
-.explain("formatted") to plans/r13/<query>_{before,after}.txt.
+.explain("formatted") to plans/r14/<query>_{before,after}.txt.
 
 Usage:
   python tools/measure.py time q1 q2 ...        # med/min seconds each
@@ -31,7 +31,7 @@ def main() -> None:
         tag, names = "", sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry.load_all()
-    spark = get_spark("r13-measure")
+    spark = get_spark("r14-measure")
     out = {}
     for name in names:
         fn = registry.QUERIES[name]
@@ -39,7 +39,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             dest = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                "plans", "r13", f"{name}_{tag}.txt",
+                "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"), f"{name}_{tag}.txt",
             )
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             with open(dest, "w") as f:
@@ -48,7 +48,7 @@ def main() -> None:
                     .fromString("formatted")))
             print(f"{name}: plan -> {dest}")
             continue
-        spark.sparkContext.setJobDescription(f"r13-measure: {name}")
+        spark.sparkContext.setJobDescription(f"r14-measure: {name}")
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
         samples = []
