@@ -422,13 +422,20 @@ def b29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE shingle pass feeds both the posting list (df counts, set
     # sizes, prefix index) and the exact-verify sets below
     sh = with_shingles(d).select("doc_id", "s").cache()
+    # ROUND-14 (guide §2.4 remove shuffles): set_size = size(s) — `s`
+    # is already array_distinct, so the old groupBy(doc_id).count()
+    # over the exploded grams recomputed a value the array carries for
+    # free.  Riding it through the explode removes one corpus-scale
+    # shuffle AND the doc_id join that re-attached it (8 bytes/row
+    # through the gh exchange instead).
     g = (
-        sh.select("doc_id", F.explode("s").alias("gram"))
-        .select("doc_id", F.xxhash64("gram").alias("gh"))
+        sh.select(
+            "doc_id", F.size("s").alias("set_size"), F.explode("s").alias("gram")
+        )
+        .select("doc_id", "set_size", F.xxhash64("gram").alias("gh"))
         .cache()
     )
     freq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
-    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     from pyspark.sql import Window as W
 
     rk = F.row_number().over(
@@ -436,7 +443,6 @@ def b29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = (
         g.join(freq, "gh")
-        .join(sizes, "doc_id")
         .withColumn("rk", rk)
         # prefix length |x| − ⌈t·|x|⌉ + 1 in EXACT integer arithmetic
         # (t = _T_NUM/_T_DEN).  The float form floor((1−t)·|x|)+1 under-

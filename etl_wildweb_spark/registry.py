@@ -139,6 +139,7 @@ PRIORITY: list[str] = [
     #    join harness work (item 4), the b161 null-source hardening and
     #    the sql_dsum_c4 overflow-order fix (ADVICE r13; tpch_q9 of the
     #    dsum family already leads above) --
+    "b29_ngram_jaccard",
     "b29_dup_clusters",
     "b29_cc_bigstar",
     "b29_dedup_canonical",
@@ -175,7 +176,6 @@ PRIORITY: list[str] = [
     "b175_ivfpq_observed_sampled",
     "b178_quality_classifier",
     "b179_stream_late_audit",
-    "b18_width_bucket",
 ]
 
 #: Hard cap on per-round additions (VERDICT r6 items 2/7): the driver

@@ -58,21 +58,25 @@ def b23_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WM_DELAY = "1 hour"
 _INTERVAL = "INTERVAL 6 HOURS"
 
-#: State-shuffle width for the stream-stream joins (round 12).  A
-#: stream-stream join commits FOUR state-store instances per partition
-#: per micro-batch, so partition count is a fixed-cost multiplier that
-#: should track KEY CARDINALITY (users in state), not session cores:
-#: at the bench corpus's few hundred in-state users, 32 partitions
-#: spent 2.4x the wall clock of 8 on store commits alone (b180 at
-#: sf0.1: 7.9 s -> 3.3 s, identical 37,823-row output; b182/b177 move
-#: the same way).  Results are partition-count-invariant (pinned in
-#: tests/test_streaming.py).  At 100 TB this knob goes UP with state
-#: volume — size it per deployment before go-live, because streaming
-#: state partitioning freezes at the first batch; the scheduling
-#: fixed-cost argument is symmetric (once per-partition state is
-#: large enough to dominate the per-store commit overhead, more
-#: partitions win).
-STREAM_STATE_PARTITIONS = 8
+#: State-shuffle width for the stream-stream joins (round 12, re-sized
+#: round 14).  A stream-stream join commits FOUR state-store instances
+#: per partition per micro-batch, so partition count is a fixed-cost
+#: multiplier that should track KEY CARDINALITY (users in state), not
+#: session cores: at the bench corpus's few hundred in-state users, 32
+#: partitions spent 2.4x the wall clock of 8 on store commits alone
+#: (b180 at sf0.1: 7.9 s -> 3.3 s, identical 37,823-row output).
+#: Round 14 re-measured the remaining fixed cost (tools/stream_probe.py:
+#: per-batch state commits ~260 ms/store-instance dominate addBatch)
+#: and halved twice more — interleaved A/B medians at sf0.1, 8 vs 2
+#: partitions: b182 3.91->2.69 s, b177 2.93->1.96, b23 2.39->1.79,
+#: b64 4.97->2.61, b180 3.23->3.13; identical output (the
+#: partition-count invariance is pinned in tests/test_streaming.py).
+#: At 100 TB this knob goes UP with state volume — size it per
+#: deployment before go-live, because streaming state partitioning
+#: freezes at the first batch; the scheduling fixed-cost argument is
+#: symmetric (once per-partition state is large enough to dominate the
+#: per-store commit overhead, more partitions win).
+STREAM_STATE_PARTITIONS = 2
 
 
 def _watermarked_views_purchases(spark, sf_dir, source: DataFrame | None = None):
